@@ -1,0 +1,31 @@
+"""fft_wgpu_tpu — a TPU-native FFT framework.
+
+Built from scratch in JAX/Pallas with the capabilities of the `fft_wgpu`
+reference (Rust/wgpu batched Stockham FFT; see SURVEY.md), redesigned
+TPU-first: DFT-by-matmul base kernels on the MXU, fused VMEM-resident Pallas
+executors, a plan-based scheduler, four-step decomposition beyond VMEM, and
+sharded multi-chip transforms via `shard_map` + all-to-all over ICI.
+"""
+
+from .core.reference import naive_dft, naive_idft
+from .ops.transforms import fft, ifft, ifft_unnormalized, normalize
+from .plan.parity import Forward, Inverse, Normalize, Onlyinverse
+from .plan.plan import Plan, plan
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "fft",
+    "ifft",
+    "ifft_unnormalized",
+    "normalize",
+    "plan",
+    "Plan",
+    "Forward",
+    "Inverse",
+    "Onlyinverse",
+    "Normalize",
+    "naive_dft",
+    "naive_idft",
+    "__version__",
+]

@@ -1,0 +1,155 @@
+"""Plan-based FFT scheduler (the TPU-native `processor.rs` equivalent).
+
+The reference's public surface is plan-style objects constructed once per
+(buffer, fft_len) and replayed cheaply (`Forward::new` / `proc`,
+fft_wgpu src/processor.rs:7-159).  Here a :class:`Plan` is constructed once
+per transform length; "replay" is calling its jitted executors — XLA caches
+the compiled program, which is the TPU analogue of the reference's cached
+`ComputePipeline` (processor.rs:161-229).
+
+Executor strategies (the reference's two scheduling strategies — fused
+single-dispatch fft4.wgsl vs per-stage dispatch ifft.wgsl, SURVEY §3.2 —
+map to):
+  * ``"pallas"``  — fused VMEM-resident Pallas kernel (single HBM round trip)
+  * ``"fourstep"``— HBM-level Bailey decomposition for transforms beyond VMEM
+  * ``"xla"``     — pure-jnp mixed-radix (general fallback, any backend)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core import factor as _factor
+from ..core.complex_utils import merge, promote_to_split
+from ..core.twiddle import FORWARD, INVERSE
+from ..ops import stockham
+
+__all__ = ["Plan", "plan", "get_plan"]
+
+# Largest transform the fused VMEM-resident Pallas kernel handles per row
+# (re+im f32 working set must fit VMEM with double-buffering headroom).
+FUSED_MAX_N = 16384
+FUSED_MIN_N = 256
+
+
+def _backend() -> str:
+    return jax.default_backend()
+
+
+def _is_pow2(n: int) -> bool:
+    return n > 0 and (n & (n - 1)) == 0
+
+
+class Plan:
+    """FFT plan for 1-D transforms of length ``n`` along the last axis.
+
+    API parity with the reference plan objects (SURVEY §2 C4-C11):
+      forward                -> Forward::proc        (processor.rs:110-158)
+      inverse                -> Inverse::proc        (processor.rs:293-340, fused 1/N)
+      inverse_unnormalized   -> Onlyinverse::proc    (processor.rs:622-669)
+      normalize              -> Normalize::proc      (processor.rs:467-504)
+    """
+
+    def __init__(self, n: int, *, executor: str = "auto", dtype=jnp.complex64):
+        if n < 1:
+            raise ValueError(f"fft length must be >= 1, got {n}")
+        self.n = int(n)
+        self.dtype = dtype
+        if executor not in ("auto", "xla", "pallas", "fourstep", "direct"):
+            raise ValueError(f"unknown executor {executor!r}")
+        self.executor = executor
+
+    # ------------------------------------------------------------------ #
+    # executor selection (trace-time; shapes are static under jit)
+    # ------------------------------------------------------------------ #
+    def _resolve_executor(self) -> str:
+        if self.executor != "auto":
+            return self.executor
+        n = self.n
+        if _backend() == "tpu" and _is_pow2(n):
+            if FUSED_MIN_N <= n <= FUSED_MAX_N:
+                return "pallas"
+            if n > FUSED_MAX_N:
+                return "fourstep"
+        return "xla"
+
+    # ------------------------------------------------------------------ #
+    # split-domain executors (re/im pairs, transform along last axis)
+    # ------------------------------------------------------------------ #
+    def _execute_split(self, re, im, sign: int, scale):
+        if re.shape[-1] != self.n:
+            raise ValueError(
+                f"plan built for n={self.n}, input last axis is {re.shape[-1]}"
+            )
+        ex = self._resolve_executor()
+        if ex == "pallas":
+            from ..ops import pallas_fft
+
+            try:
+                return pallas_fft.fft_batched_split(re, im, sign, scale)
+            except pallas_fft.Unsupported:
+                ex = "xla"
+        if ex == "fourstep":
+            from ..ops import fourstep
+
+            return fourstep.fft_last_axis(re, im, sign, scale)
+        if ex == "direct":
+            re, im = stockham._dft_direct(re, im, sign)
+            return stockham.apply_scale(re, im, scale)
+        re, im = stockham.fft_last_axis(re, im, sign)
+        return stockham.apply_scale(re, im, scale)
+
+    # ------------------------------------------------------------------ #
+    # public complex-facade methods
+    # ------------------------------------------------------------------ #
+    def _run(self, x, axis: int, sign: int, scale):
+        re, im = promote_to_split(x)
+        moved = axis not in (-1, re.ndim - 1)
+        if moved:
+            re = jnp.moveaxis(re, axis, -1)
+            im = jnp.moveaxis(im, axis, -1)
+        re, im = self._execute_split(re, im, sign, scale)
+        if moved:
+            re = jnp.moveaxis(re, -1, axis)
+            im = jnp.moveaxis(im, -1, axis)
+        return merge(re, im)
+
+    def forward(self, x, axis: int = -1):
+        """Forward FFT, unscaled (reference Forward, processor.rs:7-159)."""
+        return self._run(x, axis, FORWARD, None)
+
+    def inverse(self, x, axis: int = -1):
+        """Inverse FFT with fused 1/N (reference Inverse — the 1/N division
+        is fused into the last butterfly stage, ifft.wgsl:65-74; here it is
+        folded into the executor epilogue)."""
+        return self._run(x, axis, INVERSE, 1.0 / self.n)
+
+    def inverse_unnormalized(self, x, axis: int = -1):
+        """Inverse FFT without the 1/N scale (reference Onlyinverse,
+        processor.rs:566-670)."""
+        return self._run(x, axis, INVERSE, None)
+
+    def normalize(self, x, axis: int = -1):
+        """Standalone 1/N scaling pass (reference Normalize,
+        processor.rs:409-505; normalize.wgsl:10-11)."""
+        del axis  # elementwise — axis kept for API symmetry
+        re, im = promote_to_split(x)
+        s = jnp.float32(1.0 / self.n)
+        return merge(re * s, im * s)
+
+    def __repr__(self):
+        return f"Plan(n={self.n}, executor={self.executor!r})"
+
+
+def plan(n: int, **kw) -> Plan:
+    """Construct an FFT plan (`Forward::new` analogue, processor.rs:19-108)."""
+    return Plan(n, **kw)
+
+
+@functools.lru_cache(maxsize=512)
+def get_plan(n: int, executor: str = "auto") -> Plan:
+    """Module-level plan cache used by the functional API (fft/ifft/...)."""
+    return Plan(n, executor=executor)

@@ -1,0 +1,62 @@
+"""Plan layer + reference-parity class API (SURVEY §2 C4-C11)."""
+
+import numpy as np
+import pytest
+
+import fft_wgpu_tpu as ftt
+
+
+def crand(rng, *shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+        np.complex64
+    )
+
+
+def test_plan_constructed_once_used_many(rng, assert_close):
+    p = ftt.plan(512)
+    for _ in range(3):
+        x = crand(rng, 4, 512)
+        assert_close(p.forward(x), np.fft.fft(x, axis=-1))
+        assert_close(p.inverse(x), np.fft.ifft(x, axis=-1))
+
+
+def test_plan_validates_length(rng):
+    p = ftt.plan(256)
+    with pytest.raises(ValueError):
+        p.forward(crand(rng, 128))
+    with pytest.raises(ValueError):
+        ftt.plan(0)
+    with pytest.raises(ValueError):
+        ftt.plan(16, executor="nope")
+
+
+def test_plan_inverse_unnormalized_and_normalize(rng, assert_close):
+    p = ftt.plan(512)
+    x = crand(rng, 512)
+    assert_close(p.inverse_unnormalized(x), np.fft.ifft(x) * 512)
+    assert_close(p.normalize(p.inverse_unnormalized(x)), np.fft.ifft(x))
+
+
+def test_parity_classes(rng, assert_close):
+    # Reference-shaped flow: Forward::new(...,512) then proc per iteration
+    # (examples/basic.rs:66-127).
+    n = 512
+    x = crand(rng, 8, n)
+    fwd, inv = ftt.Forward(n), ftt.Inverse(n)
+    only, nrm = ftt.Onlyinverse(n), ftt.Normalize(n)
+    assert_close(fwd.proc(x), np.fft.fft(x, axis=-1))
+    assert_close(inv.proc(x), np.fft.ifft(x, axis=-1))
+    # Two-pass composition (examples/basic_inverse2.rs:85-92): one jit =
+    # one "command encoder".
+    import jax
+
+    two_pass = jax.jit(lambda v: nrm.proc(only.proc(v)))
+    assert_close(two_pass(x), np.fft.ifft(x, axis=-1))
+
+
+def test_executor_override_xla_matches_direct(rng, assert_close):
+    x = crand(rng, 256)
+    a = ftt.fft(x, executor="xla")
+    b = ftt.fft(x, executor="direct")
+    assert_close(a, b, tol=1e-5)
+    assert_close(a, np.fft.fft(x))
