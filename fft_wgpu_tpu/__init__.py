@@ -11,6 +11,7 @@ from .core.reference import naive_dft, naive_idft
 from .ops.transforms import fft, ifft, ifft_unnormalized, normalize
 from .plan.parity import Forward, Inverse, Normalize, Onlyinverse
 from .plan.plan import Plan, plan
+from .utils.io import device_get_complex, device_put_complex
 
 __version__ = "0.1.0"
 
@@ -27,5 +28,7 @@ __all__ = [
     "Normalize",
     "naive_dft",
     "naive_idft",
+    "device_get_complex",
+    "device_put_complex",
     "__version__",
 ]

@@ -19,18 +19,43 @@ import numpy as np
 __all__ = ["split", "merge", "promote_to_split"]
 
 
+@jax.jit
+def _split_device(x):
+    return jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
+
+
 def split(x):
-    """complex array -> (re, im) pair of real float32 arrays."""
+    """complex array -> (re, im) pair of real float32 arrays.
+
+    Host numpy complex input is split on the host (some TPU runtimes cannot
+    transfer complex arrays); device arrays are split under jit (eager
+    complex ops can be unsupported even where jitted ones work).
+    """
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        return (
+            jnp.asarray(np.ascontiguousarray(x.real, np.float32)),
+            jnp.asarray(np.ascontiguousarray(x.imag, np.float32)),
+        )
     x = jnp.asarray(x)
     if jnp.iscomplexobj(x):
-        return jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
+        return _split_device(x)
     x = x.astype(jnp.float32)
     return x, jnp.zeros_like(x)
 
 
+@jax.jit
+def _merge_device(re, im):
+    return jax.lax.complex(re, im)
+
+
 def merge(re, im):
-    """(re, im) pair -> complex64 array (explicit, x64-config-proof)."""
-    return jax.lax.complex(jnp.asarray(re, jnp.float32), jnp.asarray(im, jnp.float32))
+    """(re, im) pair -> complex64 array (explicit, x64-config-proof).
+
+    Jitted: on some TPU runtimes eager complex ops are unsupported even
+    though jit-compiled complex compute works.  Under an enclosing jit this
+    inlines for free.
+    """
+    return _merge_device(jnp.asarray(re, jnp.float32), jnp.asarray(im, jnp.float32))
 
 
 def promote_to_split(x):

@@ -39,15 +39,7 @@ def _run_1d(x, n, axis, sign, scale, executor):
         re, im = _pad_or_trim(re, im, n, axis)
     length = re.shape[axis]
     p = get_plan(length, executor)
-    moved = axis not in (-1, re.ndim - 1)
-    if moved:
-        re = jnp.moveaxis(re, axis, -1)
-        im = jnp.moveaxis(im, axis, -1)
-    re, im = p._execute_split(re, im, sign, scale)
-    if moved:
-        re = jnp.moveaxis(re, -1, axis)
-        im = jnp.moveaxis(im, -1, axis)
-    return merge(re, im)
+    return p._jitted(axis, sign, scale)(re, im)
 
 
 def _pad_or_trim(re, im, n, axis):
@@ -83,7 +75,5 @@ def ifft_unnormalized(x, n=None, axis: int = -1, *, executor: str = "auto"):
 
 def normalize(x, n=None, axis: int = -1):
     """Standalone 1/N scale (reference Normalize, normalize.wgsl:10-11)."""
-    re, im = promote_to_split(x)
-    length = n if n is not None else re.shape[axis]
-    s = jnp.float32(1.0 / length)
-    return merge(re * s, im * s)
+    length = n if n is not None else jnp.shape(x)[axis]
+    return get_plan(length, "auto").normalize(x, axis=axis)

@@ -61,6 +61,10 @@ class Plan:
         if executor not in ("auto", "xla", "pallas", "fourstep", "direct"):
             raise ValueError(f"unknown executor {executor!r}")
         self.executor = executor
+        # One compiled executable per (axis, sign, scale) — the TPU analogue
+        # of the reference's cached ComputePipeline (processor.rs:28,161-229).
+        # jax.jit adds per-shape caching on top.
+        self._jit_cache: dict = {}
 
     # ------------------------------------------------------------------ #
     # executor selection (trace-time; shapes are static under jit)
@@ -85,17 +89,30 @@ class Plan:
                 f"plan built for n={self.n}, input last axis is {re.shape[-1]}"
             )
         ex = self._resolve_executor()
+        auto = self.executor == "auto"
         if ex == "pallas":
-            from ..ops import pallas_fft
-
             try:
-                return pallas_fft.fft_batched_split(re, im, sign, scale)
-            except pallas_fft.Unsupported:
+                from ..ops import pallas_fft
+            except ImportError:
+                if not auto:
+                    raise
                 ex = "xla"
+            else:
+                try:
+                    return pallas_fft.fft_batched_split(re, im, sign, scale)
+                except pallas_fft.Unsupported:
+                    if not auto:
+                        raise
+                    ex = "xla"
         if ex == "fourstep":
-            from ..ops import fourstep
-
-            return fourstep.fft_last_axis(re, im, sign, scale)
+            try:
+                from ..ops import fourstep
+            except ImportError:
+                if not auto:
+                    raise
+                ex = "xla"
+            else:
+                return fourstep.fft_last_axis(re, im, sign, scale)
         if ex == "direct":
             re, im = stockham._dft_direct(re, im, sign)
             return stockham.apply_scale(re, im, scale)
@@ -105,17 +122,42 @@ class Plan:
     # ------------------------------------------------------------------ #
     # public complex-facade methods
     # ------------------------------------------------------------------ #
+    def _jitted(self, axis: int, sign: int, scale):
+        """Cached jitted executor: (re, im) real arrays -> complex64.
+
+        The whole transform — axis moves, all stages, scaling, and the
+        complex merge — is one compiled program.  Real-valued at the call
+        boundary and complex-valued at the return: complex arrays never
+        cross host->device (unsupported on some TPU runtimes), while the
+        returned device-resident complex64 composes freely under jit.
+        """
+        key = (axis, sign, scale)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+
+            def impl(re, im):
+                moved = axis not in (-1, re.ndim - 1)
+                if moved:
+                    re = jnp.moveaxis(re, axis, -1)
+                    im = jnp.moveaxis(im, axis, -1)
+                re, im = self._execute_split(re, im, sign, scale)
+                if moved:
+                    re = jnp.moveaxis(re, -1, axis)
+                    im = jnp.moveaxis(im, -1, axis)
+                return merge(re, im)
+
+            fn = jax.jit(impl)
+            self._jit_cache[key] = fn
+        return fn
+
     def _run(self, x, axis: int, sign: int, scale):
         re, im = promote_to_split(x)
-        moved = axis not in (-1, re.ndim - 1)
-        if moved:
-            re = jnp.moveaxis(re, axis, -1)
-            im = jnp.moveaxis(im, axis, -1)
-        re, im = self._execute_split(re, im, sign, scale)
-        if moved:
-            re = jnp.moveaxis(re, -1, axis)
-            im = jnp.moveaxis(im, -1, axis)
-        return merge(re, im)
+        if re.shape[axis] != self.n:
+            raise ValueError(
+                f"plan built for n={self.n}, input axis {axis} has length "
+                f"{re.shape[axis]}"
+            )
+        return self._jitted(axis, sign, scale)(re, im)
 
     def forward(self, x, axis: int = -1):
         """Forward FFT, unscaled (reference Forward, processor.rs:7-159)."""
@@ -137,8 +179,16 @@ class Plan:
         processor.rs:409-505; normalize.wgsl:10-11)."""
         del axis  # elementwise — axis kept for API symmetry
         re, im = promote_to_split(x)
-        s = jnp.float32(1.0 / self.n)
-        return merge(re * s, im * s)
+        fn = self._jit_cache.get("normalize")
+        if fn is None:
+            s = 1.0 / self.n
+
+            def impl(re, im):
+                return merge(re * jnp.float32(s), im * jnp.float32(s))
+
+            fn = jax.jit(impl)
+            self._jit_cache["normalize"] = fn
+        return fn(re, im)
 
     def __repr__(self):
         return f"Plan(n={self.n}, executor={self.executor!r})"

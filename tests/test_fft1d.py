@@ -116,4 +116,6 @@ def test_jit_and_grad():
     g = jax.grad(f)(x)
     # Parseval: sum|X|^2 = n*sum|x|^2 for real x -> grad = 2*n*x
     np.testing.assert_allclose(np.asarray(v), 64 * np.sum(np.arange(64.0) ** 2), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(g), 2 * 64 * np.arange(64.0), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g), 2 * 64 * np.arange(64.0), rtol=1e-4, atol=1e-2
+    )
