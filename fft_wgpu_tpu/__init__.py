@@ -8,6 +8,8 @@ sharded multi-chip transforms via `shard_map` + all-to-all over ICI.
 """
 
 from .core.reference import naive_dft, naive_idft
+from .ops.nd import fft2, fftn, ifft2, ifftn
+from .ops.rfft import irfft, irfft2, irfftn, rfft, rfft2, rfftn
 from .ops.transforms import fft, ifft, ifft_unnormalized, normalize
 from .plan.parity import Forward, Inverse, Normalize, Onlyinverse
 from .plan.plan import Plan, plan
@@ -18,6 +20,16 @@ __version__ = "0.1.0"
 __all__ = [
     "fft",
     "ifft",
+    "fft2",
+    "ifft2",
+    "fftn",
+    "ifftn",
+    "rfft",
+    "irfft",
+    "rfft2",
+    "irfft2",
+    "rfftn",
+    "irfftn",
     "ifft_unnormalized",
     "normalize",
     "plan",

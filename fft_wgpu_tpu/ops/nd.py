@@ -1,0 +1,103 @@
+"""Multi-dimensional C2C transforms (row-column decomposition).
+
+The reference is strictly 1-D (SURVEY §1); 2-D/3-D are new capabilities
+required by BASELINE.json config 4/5.  N-D = separable application of the
+1-D executor along each axis; the per-axis executor choice (Pallas fused /
+XLA mixed-radix) is delegated to the plan layer, and the whole N-D pipeline
+traces into one jitted program, so XLA owns the inter-axis transposes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..core.complex_utils import merge, promote_to_split
+from ..core.twiddle import FORWARD, INVERSE
+
+__all__ = ["fft2", "ifft2", "fftn", "ifftn", "fftn_split"]
+
+
+def _norm_axes(ndim, s, axes):
+    if axes is None:
+        axes = list(range(ndim)) if s is None else list(range(ndim - len(s), ndim))
+    axes = [a % ndim for a in axes]
+    if s is None:
+        s = [None] * len(axes)
+    if len(s) != len(axes):
+        raise ValueError("s and axes must have the same length")
+    return list(s), axes
+
+
+def fftn_split(re, im, axes, sign, scale, executor="auto"):
+    """Apply the 1-D executor along each axis; scale applied once at the end."""
+    from ..plan.plan import get_plan
+
+    for ax in axes:
+        moved = ax not in (-1, re.ndim - 1)
+        if moved:
+            re = jnp.moveaxis(re, ax, -1)
+            im = jnp.moveaxis(im, ax, -1)
+        p = get_plan(re.shape[-1], executor)
+        re, im = p._execute_split(re, im, sign, None)
+        if moved:
+            re = jnp.moveaxis(re, -1, ax)
+            im = jnp.moveaxis(im, -1, ax)
+    if scale is not None and scale != 1.0:
+        s = jnp.float32(scale)
+        re, im = re * s, im * s
+    return re, im
+
+
+def _run_nd(x, s, axes, sign, norm, executor):
+    re, im = promote_to_split(x)
+    s, axes = _norm_axes(re.ndim, s, axes)
+    # numpy semantics: s trims/pads each axis
+    for size, ax in zip(s, axes):
+        if size is not None and re.shape[ax] != size:
+            cur = re.shape[ax]
+            if cur > size:
+                idx = [slice(None)] * re.ndim
+                idx[ax] = slice(0, size)
+                re, im = re[tuple(idx)], im[tuple(idx)]
+            else:
+                pad = [(0, 0)] * re.ndim
+                pad[ax] = (0, size - cur)
+                re, im = jnp.pad(re, pad), jnp.pad(im, pad)
+
+    total = math.prod(re.shape[a] for a in axes)
+    if norm in (None, "backward"):
+        scale = None if sign == FORWARD else 1.0 / total
+    elif norm == "ortho":
+        scale = total**-0.5
+    elif norm == "forward":
+        scale = 1.0 / total if sign == FORWARD else None
+    else:
+        raise ValueError(f"invalid norm {norm!r}")
+
+    fn = jax.jit(
+        lambda r, i: merge(*fftn_split(r, i, tuple(axes), sign, scale, executor))
+    )
+    return fn(re, im)
+
+
+def fftn(x, s=None, axes=None, norm=None, *, executor: str = "auto"):
+    """N-D forward C2C FFT (numpy.fft.fftn semantics)."""
+    return _run_nd(x, s, axes, FORWARD, norm, executor)
+
+
+def ifftn(x, s=None, axes=None, norm=None, *, executor: str = "auto"):
+    """N-D inverse C2C FFT (numpy.fft.ifftn semantics)."""
+    return _run_nd(x, s, axes, INVERSE, norm, executor)
+
+
+def fft2(x, s=None, axes=(-2, -1), norm=None, *, executor: str = "auto"):
+    """2-D forward FFT over `axes` (default last two)."""
+    return _run_nd(x, s, list(axes), FORWARD, norm, executor)
+
+
+def ifft2(x, s=None, axes=(-2, -1), norm=None, *, executor: str = "auto"):
+    """2-D inverse FFT over `axes` (default last two)."""
+    return _run_nd(x, s, list(axes), INVERSE, norm, executor)

@@ -1,0 +1,230 @@
+"""Real transforms: R2C / C2R (packed even/odd algorithm).
+
+New capability vs the reference (which is C2C only — SURVEY §2); required
+by BASELINE.json config 4.  Even lengths use the half-size packing trick
+(one complex FFT of length n/2 plus an O(n) recombination), so the R2C
+costs ~half the flops and bytes of a full C2C.  Odd lengths fall back to a
+zero-imaginary C2C.
+
+All recombination twiddles are f64-generated (core/twiddle.py) and the
+whole transform traces into one jitted program.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.complex_utils import merge, promote_to_split
+from ..core.twiddle import FORWARD, INVERSE, halfcomplex_twiddle_np
+from .nd import _norm_axes, fftn_split
+
+__all__ = ["rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn"]
+
+
+def _scales(n, norm, inverse):
+    if norm in (None, "backward"):
+        return None if not inverse else 1.0 / n
+    if norm == "ortho":
+        return n**-0.5
+    if norm == "forward":
+        return 1.0 / n if not inverse else None
+    raise ValueError(f"invalid norm {norm!r}")
+
+
+def _rfft_even_split(xr, sign_scale):
+    """R2C over the last axis (even n) via half-size packing.
+
+    x real [..., n] -> X split pair [..., n//2 + 1].
+    """
+    from ..plan.plan import get_plan
+
+    n = xr.shape[-1]
+    m = n // 2
+    z = xr.reshape(*xr.shape[:-1], m, 2)
+    zr, zi = z[..., 0], z[..., 1]
+    p = get_plan(m, "auto")
+    Zr, Zi = p._execute_split(zr, zi, FORWARD, None)
+
+    # Zfull[k] for k = 0..m (Z[m] == Z[0]); Zrev[k] = Z[(m-k) % m]
+    Zr_f = jnp.concatenate([Zr, Zr[..., :1]], axis=-1)
+    Zi_f = jnp.concatenate([Zi, Zi[..., :1]], axis=-1)
+    Zr_rev = jnp.flip(Zr_f, axis=-1)
+    Zi_rev = jnp.flip(Zi_f, axis=-1)
+
+    tr, ti = halfcomplex_twiddle_np(n, FORWARD)  # e^{-2pi i k/n}, k=0..m
+    tr = jnp.asarray(tr)
+    ti = jnp.asarray(ti)
+
+    # X[k] = (Z[k] + conj(Zrev[k]))/2 - (i/2) t[k] (Z[k] - conj(Zrev[k]))
+    er = 0.5 * (Zr_f + Zr_rev)
+    ei = 0.5 * (Zi_f - Zi_rev)
+    dr = 0.5 * (Zr_f - Zr_rev)
+    di = 0.5 * (Zi_f + Zi_rev)
+    # -i * t * d  where t = tr + i ti, d = dr + i di:
+    # t*d = (tr*dr - ti*di) + i(tr*di + ti*dr);  -i*(a+ib) = b - ia
+    odr = tr * di + ti * dr
+    odi = -(tr * dr - ti * di)
+    Xr = er + odr
+    Xi = ei + odi
+    if sign_scale is not None:
+        s = jnp.float32(sign_scale)
+        Xr, Xi = Xr * s, Xi * s
+    return Xr, Xi
+
+
+def _irfft_even_split(Xr, Xi, n, scale):
+    """C2R over the last axis (even n): X [..., n//2+1] -> real [..., n].
+
+    `scale` multiplies the result; numpy's irfft backward norm (1/n) is the
+    1/m of the packed inverse FFT plus the factor absorbed in recombination.
+    """
+    from ..plan.plan import get_plan
+
+    m = n // 2
+    # C2R semantics (numpy parity): DC and Nyquist bins are treated as real —
+    # their imaginary parts are discarded.
+    Xi = Xi.at[..., 0].set(0.0).at[..., m].set(0.0)
+    Xr_rev = jnp.flip(Xr, axis=-1)  # X[m-k], k=0..m
+    Xi_rev = jnp.flip(Xi, axis=-1)
+
+    tr, ti = halfcomplex_twiddle_np(n, INVERSE)  # e^{+2pi i k/n}
+    tr = jnp.asarray(tr[:m])
+    ti = jnp.asarray(ti[:m])
+
+    # E[k] = (X[k] + conj(X[m-k]))/2 ; O[k] = (X[k] - conj(X[m-k]))/2 * t[k]
+    er = 0.5 * (Xr + Xr_rev)[..., :m]
+    ei = 0.5 * (Xi - Xi_rev)[..., :m]
+    dr = 0.5 * (Xr - Xr_rev)[..., :m]
+    di = 0.5 * (Xi + Xi_rev)[..., :m]
+    or_ = tr * dr - ti * di
+    oi_ = tr * di + ti * dr
+    # Z[k] = E[k] + i O[k]
+    Zr = er - oi_
+    Zi = ei + or_
+    p = get_plan(m, "auto")
+    zr, zi = p._execute_split(Zr, Zi, INVERSE, 1.0 / m)
+    x = jnp.stack([zr, zi], axis=-1).reshape(*zr.shape[:-1], n)
+    if scale is not None:
+        x = x * jnp.float32(scale)
+    return x
+
+
+def rfft(x, n=None, axis: int = -1, norm=None):
+    """1-D R2C FFT: real input -> n//2+1 complex bins (numpy.fft.rfft)."""
+    xr = jnp.asarray(x)
+    if jnp.iscomplexobj(xr):
+        raise TypeError("rfft requires real input; use fft for complex")
+    xr = xr.astype(jnp.float32)
+    if n is not None and xr.shape[axis] != n:
+        xr = _resize_axis(xr, n, axis)
+    length = xr.shape[axis]
+    scale = _scales(length, norm, inverse=False)
+
+    def impl(v):
+        moved = axis not in (-1, v.ndim - 1)
+        if moved:
+            v = jnp.moveaxis(v, axis, -1)
+        if length % 2 == 0 and length >= 2:
+            Xr, Xi = _rfft_even_split(v, scale)
+        else:  # odd length fallback: zero-imag C2C, slice half spectrum
+            re, im = fftn_split(v, jnp.zeros_like(v), (v.ndim - 1,), FORWARD, scale)
+            Xr, Xi = re[..., : length // 2 + 1], im[..., : length // 2 + 1]
+        if moved:
+            Xr = jnp.moveaxis(Xr, -1, axis)
+            Xi = jnp.moveaxis(Xi, -1, axis)
+        return merge(Xr, Xi)
+
+    return jax.jit(impl)(xr)
+
+
+def irfft(x, n=None, axis: int = -1, norm=None):
+    """1-D C2R inverse: n//2+1 bins -> real length-n signal (numpy.fft.irfft)."""
+    Xr, Xi = promote_to_split(x)
+    length = n if n is not None else 2 * (Xr.shape[axis] - 1)
+    bins = length // 2 + 1
+    if Xr.shape[axis] != bins:
+        Xr = _resize_axis(Xr, bins, axis)
+        Xi = _resize_axis(Xi, bins, axis)
+    norm_scale = _scales(length, norm, inverse=True)
+
+    def impl(r, i):
+        moved = axis not in (-1, r.ndim - 1)
+        if moved:
+            r = jnp.moveaxis(r, axis, -1)
+            i = jnp.moveaxis(i, axis, -1)
+        if length % 2 == 0 and length >= 2:
+            # The packed reconstruction is exact (== backward 1/n overall);
+            # rescale relative to that for other norms.
+            net = (norm_scale if norm_scale is not None else 1.0) * length
+            out = _irfft_even_split(r, i, length, None if abs(net - 1.0) < 1e-12 else net)
+        else:
+            fr = _hermitian_extend(r, i, length)
+            re, im = fftn_split(fr[0], fr[1], (fr[0].ndim - 1,), INVERSE, norm_scale)
+            out = re
+        if moved:
+            out = jnp.moveaxis(out, -1, axis)
+        return out
+
+    return jax.jit(impl)(Xr, Xi)
+
+
+def _hermitian_extend(Xr, Xi, n):
+    """[..., n//2+1] half spectrum -> full [..., n] hermitian spectrum."""
+    k = n // 2 + 1
+    tail_r = jnp.flip(Xr[..., 1 : n - k + 1], axis=-1)
+    tail_i = -jnp.flip(Xi[..., 1 : n - k + 1], axis=-1)
+    return (
+        jnp.concatenate([Xr, tail_r], axis=-1),
+        jnp.concatenate([Xi, tail_i], axis=-1),
+    )
+
+
+def _resize_axis(a, size, axis):
+    cur = a.shape[axis]
+    if cur > size:
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(0, size)
+        return a[tuple(idx)]
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, size - cur)
+    return jnp.pad(a, pad)
+
+
+def rfftn(x, s=None, axes=None, norm=None):
+    """N-D R2C: rfft over the last transform axis, C2C over the rest."""
+    xr = jnp.asarray(x).astype(jnp.float32)
+    s_, axes_ = _norm_axes(xr.ndim, s, axes)
+    last = axes_[-1]
+    y = rfft(xr, n=s_[-1], axis=last, norm=norm)
+    rest = axes_[:-1]
+    if rest:
+        from .nd import _run_nd
+
+        y = _run_nd(y, [sz for sz in s_[:-1]], rest, FORWARD, norm, "auto")
+    return y
+
+
+def irfftn(x, s=None, axes=None, norm=None):
+    """N-D C2R: inverse C2C over the leading axes, irfft over the last."""
+    Xr, Xi = promote_to_split(x)
+    z = merge(Xr, Xi)
+    s_, axes_ = _norm_axes(Xr.ndim, s, axes)
+    rest = axes_[:-1]
+    if rest:
+        from .nd import _run_nd
+
+        z = _run_nd(z, [sz for sz in s_[:-1]], rest, INVERSE, norm, "auto")
+    n_last = s_[-1] if s_[-1] is not None else 2 * (Xr.shape[axes_[-1]] - 1)
+    return irfft(z, n=n_last, axis=axes_[-1], norm=norm)
+
+
+def rfft2(x, s=None, axes=(-2, -1), norm=None):
+    return rfftn(x, s=s, axes=list(axes), norm=norm)
+
+
+def irfft2(x, s=None, axes=(-2, -1), norm=None):
+    return irfftn(x, s=s, axes=list(axes), norm=norm)

@@ -1,0 +1,64 @@
+"""Fused Pallas kernel, exercised in interpret mode on CPU.
+
+Interpret-mode execution is this framework's race/sanity checker for kernel
+logic (the role the reference leaves to WGSL implicit bounds clamping,
+SURVEY §5) — the real-hardware path is exercised by bench.py on TPU.
+"""
+
+import numpy as np
+import pytest
+
+from fft_wgpu_tpu.ops import pallas_fft
+
+
+def crand(rng, *shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+        np.complex64
+    )
+
+
+def run(x, sign, scale=None, **kw):
+    re = np.ascontiguousarray(x.real, np.float32)
+    im = np.ascontiguousarray(x.imag, np.float32)
+    rr, ii = pallas_fft.fft_batched_split(re, im, sign, scale, interpret=True, **kw)
+    return np.asarray(rr) + 1j * np.asarray(ii)
+
+
+@pytest.mark.parametrize("n", [256, 512, 1024, 4096, 16384])
+def test_forward_matches_numpy(n, rng, assert_close):
+    x = crand(rng, 4, n)
+    assert_close(run(x, -1), np.fft.fft(x, axis=-1), what=f"(n={n})")
+
+
+@pytest.mark.parametrize("n", [512, 4096])
+def test_inverse_with_folded_scale(n, rng, assert_close):
+    x = crand(rng, 3, n)
+    assert_close(run(x, +1, 1.0 / n), np.fft.ifft(x, axis=-1), what=f"(n={n})")
+    assert_close(run(x, +1, None), np.fft.ifft(x, axis=-1) * n, what=f"(n={n})")
+
+
+def test_ortho_scale_folded(rng, assert_close):
+    n = 1024
+    x = crand(rng, 2, n)
+    assert_close(run(x, -1, n**-0.5), np.fft.fft(x, axis=-1, norm="ortho"))
+
+
+def test_row_tile_padding(rng, assert_close):
+    # rows not a multiple of the row tile -> padded grid, trimmed output
+    x = crand(rng, 5, 512)
+    assert_close(run(x, -1, row_tile=4), np.fft.fft(x, axis=-1))
+    x1 = crand(rng, 512)  # single row, no leading dims
+    assert_close(run(x1, -1), np.fft.fft(x1))
+
+
+def test_leading_dims_flattened(rng, assert_close):
+    x = crand(rng, 2, 3, 256)
+    assert_close(run(x, -1), np.fft.fft(x, axis=-1))
+
+
+def test_unsupported_shapes_raise():
+    rng = np.random.default_rng(0)
+    for n in [128, 32768, 120, 512 + 128]:  # small, big, non-pow2, non-pow2
+        x = crand(rng, 2, n)
+        with pytest.raises(pallas_fft.Unsupported):
+            run(x, -1)

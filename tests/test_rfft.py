@@ -1,0 +1,62 @@
+"""R2C / C2R transforms vs numpy (new capability vs the C2C-only reference)."""
+
+import numpy as np
+import pytest
+
+import fft_wgpu_tpu as ftt
+
+
+@pytest.mark.parametrize("n", [2, 4, 16, 256, 512, 1024, 120])
+def test_rfft_matches_numpy(n, rng, assert_close):
+    x = rng.standard_normal((4, n)).astype(np.float32)
+    assert_close(ftt.rfft(x), np.fft.rfft(x, axis=-1), what=f"(n={n})")
+
+
+@pytest.mark.parametrize("n", [15, 33])
+def test_rfft_odd_fallback(n, rng, assert_close):
+    x = rng.standard_normal(n).astype(np.float32)
+    assert_close(ftt.rfft(x), np.fft.rfft(x), what=f"(n={n})")
+
+
+@pytest.mark.parametrize("n", [4, 256, 1024, 120])
+def test_irfft_matches_numpy(n, rng, assert_close):
+    X = (rng.standard_normal((3, n // 2 + 1)) + 1j * rng.standard_normal((3, n // 2 + 1))).astype(np.complex64)
+    assert_close(ftt.irfft(X, n=n), np.fft.irfft(X, n=n, axis=-1), what=f"(n={n})")
+
+
+def test_rfft_irfft_roundtrip(rng, assert_close):
+    x = rng.standard_normal((2, 512)).astype(np.float32)
+    assert_close(ftt.irfft(ftt.rfft(x), n=512), x)
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_rfft_norms(norm, rng, assert_close):
+    x = rng.standard_normal(256).astype(np.float32)
+    assert_close(ftt.rfft(x, norm=norm), np.fft.rfft(x, norm=norm or "backward"))
+    X = np.fft.rfft(x)
+    assert_close(
+        ftt.irfft(X.astype(np.complex64), n=256, norm=norm),
+        np.fft.irfft(X, n=256, norm=norm or "backward"),
+    )
+
+
+def test_rfft_axis(rng, assert_close):
+    x = rng.standard_normal((8, 64, 3)).astype(np.float32)
+    assert_close(ftt.rfft(x, axis=1), np.fft.rfft(x, axis=1))
+    X = np.fft.rfft(x, axis=1).astype(np.complex64)
+    assert_close(ftt.irfft(X, n=64, axis=1), np.fft.irfft(X, n=64, axis=1))
+
+
+def test_rfft2_and_rfftn(rng, assert_close):
+    x = rng.standard_normal((32, 64)).astype(np.float32)
+    assert_close(ftt.rfft2(x), np.fft.rfft2(x))
+    assert_close(ftt.irfft2(ftt.rfft2(x), s=(32, 64)), x)
+    y = rng.standard_normal((8, 16, 32)).astype(np.float32)
+    assert_close(ftt.rfftn(y), np.fft.rfftn(y))
+    assert_close(ftt.irfftn(ftt.rfftn(y), s=(8, 16, 32)), y)
+
+
+def test_rfft_rejects_complex(rng):
+    z = (rng.standard_normal(16) + 1j * rng.standard_normal(16)).astype(np.complex64)
+    with pytest.raises(TypeError):
+        ftt.rfft(z)
