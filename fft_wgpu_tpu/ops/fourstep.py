@@ -1,0 +1,84 @@
+"""Large-N 1-D FFT via HBM-level four-step (Bailey) decomposition.
+
+For transforms beyond the fused kernel's VMEM envelope the reference
+streams butterfly stages through global memory one radix-2 stage at a time
+(log2(n) dispatches — processor.rs:327-330, SURVEY §3.2).  The TPU-native
+equivalent does the same thing in two *large* strides instead of log2(n)
+small ones: n = n1 * n2, batched sub-FFTs over each factor (each hitting
+the fused Pallas kernel), an inter-factor twiddle, and XLA-scheduled corner
+turns:
+
+    view x as A[n1, n2]
+    1. B  = FFT_n1 over axis -2        (transpose + batched fused kernel)
+    2. C  = B * tw[k1, n2]             (f64-generated twiddle plane)
+    3. D  = FFT_n2 over axis -1        (batched fused kernel; output scale
+                                        folded here)
+    4. X[k1 + n1*k2] = D[k1, k2]       (transpose-flatten)
+
+HBM traffic is ~3 round trips (the corner turns are fundamental — the
+"sequence scaling" story of SURVEY §5); roofline accounting in the bench
+harness reflects that.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from ..core import factor as _factor
+from ..core import twiddle as _tw
+
+__all__ = ["fft_last_axis", "choose_factors"]
+
+
+def choose_factors(n: int) -> tuple[int, int]:
+    """Split n = n1 * n2, both factors as close to sqrt(n) as possible and
+    (for powers of two) within the fused Pallas kernel envelope."""
+    if n & (n - 1) == 0:  # power of two: split exponent evenly
+        e = n.bit_length() - 1
+        e1 = e // 2
+        return 1 << e1, 1 << (e - e1)
+    return _factor.balanced_split(n)
+
+
+def fft_last_axis(re, im, sign, scale=None):
+    """Four-step FFT over the last axis of a split (re, im) pair."""
+    from ..plan.plan import get_plan
+
+    n = re.shape[-1]
+    n1, n2 = choose_factors(n)
+    if n1 == 1:  # prime / unsplittable: delegate to the general executor
+        from . import stockham
+
+        re, im = stockham.fft_last_axis(re, im, sign)
+        return stockham.apply_scale(re, im, scale)
+
+    lead = re.shape[:-1]
+    re = re.reshape(*lead, n1, n2)
+    im = im.reshape(*lead, n1, n2)
+
+    # 1. FFT over n1 (axis -2) — corner turn, batched transform, in the
+    #    transposed layout the result is B^T[n2, k1].
+    ar = jnp.swapaxes(re, -1, -2)
+    ai = jnp.swapaxes(im, -1, -2)
+    p1 = get_plan(n1, "auto")
+    br, bi = p1._execute_split(ar, ai, sign, None)
+
+    # 2. Inter-factor twiddle, in the [n2, k1] layout.
+    twr, twi = _tw.twiddle_np(n1, n2, sign, transposed=True)
+    twr = jnp.asarray(twr)
+    twi = jnp.asarray(twi)
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+
+    # 3. Corner turn back; FFT over n2 (last axis), folding the output scale.
+    cr = jnp.swapaxes(cr, -1, -2)
+    ci = jnp.swapaxes(ci, -1, -2)
+    p2 = get_plan(n2, "auto")
+    dr, di = p2._execute_split(cr, ci, sign, scale)
+
+    # 4. Natural order: X viewed as [k2, k1], flattened.
+    dr = jnp.swapaxes(dr, -1, -2).reshape(*lead, n)
+    di = jnp.swapaxes(di, -1, -2).reshape(*lead, n)
+    return dr, di

@@ -1,0 +1,237 @@
+"""Distributed FFTs: slab / pencil decomposition over a device mesh.
+
+New subsystem vs the single-device reference (SURVEY §2/§5): multi-chip
+transforms are expressed with `shard_map` over a `jax.sharding.Mesh`, with
+`jax.lax.all_to_all` corner turns that XLA lowers onto ICI — the TPU-native
+replacement for the NCCL/MPI transpose steps of GPU FFT stacks.
+
+Decompositions
+--------------
+* ``fft3d`` — pencil: [X, Y, Z] on a 2-D mesh (X/px, Y/py pencils along Z).
+  Z-FFT local → a2a(py): Z<->Y → Y-FFT → a2a(px): Y<->X → X-FFT.
+  ``transposed_output=True`` (default False) skips the two a2a's that
+  restore the input distribution, the standard HPC trick (P3DFFT-style).
+* ``fft2d`` — slab: [X, Y] on a 1-D mesh.
+* ``fft1d_distributed`` — a single huge vector via the distributed
+  four-step: factor-sharded sub-FFTs with one a2a corner turn; the
+  inter-factor twiddle is computed per-shard from `axis_index`.
+
+All compute runs on split re/im pairs inside shard_map; each local
+sub-transform goes through the plan layer, so on TPU the fused Pallas
+kernels do the flops.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.complex_utils import merge, promote_to_split
+from ..core.twiddle import FORWARD, INVERSE
+from .mesh import make_mesh, make_pencil_mesh
+
+try:  # jax >= 0.6 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ["fft3d", "ifft3d", "fft2d", "ifft2d", "fft1d_distributed"]
+
+
+def _fft_axis_local(re, im, axis, sign, scale):
+    """Local (per-shard) FFT along `axis` through the plan layer."""
+    from ..plan.plan import get_plan
+
+    moved = axis not in (-1, re.ndim - 1)
+    if moved:
+        re = jnp.moveaxis(re, axis, -1)
+        im = jnp.moveaxis(im, axis, -1)
+    p = get_plan(re.shape[-1], "auto")
+    re, im = p._execute_split(re, im, sign, scale)
+    if moved:
+        re = jnp.moveaxis(re, -1, axis)
+        im = jnp.moveaxis(im, -1, axis)
+    return re, im
+
+
+def _a2a(pair, axis_name, split_axis, concat_axis):
+    re, im = pair
+    re = jax.lax.all_to_all(re, axis_name, split_axis, concat_axis, tiled=True)
+    im = jax.lax.all_to_all(im, axis_name, split_axis, concat_axis, tiled=True)
+    return re, im
+
+
+# --------------------------------------------------------------------- #
+# 3-D pencil FFT
+# --------------------------------------------------------------------- #
+def _fft3d_impl(x, mesh, sign, scale, transposed_output):
+    ax, ay = mesh.axis_names
+
+    def local(re, im):
+        # in: [X/px, Y/py, Z]
+        re, im = _fft_axis_local(re, im, 2, sign, None)          # Z-FFT
+        re, im = _a2a((re, im), ay, 2, 1)                        # -> [X/px, Y, Z/py]
+        re, im = _fft_axis_local(re, im, 1, sign, None)          # Y-FFT
+        re, im = _a2a((re, im), ax, 1, 0)                        # -> [X, Y/px, Z/py]
+        re, im = _fft_axis_local(re, im, 0, sign, scale)         # X-FFT
+        if not transposed_output:
+            re, im = _a2a((re, im), ax, 0, 1)                    # -> [X/px, Y, Z/py]
+            re, im = _a2a((re, im), ay, 1, 2)                    # -> [X/px, Y/py, Z]
+        return re, im
+
+    in_spec = P(ax, ay, None)
+    out_spec = P(ax, ay, None) if not transposed_output else P(None, ax, ay)
+    re, im = promote_to_split(x)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(in_spec, in_spec),
+        out_specs=(out_spec, out_spec),
+    )
+    re, im = jax.jit(fn)(re, im)
+    return merge(re, im)
+
+
+def fft3d(x, mesh: Mesh | None = None, norm=None, *, transposed_output=False):
+    """Distributed 3-D forward FFT, pencil-decomposed over a 2-D mesh."""
+    mesh = mesh or make_pencil_mesh()
+    scale = _nd_scale(jnp.shape(x), norm, FORWARD)
+    return _fft3d_impl(x, mesh, FORWARD, scale, transposed_output)
+
+
+def ifft3d(x, mesh: Mesh | None = None, norm=None, *, transposed_output=False):
+    """Distributed 3-D inverse FFT (1/N total scale folded into the last
+    axis pass, mirroring the reference's fused normalize — ifft.wgsl:65-74)."""
+    mesh = mesh or make_pencil_mesh()
+    scale = _nd_scale(jnp.shape(x), norm, INVERSE)
+    return _fft3d_impl(x, mesh, INVERSE, scale, transposed_output)
+
+
+def _nd_scale(shape, norm, sign):
+    total = math.prod(shape)  # fft3d/fft2d transform every axis
+    if norm in (None, "backward"):
+        return None if sign == FORWARD else 1.0 / total
+    if norm == "ortho":
+        return total**-0.5
+    if norm == "forward":
+        return 1.0 / total if sign == FORWARD else None
+    raise ValueError(f"invalid norm {norm!r}")
+
+
+# --------------------------------------------------------------------- #
+# 2-D slab FFT
+# --------------------------------------------------------------------- #
+def _fft2d_impl(x, mesh, sign, scale):
+    (ax,) = mesh.axis_names
+
+    def local(re, im):
+        # in: [X/p, Y]
+        re, im = _fft_axis_local(re, im, 1, sign, None)  # Y-FFT
+        re, im = _a2a((re, im), ax, 1, 0)                # -> [X, Y/p]
+        re, im = _fft_axis_local(re, im, 0, sign, scale) # X-FFT
+        re, im = _a2a((re, im), ax, 0, 1)                # -> [X/p, Y]
+        return re, im
+
+    re, im = promote_to_split(x)
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(ax, None),) * 2, out_specs=(P(ax, None),) * 2
+    )
+    re, im = jax.jit(fn)(re, im)
+    return merge(re, im)
+
+
+def fft2d(x, mesh: Mesh | None = None, norm=None):
+    """Distributed 2-D forward FFT, slab-decomposed over a 1-D mesh."""
+    mesh = mesh or make_mesh()
+    return _fft2d_impl(x, mesh, FORWARD, _nd_scale(jnp.shape(x), norm, FORWARD))
+
+
+def ifft2d(x, mesh: Mesh | None = None, norm=None):
+    """Distributed 2-D inverse FFT (slab)."""
+    mesh = mesh or make_mesh()
+    return _fft2d_impl(x, mesh, INVERSE, _nd_scale(jnp.shape(x), norm, INVERSE))
+
+
+# --------------------------------------------------------------------- #
+# Distributed 1-D FFT (single huge vector, four-step across the mesh)
+# --------------------------------------------------------------------- #
+def fft1d_distributed(x, mesh: Mesh | None = None, *, inverse=False, norm=None):
+    """1-D FFT of a vector sharded across a 1-D mesh.
+
+    The distributed analogue of ops/fourstep.py: view x[n] as A[n1, n2] with
+    n1 sharded; the corner turn between the factor FFTs is one all-to-all.
+    This is the framework's "sequence parallelism" (SURVEY §5: scaling
+    transform length beyond one device).
+    """
+    mesh = mesh or make_mesh()
+    (axn,) = mesh.axis_names
+    ndev = mesh.devices.size
+    n = int(np.prod(jnp.shape(x)))
+    sign = INVERSE if inverse else FORWARD
+
+    from ..ops.fourstep import choose_factors
+
+    n1, n2 = choose_factors(n)
+    if n1 % ndev or n2 % ndev:
+        raise ValueError(
+            f"n={n} factors ({n1},{n2}) must be divisible by mesh size {ndev}"
+        )
+    if norm in (None, "backward"):
+        scale = 1.0 / n if inverse else None
+    elif norm == "ortho":
+        scale = n**-0.5
+    elif norm == "forward":
+        scale = None if inverse else 1.0 / n
+    else:
+        raise ValueError(f"invalid norm {norm!r}")
+
+    # Inter-factor twiddle plane, f64-generated on host in the transposed
+    # [m2, k1] layout and *sharded over m2* by shard_map's in_specs — each
+    # shard automatically receives exactly its slice (no axis_index math,
+    # and no f32 phase blow-up at n ~ 2^22).
+    from ..core.twiddle import twiddle_np
+
+    twr_g, twi_g = twiddle_np(n1, n2, sign, transposed=True)
+
+    def local(re, im, twr, twi):
+        # in: [n1/p, n2] rows of A; twr/twi: [n2/p, n1]
+        from ..plan.plan import get_plan
+
+        # FFT over n1 requires n1 contiguous: corner turn first.
+        re, im = _a2a((re, im), axn, 1, 0)  # -> [n1, n2/p]
+        p1 = get_plan(n1, "auto")
+        rT, iT = jnp.swapaxes(re, 0, 1), jnp.swapaxes(im, 0, 1)  # [n2/p, n1]
+        rT, iT = p1._execute_split(rT, iT, sign, None)           # B^T rows
+
+        cr = rT * twr - iT * twi
+        ci = rT * twi + iT * twr
+
+        # corner turn so n2 is contiguous: [n2/p, n1] -> [n2, n1/p]
+        cr, ci = _a2a((cr, ci), axn, 1, 0)
+        p2 = get_plan(n2, "auto")
+        dr, di = jnp.swapaxes(cr, 0, 1), jnp.swapaxes(ci, 0, 1)  # [n1/p, n2]
+        dr, di = p2._execute_split(dr, di, sign, scale)          # D[k1, k2]
+
+        # natural order: X[k1 + n1 k2] == flatten of D^T; return D^T rows
+        # [n2/p, n1] so the flattened global output is contiguous in k.
+        dr, di = _a2a((dr, di), axn, 1, 0)                       # [n1, n2/p]
+        dr, di = jnp.swapaxes(dr, 0, 1), jnp.swapaxes(di, 0, 1)  # [n2/p, n1]
+        return dr.reshape(-1), di.reshape(-1)
+
+    re, im = promote_to_split(x)
+    re = re.reshape(n1, n2)
+    im = im.reshape(n1, n2)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axn, None),) * 4,
+        out_specs=(P(axn),) * 2,
+    )
+    rr, ii = jax.jit(fn)(re, im, jnp.asarray(twr_g), jnp.asarray(twi_g))
+    return merge(rr, ii)
