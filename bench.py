@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): batched 1-D fp32 C2C FFT GFLOP/s
+(5 N log2 N convention) vs the HBM-bandwidth roofline on the local chip,
+at N=4096 x batch 4096.  vs_baseline is achieved/(0.8 * roofline): >= 1.0
+means the >=80%-of-roofline target is met.
+
+Measurement discipline (contrast with the reference's loop, which times
+H2D+D2H every iteration — examples/basic.rs:70-129): inputs are generated
+on device, the op is replayed under jit, and only scalar validation
+metrics ever cross the device boundary (some TPU runtimes cannot transfer
+complex arrays at all — see .claude/skills/verify/SKILL.md).
+
+Extra (non-headline) rows are printed to stderr for the record.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dispatch_floor():
+    """Per-call dispatch+sync overhead of this runtime (remote tunnels:
+    tens of ms), measured with a trivial program."""
+    f = jax.jit(lambda a: jnp.sum(a))
+    x = jnp.ones((8, 128))
+    _ = float(f(x))
+    return min(_timed(f, x) for _ in range(5))
+
+
+def _time_op(fn_split, args, iters=64):
+    """Device time per iteration of `fn_split((re, im)) -> (re, im)`.
+
+    Remote-tunnel runtimes have ~30 ms per-dispatch latency and a
+    `block_until_ready` that does not truly sync, so neither python-loop
+    timing nor single-call timing works.  The iteration chain runs
+    *device-side* inside one jitted `fori_loop` (each step consumes the
+    previous output), synced by a scalar readback; the measured dispatch
+    floor is subtracted.  One compile per config keeps the harness usable
+    on slow remote-compile services.
+    """
+    re, im = args
+
+    @jax.jit
+    def run(a, b):
+        def body(_, c):
+            return fn_split(c)
+
+        a, b = jax.lax.fori_loop(0, iters, body, (a, b))
+        return jnp.sum(a[..., 0]) + jnp.sum(b[..., 0])
+
+    _ = float(run(re, im))  # compile
+    t = min(_timed(run, re, im) for _ in range(3))
+    return max((t - _dispatch_floor()) / iters, 1e-9)
+
+
+def _timed(fn, *args):
+    t0 = time.perf_counter()
+    _ = float(fn(*args))
+    return time.perf_counter() - t0
+
+
+def bench_batched_1d(n=4096, batch=4096, executor="auto", iters=30):
+    """Forward batched 1-D C2C; returns (seconds, roundtrip_rel_l2)."""
+    from fft_wgpu_tpu.plan.plan import get_plan
+
+    p = get_plan(n, executor)
+    re = jax.random.normal(jax.random.PRNGKey(0), (batch, n), jnp.float32)
+    im = jax.random.normal(jax.random.PRNGKey(1), (batch, n), jnp.float32)
+
+    fwd = jax.jit(lambda a, b: p._execute_split(a, b, -1, None))
+    inv = jax.jit(lambda a, b: p._execute_split(a, b, +1, 1.0 / n))
+
+    dt = _time_op(lambda c: p._execute_split(c[0], c[1], -1, None), (re, im), iters=iters)
+
+    # correctness: on-device roundtrip + impulse, scalar transfers only
+    fr, fi = fwd(re, im)
+    rr, ri = inv(fr, fi)
+    rt = float(
+        jnp.sqrt(jnp.sum((rr - re) ** 2 + (ri - im) ** 2) / jnp.sum(re**2 + im**2))
+    )
+    d = jnp.zeros((8, n), jnp.float32).at[:, 0].set(1.0)
+    dr, di = jax.jit(lambda a, b: p._execute_split(a, b, -1, None))(
+        d, jnp.zeros_like(d)
+    )
+    imp = float(jnp.max(jnp.abs(dr - 1.0)) + jnp.max(jnp.abs(di)))
+    return dt, rt, imp
+
+
+def main():
+    import signal
+
+    from fft_wgpu_tpu.utils.roofline import roofline
+
+    dev = jax.devices()[0]
+    n, batch = 4096, 4096
+
+    # hard stop for the whole headline section: slow remote-compile services
+    # must not starve the driver of the JSON line
+    def _alarm(sig, frame):
+        raise TimeoutError("bench section timed out")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(1500)
+    dt, rt_err, imp_err = bench_batched_1d(n, batch)
+    signal.alarm(0)
+    r = roofline(n, batch, dt, passes=1, device=dev)
+
+    result = {
+        "metric": f"batched 1D C2C FFT N={n} batch={batch} fp32 GFLOP/s (5NlogN) on {dev.device_kind}",
+        "value": round(r["gflops"], 1),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(r["fraction"] / 0.8, 4),
+        "roofline_fraction": round(r["fraction"], 4),
+        "roofline_gflops": round(r["roofline_gflops"], 1),
+        "ms": round(dt * 1e3, 3),
+        "roundtrip_rel_l2": f"{rt_err:.2e}",
+        "impulse_max_err": f"{imp_err:.2e}",
+    }
+
+    # secondary configs (stderr, not the headline line)
+    try:
+        signal.alarm(900)
+        for n2, b2, tag in [(1 << 20, 4, "N=2^20 four-step")]:
+            dt2, rt2, _ = bench_batched_1d(n2, b2, iters=8)
+            r2 = roofline(n2, b2, dt2, passes=3, device=dev)
+            print(
+                f"# {tag}: {dt2*1e3:.3f} ms, {r2['gflops']:.0f} GFLOP/s, "
+                f"{r2['fraction']:.1%} of 3-pass roofline, roundtrip={rt2:.2e}",
+                file=sys.stderr,
+            )
+        signal.alarm(0)
+    except Exception as e:  # secondary rows must never kill the headline
+        print(f"# secondary bench failed: {e}", file=sys.stderr)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,10 +59,13 @@ def merge(re, im):
 
 
 def promote_to_split(x):
-    """Accept complex/real jnp or numpy input, return (re, im) float32 pair."""
+    """Accept complex/real jnp or numpy input, return (re, im) float32 pair.
+
+    Host numpy input must go straight to :func:`split` (which splits complex
+    on the host) — `jnp.asarray` on host complex would be a complex H2D
+    transfer, which some TPU runtimes cannot do.
+    """
     if isinstance(x, (tuple, list)) and len(x) == 2:
         re, im = x
         return jnp.asarray(re, jnp.float32), jnp.asarray(im, jnp.float32)
-    if isinstance(x, np.ndarray):
-        x = jnp.asarray(x)
     return split(x)

@@ -47,7 +47,7 @@ from ..core import twiddle as _tw
 __all__ = ["fft_batched_split", "Unsupported", "FUSED_MIN_N", "FUSED_MAX_N"]
 
 FUSED_MIN_N = 256
-FUSED_MAX_N = 16384
+FUSED_MAX_N = 4096  # 8192 compiles are not yet validated on hw; four-step covers beyond
 
 def _default_row_tile(n: int) -> int:
     """Rows per grid step.
@@ -163,7 +163,7 @@ def _supported(shape, n) -> bool:
 def _stream_kernel(xr_hbm, xi_hbm, w1r_ref, w1i_ref, twr_ref, twi_ref,
                    w2r_ref, w2i_ref, or_hbm, oi_hbm,
                    xtr, xti, inbr, inbi, outbr, outbi,
-                   in_sems, out_sems, *, n, n1, n2, ch):
+                   in_sems, out_sems, *, n, n1, n2, ch, io_only=False):
     """Streaming variant for n beyond the whole-block VMEM envelope.
 
     IO arrays stay in HBM; each grid step owns a 128-row stripe.  Input is
@@ -179,6 +179,13 @@ def _stream_kernel(xr_hbm, xi_hbm, w1r_ref, w1i_ref, twr_ref, twi_ref,
     rc = pl.program_id(0)
     base = rc * 128
     nch = n // ch
+    rows_per_chunk = ch // n2  # n1-rows covered by one flat [ch, 128] chunk
+    chk2 = ch // n1            # k2 values per fused stage-2/output chunk
+    chn2 = min(32, n2)         # n2 slab width for the in-place stage 1
+
+    prec = dict(precision=_MM_PREC, preferred_element_type=jnp.float32)
+    c0 = lambda w, x: jax.lax.dot_general(w, x, (((1,), (0,)), ((), ())), **prec)
+    c1 = lambda w, x: jax.lax.dot_general(w, x, (((1,), (1,)), ((), ())), **prec)
 
     def in_dma(slot, c, plane, buf, psem):
         return pltpu.make_async_copy(
@@ -195,6 +202,8 @@ def _stream_kernel(xr_hbm, xi_hbm, w1r_ref, w1i_ref, twr_ref, twi_ref,
         )
 
     # ---- load + corner-turn input (double-buffered; static chunk loop) ----
+    # xtr/xti are [n1, n2, 128] planes; a flat [ch, 128] transposed chunk is
+    # `rows_per_chunk` whole n1-rows (ch is a multiple of n2).
     in_dma(0, 0, xr_hbm, inbr, 0).start()
     in_dma(0, 0, xi_hbm, inbi, 1).start()
     for c in range(nch):
@@ -204,37 +213,53 @@ def _stream_kernel(xr_hbm, xi_hbm, w1r_ref, w1i_ref, twr_ref, twi_ref,
             in_dma(1 - slot, c + 1, xi_hbm, inbi, 1).start()
         in_dma(slot, c, xr_hbm, inbr, 0).wait()
         in_dma(slot, c, xi_hbm, inbi, 1).wait()
-        xtr[c * ch:(c + 1) * ch, :] = inbr[slot].T
-        xti[c * ch:(c + 1) * ch, :] = inbi[slot].T
+        r0 = c * rows_per_chunk
+        xtr[r0:r0 + rows_per_chunk] = inbr[slot].T.reshape(
+            rows_per_chunk, n2, 128
+        )
+        xti[r0:r0 + rows_per_chunk] = inbi[slot].T.reshape(
+            rows_per_chunk, n2, 128
+        )
 
-    # ---- sublane-domain four-step (identical math to _kernel) ----
     w1r, w1i = w1r_ref[:], w1i_ref[:]
-    twr3 = twr_ref[:][:, :, None]
-    twi3 = twi_ref[:][:, :, None]
     w2r, w2i = w2r_ref[:], w2i_ref[:]
 
-    ar = xtr[:].reshape(n1, n2, 128)
-    ai = xti[:].reshape(n1, n2, 128)
-    prec = dict(precision=_MM_PREC, preferred_element_type=jnp.float32)
-    c0 = lambda w, x: jax.lax.dot_general(w, x, (((1,), (0,)), ((), ())), **prec)
-    br = c0(w1r, ar) - c0(w1i, ai)
-    bi = c0(w1i, ar) + c0(w1r, ai)
-    cr = br * twr3 - bi * twi3
-    ci = br * twi3 + bi * twr3
-    c1 = lambda w, x: jax.lax.dot_general(w, x, (((1,), (1,)), ((), ())), **prec)
-    dr = c1(w2r, cr) - c1(w2i, ci)
-    di = c1(w2i, cr) + c1(w2r, ci)
-    ytr = dr.reshape(n, 128)
-    yti = di.reshape(n, 128)
+    # ---- stage 1 + twiddle, IN PLACE in n2-slabs (keeps one plane live) ---
+    # For each n2 slab: B = W1 @ A over the n1 axis, then the inter-factor
+    # twiddle; the slab of xt is overwritten with C.
+    for s in range(0 if io_only else n2 // chn2):
+        sl = slice(s * chn2, (s + 1) * chn2)
+        vr = xtr[:, sl, :]
+        vi = xti[:, sl, :]
+        br = c0(w1r, vr) - c0(w1i, vi)
+        bi = c0(w1i, vr) + c0(w1r, vi)
+        tr = twr_ref[:, sl][:, :, None]
+        ti = twi_ref[:, sl][:, :, None]
+        xtr[:, sl, :] = br * tr - bi * ti
+        xti[:, sl, :] = br * ti + bi * tr
 
-    # ---- corner-turn back + store (double-buffered) ----
+    # ---- stage 2 fused with the output stream: k2-chunked DFT over n2 ----
+    # D[k2, k1, b] rows for a k2-chunk are exactly the next `ch` flat output
+    # rows (k = k1 + n1*k2), so each chunk goes straight through the
+    # transposing store DMA. Only [chk2, n1, 128]-sized temporaries exist.
+    cr_all = xtr[:]
+    ci_all = xti[:]
     for c in range(nch):
         slot = c % 2
+        k2sl = slice(c * chk2, (c + 1) * chk2)
+        if io_only:  # debug: skip the DFT math, keep the full IO path
+            dr2 = cr_all.reshape(n, 128)[c * ch:(c + 1) * ch]
+            di2 = ci_all.reshape(n, 128)[c * ch:(c + 1) * ch]
+        else:
+            dr = c1(w2r[k2sl], cr_all) - c1(w2i[k2sl], ci_all)  # [chk2,n1,128]
+            di = c1(w2i[k2sl], cr_all) + c1(w2r[k2sl], ci_all)
+            dr2 = dr.reshape(ch, 128)
+            di2 = di.reshape(ch, 128)
         if c >= 2:  # slot reuse: previous DMA from this slot must be done
             out_dma(slot, c - 2, outbr, or_hbm, 0).wait()
             out_dma(slot, c - 2, outbi, oi_hbm, 1).wait()
-        outbr[slot] = ytr[c * ch:(c + 1) * ch, :].T
-        outbi[slot] = yti[c * ch:(c + 1) * ch, :].T
+        outbr[slot] = dr2.T
+        outbi[slot] = di2.T
         out_dma(slot, c, outbr, or_hbm, 0).start()
         out_dma(slot, c, outbi, oi_hbm, 1).start()
     for c in (nch - 2, nch - 1):
@@ -244,7 +269,8 @@ def _stream_kernel(xr_hbm, xi_hbm, w1r_ref, w1i_ref, twr_ref, twi_ref,
             out_dma(slot, c, outbi, oi_hbm, 1).wait()
 
 
-def fft_batched_split(re, im, sign, scale=None, *, row_tile=None, interpret=False):
+def fft_batched_split(re, im, sign, scale=None, *, row_tile=None, interpret=False,
+                      io_only=False):
     """Batched FFT over the last axis via the fused Pallas kernel.
 
     re/im: float32 [..., n] (any leading dims; flattened to a row batch).
@@ -302,7 +328,9 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None, interpret=Fals
         )(re2, im2, *const_arrays)
     else:
         ch = min(_STREAM_CHUNK, n)
-        kern = functools.partial(_stream_kernel, n=n, n1=n1, n2=n2, ch=ch)
+        kern = functools.partial(
+            _stream_kernel, n=n, n1=n1, n2=n2, ch=ch, io_only=io_only
+        )
         any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
         out_r, out_i = pl.pallas_call(
             kern,
@@ -312,8 +340,8 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None, interpret=Fals
             out_specs=[any_spec, any_spec],
             out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((n, 128), jnp.float32),   # xtr
-                pltpu.VMEM((n, 128), jnp.float32),   # xti
+                pltpu.VMEM((n1, n2, 128), jnp.float32),  # xtr
+                pltpu.VMEM((n1, n2, 128), jnp.float32),  # xti
                 pltpu.VMEM((2, 128, ch), jnp.float32),  # inbr
                 pltpu.VMEM((2, 128, ch), jnp.float32),  # inbi
                 pltpu.VMEM((2, 128, ch), jnp.float32),  # outbr
