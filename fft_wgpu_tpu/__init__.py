@@ -8,6 +8,7 @@ sharded multi-chip transforms via `shard_map` + all-to-all over ICI.
 """
 
 from .core.reference import naive_dft, naive_idft
+from .ops.helpers import fft_convolve, fftfreq, fftshift, ifftshift, rfftfreq
 from .ops.nd import fft2, fftn, ifft2, ifftn
 from .ops.rfft import irfft, irfft2, irfftn, rfft, rfft2, rfftn
 from .ops.transforms import fft, ifft, ifft_unnormalized, normalize
@@ -30,6 +31,11 @@ __all__ = [
     "irfft2",
     "rfftn",
     "irfftn",
+    "fftshift",
+    "ifftshift",
+    "fftfreq",
+    "rfftfreq",
+    "fft_convolve",
     "ifft_unnormalized",
     "normalize",
     "plan",

@@ -58,7 +58,7 @@ from ..core import twiddle as _tw
 __all__ = ["fft_batched_split", "Unsupported", "FUSED_MIN_N", "FUSED_MAX_N"]
 
 FUSED_MIN_N = 256
-FUSED_MAX_N = 16384
+FUSED_MAX_N = 8192  # 16384 exceeds VMEM (122 MiB scoped) with 128-row tiles
 
 _MM_PREC = jax.lax.Precision.HIGHEST
 
@@ -196,7 +196,7 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
             # The default scoped-vmem limit (16 MiB) is far below physical
             # VMEM; the 128-row tiles at large n need more for the
             # double-buffered IO blocks.
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
     )(re2, im2, *const_arrays)

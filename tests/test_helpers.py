@@ -1,0 +1,44 @@
+"""fftshift/fftfreq/convolution helpers vs numpy/scipy semantics."""
+
+import numpy as np
+import pytest
+
+import fft_wgpu_tpu as ftt
+
+
+def test_fftshift_roundtrip(rng):
+    x = rng.standard_normal((5, 8)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(ftt.fftshift(x)), np.fft.fftshift(x))
+    np.testing.assert_array_equal(
+        np.asarray(ftt.ifftshift(ftt.fftshift(x))), x
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ftt.fftshift(x, axes=1)), np.fft.fftshift(x, axes=1)
+    )
+
+
+@pytest.mark.parametrize("n", [8, 9, 128])
+def test_fftfreq(n):
+    np.testing.assert_allclose(np.asarray(ftt.fftfreq(n, 0.1)), np.fft.fftfreq(n, 0.1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ftt.rfftfreq(n, 2.0)), np.fft.rfftfreq(n, 2.0), rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_fft_convolve_real(mode, rng, assert_close):
+    a = rng.standard_normal(100).astype(np.float32)
+    b = rng.standard_normal(17).astype(np.float32)
+    want = np.convolve(a, b, mode=mode)
+    assert_close(ftt.fft_convolve(a, b, mode=mode), want, what=f"(mode={mode})")
+
+
+def test_fft_convolve_complex(rng, assert_close):
+    a = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(np.complex64)
+    b = (rng.standard_normal(9) + 1j * rng.standard_normal(9)).astype(np.complex64)
+    assert_close(ftt.fft_convolve(a, b), np.convolve(a, b))
+
+
+def test_fft_convolve_batched(rng, assert_close):
+    a = rng.standard_normal((4, 50)).astype(np.float32)
+    b = rng.standard_normal((4, 11)).astype(np.float32)
+    want = np.stack([np.convolve(a[i], b[i]) for i in range(4)])
+    assert_close(ftt.fft_convolve(a, b), want)

@@ -24,7 +24,7 @@ def run(x, sign, scale=None, **kw):
     return np.asarray(rr) + 1j * np.asarray(ii)
 
 
-@pytest.mark.parametrize("n", [256, 512, 1024, 4096, 16384])
+@pytest.mark.parametrize("n", [256, 512, 1024, 4096, 8192])
 def test_forward_matches_numpy(n, rng, assert_close):
     x = crand(rng, 4, n)
     assert_close(run(x, -1), np.fft.fft(x, axis=-1), what=f"(n={n})")
@@ -58,7 +58,7 @@ def test_leading_dims_flattened(rng, assert_close):
 
 def test_unsupported_shapes_raise():
     rng = np.random.default_rng(0)
-    for n in [128, 32768, 120, 512 + 128]:  # small, big, non-pow2, non-pow2
+    for n in [128, 32768, 120, 512 + 128]:
         x = crand(rng, 2, n)
         with pytest.raises(pallas_fft.Unsupported):
             run(x, -1)
