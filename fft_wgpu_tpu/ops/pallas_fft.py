@@ -85,25 +85,30 @@ def _row_tile(n: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _constants(n: int, sign: int, scale: float):
-    """(W1r, W1i, twr, twi, W2r, W2i) numpy f32 kernel constants.
+    """Kernel constants, prepared in f64 for the Gauss 3-mult complex
+    product: per DFT stage (W = Wr + i*Wi) the kernel needs
+    (Wr, Wr + Wi, Wi - Wr); the inter-factor twiddle stays (twr, twi).
 
-    Output scale is folded into the last-stage DFT matrix in f64.
+    Output scale is folded into the last-stage matrices in f64 — the
+    reference's fused last-stage divide (ifft.wgsl:65-74) at zero cost.
     """
     n1, n2 = _choose_split(n)
-    w1 = _tw.dft_matrix_np(n1, sign, dtype=np.float64)
-    tw = _tw.twiddle_np(n1, n2, sign, dtype=np.float64)  # [k1, n2]
+    w1r, w1i = _tw.dft_matrix_np(n1, sign, dtype=np.float64)
+    twr, twi = _tw.twiddle_np(n1, n2, sign, dtype=np.float64)  # [k1, n2]
     w2r, w2i = _tw.dft_matrix_np(n2, sign, dtype=np.float64)
     if scale != 1.0:
         w2r = w2r * scale
         w2i = w2i * scale
     f = lambda a: np.ascontiguousarray(a, dtype=np.float32)
-    return f(w1[0]), f(w1[1]), f(tw[0]), f(tw[1]), f(w2r), f(w2i)
+    return (
+        f(w1r), f(w1r + w1i), f(w1i - w1r),
+        f(twr), f(twi),
+        f(w2r), f(w2r + w2i), f(w2i - w2r),
+    )
 
 
-def _kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref,
-            w2i_ref, or_ref, oi_ref, *, n, n1, n2):
-    w1r, w1i = w1r_ref[:], w1i_ref[:]
-    w2r, w2i = w2r_ref[:], w2i_ref[:]
+def _kernel(xr_ref, xi_ref, w1r_ref, w1s_ref, w1d_ref, twr_ref, twi_ref,
+            w2r_ref, w2s_ref, w2d_ref, or_ref, oi_ref, *, n, n1, n2):
     bt = xr_ref.shape[0]
 
     # Row split n -> (n1, n2): lane-dim split, free.
@@ -112,10 +117,21 @@ def _kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref,
 
     prec = dict(precision=_MM_PREC, preferred_element_type=jnp.float32)
 
+    def cmul_w(w_r, w_s, w_d, xr, xi, dims):
+        """Gauss 3-mult complex product W . X with constant W.
+
+        W = Wr + i*Wi; constants are (Wr, Wr+Wi, Wi-Wr):
+          m1 = Wr . (xr + xi); m2 = (Wr+Wi) . xi; m3 = (Wi-Wr) . xr
+          re = m1 - m2, im = m1 + m3    (3 MXU passes instead of 4)
+        """
+        dg = lambda w, x: jax.lax.dot_general(w, x, (dims, ((), ())), **prec)
+        m1 = dg(w_r, xr + xi)
+        m2 = dg(w_s, xi)
+        m3 = dg(w_d, xr)
+        return m1 - m2, m1 + m3
+
     # ---- stage 1 (+ fused corner turn): [k1, bt, n2] = W1 . A over m1 ----
-    c0 = lambda w, x: jax.lax.dot_general(w, x, (((1,), (1,)), ((), ())), **prec)
-    br = c0(w1r, ar) - c0(w1i, ai)
-    bi = c0(w1i, ar) + c0(w1r, ai)
+    br, bi = cmul_w(w1r_ref[:], w1s_ref[:], w1d_ref[:], ar, ai, ((1,), (1,)))
 
     # ---- inter-factor twiddle tw[k1, n2], broadcast over batch (VPU) ----
     twr = twr_ref[:][:, None, :]
@@ -124,9 +140,7 @@ def _kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref,
     ci = br * twi + bi * twr
 
     # ---- stage 2 (+ fused corner turn): [k2, k1, bt] = W2 . C over m2 ----
-    c1 = lambda w, x: jax.lax.dot_general(w, x, (((1,), (2,)), ((), ())), **prec)
-    dr = c1(w2r, cr) - c1(w2i, ci)
-    di = c1(w2i, cr) + c1(w2r, ci)
+    dr, di = cmul_w(w2r_ref[:], w2s_ref[:], w2d_ref[:], cr, ci, ((1,), (2,)))
 
     # Natural order: flatten [k2, k1] is a sublane merge; one output
     # transpose puts rows back in the batch-major HBM layout.
