@@ -58,23 +58,19 @@ def fft_last_axis(re, im, sign, scale=None):
     re = re.reshape(*lead, n1, n2)
     im = im.reshape(*lead, n1, n2)
 
-    # 1. FFT over n1 (axis -2) — corner turn, batched transform, in the
-    #    transposed layout the result is B^T[n2, k1].
-    ar = jnp.swapaxes(re, -1, -2)
-    ai = jnp.swapaxes(im, -1, -2)
+    # 1. FFT over n1 directly on axis -2 — on TPU this is the transpose-free
+    #    sublane-domain kernel (no corner-turn data movement at all).
     p1 = get_plan(n1, "auto")
-    br, bi = p1._execute_split(ar, ai, sign, None)
+    br, bi = p1._execute_split_axis(re, im, sign, None, -2)
 
-    # 2. Inter-factor twiddle, in the [n2, k1] layout.
-    twr, twi = _tw.twiddle_np(n1, n2, sign, transposed=True)
+    # 2. Inter-factor twiddle in the natural [k1, n2] layout.
+    twr, twi = _tw.twiddle_np(n1, n2, sign)
     twr = jnp.asarray(twr)
     twi = jnp.asarray(twi)
     cr = br * twr - bi * twi
     ci = br * twi + bi * twr
 
-    # 3. Corner turn back; FFT over n2 (last axis), folding the output scale.
-    cr = jnp.swapaxes(cr, -1, -2)
-    ci = jnp.swapaxes(ci, -1, -2)
+    # 3. FFT over n2 (last axis), folding the output scale.
     p2 = get_plan(n2, "auto")
     dr, di = p2._execute_split(cr, ci, sign, scale)
 

@@ -36,15 +36,10 @@ def fftn_split(re, im, axes, sign, scale, executor="auto"):
     from ..plan.plan import get_plan
 
     for ax in axes:
-        moved = ax not in (-1, re.ndim - 1)
-        if moved:
-            re = jnp.moveaxis(re, ax, -1)
-            im = jnp.moveaxis(im, ax, -1)
-        p = get_plan(re.shape[-1], executor)
-        re, im = p._execute_split(re, im, sign, None)
-        if moved:
-            re = jnp.moveaxis(re, -1, ax)
-            im = jnp.moveaxis(im, -1, ax)
+        # the plan layer picks the right executor per axis; axis -2 runs
+        # the transpose-free sublane-domain kernel with no data movement
+        p = get_plan(re.shape[ax], executor)
+        re, im = p._execute_split_axis(re, im, sign, None, ax)
     if scale is not None and scale != 1.0:
         s = jnp.float32(scale)
         re, im = re * s, im * s

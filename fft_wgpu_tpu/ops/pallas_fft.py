@@ -219,3 +219,105 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
         out_r = out_r[:rows]
         out_i = out_i[:rows]
     return out_r.reshape(*lead, n), out_i.reshape(*lead, n)
+
+
+# --------------------------------------------------------------------- #
+# Axis(-2) kernel: transform down the sublane axis, batch in lanes.
+# --------------------------------------------------------------------- #
+def _kernel_ax0(xr_ref, xi_ref, w1r_ref, w1s_ref, w1d_ref, twr_ref, twi_ref,
+                w2r_ref, w2s_ref, w2d_ref, or_ref, oi_ref, *, n, n1, n2):
+    """Columns-FFT tile: block [1, n, 128] transforms each of the 128 lane
+    columns along the sublane axis.
+
+    With the transform axis in sublanes, every four-step reindexing is a
+    sublane split/merge (always supported) and the stage results come out
+    already corner-turned — this kernel has NO transposes at all, which is
+    why the planner prefers axis -2 transforms wherever layout allows
+    (ND row-column passes, four-step stage 1).
+    """
+    ar = xr_ref[0].reshape(n1, n2, 128)
+    ai = xi_ref[0].reshape(n1, n2, 128)
+
+    prec = dict(precision=_MM_PREC, preferred_element_type=jnp.float32)
+
+    def cmul_w(w_r, w_s, w_d, xr, xi, dims):
+        dg = lambda w, x: jax.lax.dot_general(w, x, (dims, ((), ())), **prec)
+        m1 = dg(w_r, xr + xi)
+        m2 = dg(w_s, xi)
+        m3 = dg(w_d, xr)
+        return m1 - m2, m1 + m3
+
+    # stage 1: contract m1 (dim 0) -> [k1, n2, b]
+    br, bi = cmul_w(w1r_ref[:], w1s_ref[:], w1d_ref[:], ar, ai, ((1,), (0,)))
+
+    # twiddle tw[k1, n2] over the lane (batch) axis
+    twr = twr_ref[:][:, :, None]
+    twi = twi_ref[:][:, :, None]
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+
+    # stage 2: contract m2 (dim 1) -> [k2, k1, b]; sublane-merge to [n, b]
+    dr, di = cmul_w(w2r_ref[:], w2s_ref[:], w2d_ref[:], cr, ci, ((1,), (1,)))
+    or_ref[0] = dr.reshape(n, 128)
+    oi_ref[0] = di.reshape(n, 128)
+
+
+def fft_axis0_split(re, im, sign, scale=None, *, interpret=False):
+    """Batched FFT along axis -2 of [..., n, m] via the transpose-free
+    sublane-domain kernel (the lane axis m carries the batch).
+
+    m is padded to a multiple of 128 lanes; leading dims map to the grid.
+    """
+    n = re.shape[-2]
+    if not _supported(n):
+        raise Unsupported(f"n={n} outside fused kernel envelope")
+
+    lead = re.shape[:-2]
+    m = re.shape[-1]
+    b = int(np.prod(lead)) if lead else 1
+    re3 = re.reshape(b, n, m)
+    im3 = im.reshape(b, n, m)
+    pad = (-m) % 128
+    if pad:
+        re3 = jnp.pad(re3, ((0, 0), (0, 0), (0, pad)))
+        im3 = jnp.pad(im3, ((0, 0), (0, 0), (0, pad)))
+    mp = m + pad
+
+    n1, n2 = _choose_split(n)
+    consts = _constants(n, sign, float(scale) if scale is not None else 1.0)
+    const_arrays = [jnp.asarray(c) for c in consts]
+
+    kern = functools.partial(_kernel_ax0, n=n, n1=n1, n2=n2)
+    grid = (b, mp // 128)
+    spec = pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+
+    def _const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    flops_per_col = 8 * n * (n1 + n2) + 6 * n
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec, spec] + [_const_spec(c) for c in const_arrays],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, mp), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, mp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_col * b * mp,
+            bytes_accessed=4 * b * n * mp * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(re3, im3, *const_arrays)
+
+    if pad:
+        out_r = out_r[..., :m]
+        out_i = out_i[..., :m]
+    return out_r.reshape(*lead, n, m), out_i.reshape(*lead, n, m)

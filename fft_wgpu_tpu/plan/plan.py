@@ -119,6 +119,36 @@ class Plan:
         re, im = stockham.fft_last_axis(re, im, sign)
         return stockham.apply_scale(re, im, scale)
 
+    def _execute_split_axis(self, re, im, sign: int, scale, axis: int):
+        """Transform along `axis`.
+
+        axis == -1 uses the row kernel; axis == -2 uses the transpose-free
+        sublane-domain kernel on TPU (no data movement at all); any other
+        axis moves to the back and uses the row path.
+        """
+        nd = re.ndim
+        ax = axis % nd
+        if ax == nd - 1:
+            return self._execute_split(re, im, sign, scale)
+        if (
+            ax == nd - 2
+            and self.executor in ("auto", "pallas")
+            and _backend() == "tpu"
+        ):
+            try:
+                from ..ops import pallas_fft
+            except ImportError:
+                pass
+            else:
+                try:
+                    return pallas_fft.fft_axis0_split(re, im, sign, scale)
+                except pallas_fft.Unsupported:
+                    pass
+        re = jnp.moveaxis(re, ax, -1)
+        im = jnp.moveaxis(im, ax, -1)
+        re, im = self._execute_split(re, im, sign, scale)
+        return jnp.moveaxis(re, -1, ax), jnp.moveaxis(im, -1, ax)
+
     # ------------------------------------------------------------------ #
     # public complex-facade methods
     # ------------------------------------------------------------------ #
