@@ -63,7 +63,14 @@ def fft_last_axis(re, im, sign):
     n = re.shape[-1]
     if n == 1:
         return re, im
-    if n <= _factor.MAX_DIRECT or not _factor.is_smooth(n):
+    if n <= _factor.MAX_DIRECT:
+        return _dft_direct(re, im, sign)
+    if not _factor.is_smooth(n):
+        from . import bluestein
+
+        if n >= bluestein.BLUESTEIN_MIN:
+            # large prime factors: chirp-z via two power-of-two FFTs
+            return bluestein.fft_bluestein_split(re, im, sign)
         return _dft_direct(re, im, sign)
 
     n1, n2 = _factor.balanced_split(n)
