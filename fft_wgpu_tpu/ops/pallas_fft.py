@@ -62,6 +62,19 @@ FUSED_MAX_N = 8192  # 16384 exceeds VMEM (122 MiB scoped) with 128-row tiles
 
 _MM_PREC = jax.lax.Precision.HIGHEST
 
+# Matmul precision mode for the DFT stages:
+#   "highest" — XLA f32-on-MXU (6 bf16 passes per real matmul)
+#   "bf16x3"  — manual hi/lo bf16 split, 3 passes per real matmul.
+# Measured on v5e: bf16x3 is SLOWER (the VPU hi/lo data splits outweigh the
+# saved MXU passes) and accuracy-marginal (~1e-5); keep "highest".
+PRECISION_MODE = "highest"
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
 
 class Unsupported(Exception):
     """Shape/dtype outside the fused kernel's envelope (caller falls back)."""
@@ -107,6 +120,35 @@ def _constants(n: int, sign: int, scale: float):
     )
 
 
+
+def _cdot(w_r, w_s, w_d, xr, xi, dims):
+    """Gauss 3-mult complex product W . X with constant W.
+
+    W = Wr + i*Wi; constants are (Wr, Wr+Wi, Wi-Wr):
+      m1 = Wr . (xr + xi); m2 = (Wr+Wi) . xi; m3 = (Wi-Wr) . xr
+      re = m1 - m2, im = m1 + m3    (3 real matmuls instead of 4)
+
+    PRECISION_MODE selects f32-on-MXU or manual bf16 hi/lo 3-pass.
+    """
+    if PRECISION_MODE == "bf16x3":
+        def dg(w, x):
+            wh, wl = _split_bf16(w)
+            xh, xl = _split_bf16(x)
+            d = lambda a, b: jax.lax.dot_general(
+                a, b, (dims, ((), ())), preferred_element_type=jnp.float32
+            )
+            return d(wh, xh) + d(wh, xl) + d(wl, xh)
+    else:
+        dg = lambda w, x: jax.lax.dot_general(
+            w, x, (dims, ((), ())), precision=_MM_PREC,
+            preferred_element_type=jnp.float32,
+        )
+    m1 = dg(w_r, xr + xi)
+    m2 = dg(w_s, xi)
+    m3 = dg(w_d, xr)
+    return m1 - m2, m1 + m3
+
+
 def _kernel(xr_ref, xi_ref, w1r_ref, w1s_ref, w1d_ref, twr_ref, twi_ref,
             w2r_ref, w2s_ref, w2d_ref, or_ref, oi_ref, *, n, n1, n2):
     bt = xr_ref.shape[0]
@@ -115,23 +157,8 @@ def _kernel(xr_ref, xi_ref, w1r_ref, w1s_ref, w1d_ref, twr_ref, twi_ref,
     ar = xr_ref[:].reshape(bt, n1, n2)
     ai = xi_ref[:].reshape(bt, n1, n2)
 
-    prec = dict(precision=_MM_PREC, preferred_element_type=jnp.float32)
-
-    def cmul_w(w_r, w_s, w_d, xr, xi, dims):
-        """Gauss 3-mult complex product W . X with constant W.
-
-        W = Wr + i*Wi; constants are (Wr, Wr+Wi, Wi-Wr):
-          m1 = Wr . (xr + xi); m2 = (Wr+Wi) . xi; m3 = (Wi-Wr) . xr
-          re = m1 - m2, im = m1 + m3    (3 MXU passes instead of 4)
-        """
-        dg = lambda w, x: jax.lax.dot_general(w, x, (dims, ((), ())), **prec)
-        m1 = dg(w_r, xr + xi)
-        m2 = dg(w_s, xi)
-        m3 = dg(w_d, xr)
-        return m1 - m2, m1 + m3
-
     # ---- stage 1 (+ fused corner turn): [k1, bt, n2] = W1 . A over m1 ----
-    br, bi = cmul_w(w1r_ref[:], w1s_ref[:], w1d_ref[:], ar, ai, ((1,), (1,)))
+    br, bi = _cdot(w1r_ref[:], w1s_ref[:], w1d_ref[:], ar, ai, ((1,), (1,)))
 
     # ---- inter-factor twiddle tw[k1, n2], broadcast over batch (VPU) ----
     twr = twr_ref[:][:, None, :]
@@ -140,7 +167,7 @@ def _kernel(xr_ref, xi_ref, w1r_ref, w1s_ref, w1d_ref, twr_ref, twi_ref,
     ci = br * twi + bi * twr
 
     # ---- stage 2 (+ fused corner turn): [k2, k1, bt] = W2 . C over m2 ----
-    dr, di = cmul_w(w2r_ref[:], w2s_ref[:], w2d_ref[:], cr, ci, ((1,), (2,)))
+    dr, di = _cdot(w2r_ref[:], w2s_ref[:], w2d_ref[:], cr, ci, ((1,), (2,)))
 
     # Natural order: flatten [k2, k1] is a sublane merge; one output
     # transpose puts rows back in the batch-major HBM layout.
@@ -238,17 +265,8 @@ def _kernel_ax0(xr_ref, xi_ref, w1r_ref, w1s_ref, w1d_ref, twr_ref, twi_ref,
     ar = xr_ref[0].reshape(n1, n2, 128)
     ai = xi_ref[0].reshape(n1, n2, 128)
 
-    prec = dict(precision=_MM_PREC, preferred_element_type=jnp.float32)
-
-    def cmul_w(w_r, w_s, w_d, xr, xi, dims):
-        dg = lambda w, x: jax.lax.dot_general(w, x, (dims, ((), ())), **prec)
-        m1 = dg(w_r, xr + xi)
-        m2 = dg(w_s, xi)
-        m3 = dg(w_d, xr)
-        return m1 - m2, m1 + m3
-
     # stage 1: contract m1 (dim 0) -> [k1, n2, b]
-    br, bi = cmul_w(w1r_ref[:], w1s_ref[:], w1d_ref[:], ar, ai, ((1,), (0,)))
+    br, bi = _cdot(w1r_ref[:], w1s_ref[:], w1d_ref[:], ar, ai, ((1,), (0,)))
 
     # twiddle tw[k1, n2] over the lane (batch) axis
     twr = twr_ref[:][:, :, None]
@@ -257,7 +275,7 @@ def _kernel_ax0(xr_ref, xi_ref, w1r_ref, w1s_ref, w1d_ref, twr_ref, twi_ref,
     ci = br * twi + bi * twr
 
     # stage 2: contract m2 (dim 1) -> [k2, k1, b]; sublane-merge to [n, b]
-    dr, di = cmul_w(w2r_ref[:], w2s_ref[:], w2d_ref[:], cr, ci, ((1,), (1,)))
+    dr, di = _cdot(w2r_ref[:], w2s_ref[:], w2d_ref[:], cr, ci, ((1,), (1,)))
     or_ref[0] = dr.reshape(n, 128)
     oi_ref[0] = di.reshape(n, 128)
 

@@ -62,3 +62,24 @@ def test_unsupported_shapes_raise():
         x = crand(rng, 2, n)
         with pytest.raises(pallas_fft.Unsupported):
             run(x, -1)
+
+
+@pytest.mark.parametrize("shape", [(512, 100), (3, 1024, 130), (4096, 128)])
+def test_axis0_kernel_matches_numpy(shape, rng, assert_close):
+    x = crand(rng, *shape)
+    re = np.ascontiguousarray(x.real, np.float32)
+    im = np.ascontiguousarray(x.imag, np.float32)
+    rr, ii = pallas_fft.fft_axis0_split(re, im, -1, None, interpret=True)
+    assert_close(np.asarray(rr) + 1j * np.asarray(ii), np.fft.fft(x, axis=-2))
+    n = shape[-2]
+    rr, ii = pallas_fft.fft_axis0_split(re, im, +1, 1.0 / n, interpret=True)
+    assert_close(np.asarray(rr) + 1j * np.asarray(ii), np.fft.ifft(x, axis=-2))
+
+
+def test_axis0_kernel_unsupported():
+    rng = np.random.default_rng(0)
+    x = crand(rng, 100, 64)  # 100 not in envelope
+    with pytest.raises(pallas_fft.Unsupported):
+        pallas_fft.fft_axis0_split(
+            np.float32(x.real), np.float32(x.imag), -1, None, interpret=True
+        )
