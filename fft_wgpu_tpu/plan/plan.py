@@ -220,6 +220,21 @@ class Plan:
             self._jit_cache["normalize"] = fn
         return fn(re, im)
 
+    def warmup(self, batch_shape=(), axis: int = -1):
+        """Ahead-of-time compile every executor for a given batch shape —
+        the serving-path analogue of the reference's plan construction
+        doing all pipeline compilation up front (processor.rs:19-108).
+        Returns self for chaining."""
+        shape = tuple(batch_shape) + (self.n,)
+        re = jnp.zeros(shape, jnp.float32)
+        for sign, scale in (
+            (FORWARD, None),
+            (INVERSE, 1.0 / self.n),
+            (INVERSE, None),
+        ):
+            jax.block_until_ready(self._jitted(axis, sign, scale)(re, re))
+        return self
+
     def __repr__(self):
         return f"Plan(n={self.n}, executor={self.executor!r})"
 

@@ -60,3 +60,9 @@ def test_executor_override_xla_matches_direct(rng, assert_close):
     b = ftt.fft(x, executor="direct")
     assert_close(a, b, tol=1e-5)
     assert_close(a, np.fft.fft(x))
+
+
+def test_plan_warmup_aot(rng, assert_close):
+    p = ftt.plan(256).warmup(batch_shape=(4,))
+    x = crand(rng, 4, 256)
+    assert_close(p.forward(x), np.fft.fft(x, axis=-1))
