@@ -63,18 +63,33 @@ def fft_last_axis(re, im, sign, scale=None):
     p1 = get_plan(n1, "auto")
     br, bi = p1._execute_split_axis(re, im, sign, None, -2)
 
-    # 2. Inter-factor twiddle in the natural [k1, n2] layout.
+    # 2+3+4. On TPU: one fused pass — rows-FFT over n2 with the outer
+    # twiddle generated in-register and the output written via transposed
+    # BlockSpecs, so the whole four-step is TWO HBM round trips.
+    import jax
+
+    if jax.default_backend() == "tpu":
+        try:
+            from . import pallas_fft
+
+            dr, di = pallas_fft.fft_rows_transposed_split(
+                br, bi, sign, scale, outer=(n1, n)
+            )
+            return dr.reshape(*lead, n), di.reshape(*lead, n)
+        except pallas_fft.Unsupported:
+            pass
+
+    # Fallback (CPU / out-of-envelope factors): explicit twiddle + row FFT
+    # + corner-turn flatten.
     twr, twi = _tw.twiddle_np(n1, n2, sign)
     twr = jnp.asarray(twr)
     twi = jnp.asarray(twi)
     cr = br * twr - bi * twi
     ci = br * twi + bi * twr
 
-    # 3. FFT over n2 (last axis), folding the output scale.
     p2 = get_plan(n2, "auto")
     dr, di = p2._execute_split(cr, ci, sign, scale)
 
-    # 4. Natural order: X viewed as [k2, k1], flattened.
     dr = jnp.swapaxes(dr, -1, -2).reshape(*lead, n)
     di = jnp.swapaxes(di, -1, -2).reshape(*lead, n)
     return dr, di

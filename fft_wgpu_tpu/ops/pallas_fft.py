@@ -96,29 +96,32 @@ def _row_tile(n: int) -> int:
     return 128
 
 
-@functools.lru_cache(maxsize=None)
-def _constants(n: int, sign: int, scale: float):
-    """Kernel constants, prepared in f64 for the Gauss 3-mult complex
-    product: per DFT stage (W = Wr + i*Wi) the kernel needs
-    (Wr, Wr + Wi, Wi - Wr); the inter-factor twiddle stays (twr, twi).
+def _gen_dft(nk, nm, n_mod, sign, scale=1.0):
+    """In-register DFT matrix: W[k, m] = scale * exp(sign*2pi*i*(k*m % n_mod)/n_mod).
 
-    Output scale is folded into the last-stage matrices in f64 — the
-    reference's fused last-stage divide (ifft.wgsl:65-74) at zero cost.
+    This is the BASELINE north-star design point: twiddles generated on the
+    VPU per tile (fractions of a us) instead of bound as buffers (the
+    reference binds a host-precomputed LUT, processor.rs:51-55) — it also
+    keeps the Pallas pipeline free of constant-input streams.  The k*m
+    product stays < 2^24 for every factor used here, so f32 index math is
+    exact, and the explicit mod keeps phases small (full f32 trig accuracy).
     """
-    n1, n2 = _choose_split(n)
-    w1r, w1i = _tw.dft_matrix_np(n1, sign, dtype=np.float64)
-    twr, twi = _tw.twiddle_np(n1, n2, sign, dtype=np.float64)  # [k1, n2]
-    w2r, w2i = _tw.dft_matrix_np(n2, sign, dtype=np.float64)
-    if scale != 1.0:
-        w2r = w2r * scale
-        w2i = w2i * scale
-    f = lambda a: np.ascontiguousarray(a, dtype=np.float32)
-    return (
-        f(w1r), f(w1r + w1i), f(w1i - w1r),
-        f(twr), f(twi),
-        f(w2r), f(w2r + w2i), f(w2i - w2r),
-    )
+    k = jax.lax.broadcasted_iota(jnp.int32, (nk, nm), 0).astype(jnp.float32)
+    m = jax.lax.broadcasted_iota(jnp.int32, (nk, nm), 1).astype(jnp.float32)
+    t = k * m
+    r = t - n_mod * jnp.floor(t / n_mod)
+    theta = (sign * 2.0 * math.pi / n_mod) * r
+    return jnp.cos(theta) * scale, jnp.sin(theta) * scale
 
+
+def _gen_twiddle(n1, n2, n, sign):
+    """tw[k1, m2] = exp(sign*2pi*i*(k1*m2 % n)/n), generated in-register."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0).astype(jnp.float32)
+    m = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1).astype(jnp.float32)
+    t = k * m
+    r = t - n * jnp.floor(t / n)
+    theta = (sign * 2.0 * math.pi / n) * r
+    return jnp.cos(theta), jnp.sin(theta)
 
 
 def _cdot(w_r, w_s, w_d, xr, xi, dims):
@@ -149,25 +152,29 @@ def _cdot(w_r, w_s, w_d, xr, xi, dims):
     return m1 - m2, m1 + m3
 
 
-def _kernel(xr_ref, xi_ref, w1r_ref, w1s_ref, w1d_ref, twr_ref, twi_ref,
-            w2r_ref, w2s_ref, w2d_ref, or_ref, oi_ref, *, n, n1, n2):
+def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
     bt = xr_ref.shape[0]
+
+    # In-register tables (VPU, sub-us) + Gauss-form combinations.
+    w1r, w1i = _gen_dft(n1, n1, n1, sign)
+    twr, twi = _gen_twiddle(n1, n2, n, sign)
+    w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
 
     # Row split n -> (n1, n2): lane-dim split, free.
     ar = xr_ref[:].reshape(bt, n1, n2)
     ai = xi_ref[:].reshape(bt, n1, n2)
 
     # ---- stage 1 (+ fused corner turn): [k1, bt, n2] = W1 . A over m1 ----
-    br, bi = _cdot(w1r_ref[:], w1s_ref[:], w1d_ref[:], ar, ai, ((1,), (1,)))
+    br, bi = _cdot(w1r, w1r + w1i, w1i - w1r, ar, ai, ((1,), (1,)))
 
     # ---- inter-factor twiddle tw[k1, n2], broadcast over batch (VPU) ----
-    twr = twr_ref[:][:, None, :]
-    twi = twi_ref[:][:, None, :]
+    twr = twr[:, None, :]
+    twi = twi[:, None, :]
     cr = br * twr - bi * twi
     ci = br * twi + bi * twr
 
     # ---- stage 2 (+ fused corner turn): [k2, k1, bt] = W2 . C over m2 ----
-    dr, di = _cdot(w2r_ref[:], w2s_ref[:], w2d_ref[:], cr, ci, ((1,), (2,)))
+    dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (2,)))
 
     # Natural order: flatten [k2, k1] is a sublane merge; one output
     # transpose puts rows back in the batch-major HBM layout.
@@ -207,22 +214,18 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
     padded_rows = rows + pad
 
     n1, n2 = _choose_split(n)
-    consts = _constants(n, sign, float(scale) if scale is not None else 1.0)
-    const_arrays = [jnp.asarray(c) for c in consts]
-
-    kern = functools.partial(_kernel, n=n, n1=n1, n2=n2)
+    kern = functools.partial(
+        _kernel, n=n, n1=n1, n2=n2, sign=sign,
+        scale=float(scale) if scale is not None else 1.0,
+    )
     grid = (padded_rows // bt,)
     spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    def _const_spec(arr):
-        # Whole-table block, grid-invariant index map: fetched once.
-        return pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     flops_per_row = 8 * n * (n1 + n2) + 6 * n
     out_r, out_i = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[spec, spec] + [_const_spec(c) for c in const_arrays],
+        in_specs=[spec, spec],
         out_specs=[spec, spec],
         out_shape=[
             jax.ShapeDtypeStruct((padded_rows, n), jnp.float32),
@@ -240,7 +243,7 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(re2, im2, *const_arrays)
+    )(re2, im2)
 
     if pad:
         out_r = out_r[:rows]
@@ -251,8 +254,7 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
 # --------------------------------------------------------------------- #
 # Axis(-2) kernel: transform down the sublane axis, batch in lanes.
 # --------------------------------------------------------------------- #
-def _kernel_ax0(xr_ref, xi_ref, w1r_ref, w1s_ref, w1d_ref, twr_ref, twi_ref,
-                w2r_ref, w2s_ref, w2d_ref, or_ref, oi_ref, *, n, n1, n2):
+def _kernel_ax0(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
     """Columns-FFT tile: block [1, n, 128] transforms each of the 128 lane
     columns along the sublane axis.
 
@@ -262,20 +264,24 @@ def _kernel_ax0(xr_ref, xi_ref, w1r_ref, w1s_ref, w1d_ref, twr_ref, twi_ref,
     why the planner prefers axis -2 transforms wherever layout allows
     (ND row-column passes, four-step stage 1).
     """
+    w1r, w1i = _gen_dft(n1, n1, n1, sign)
+    twr, twi = _gen_twiddle(n1, n2, n, sign)
+    w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
+
     ar = xr_ref[0].reshape(n1, n2, 128)
     ai = xi_ref[0].reshape(n1, n2, 128)
 
     # stage 1: contract m1 (dim 0) -> [k1, n2, b]
-    br, bi = _cdot(w1r_ref[:], w1s_ref[:], w1d_ref[:], ar, ai, ((1,), (0,)))
+    br, bi = _cdot(w1r, w1r + w1i, w1i - w1r, ar, ai, ((1,), (0,)))
 
     # twiddle tw[k1, n2] over the lane (batch) axis
-    twr = twr_ref[:][:, :, None]
-    twi = twi_ref[:][:, :, None]
+    twr = twr[:, :, None]
+    twi = twi[:, :, None]
     cr = br * twr - bi * twi
     ci = br * twi + bi * twr
 
     # stage 2: contract m2 (dim 1) -> [k2, k1, b]; sublane-merge to [n, b]
-    dr, di = _cdot(w2r_ref[:], w2s_ref[:], w2d_ref[:], cr, ci, ((1,), (1,)))
+    dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
     or_ref[0] = dr.reshape(n, 128)
     oi_ref[0] = di.reshape(n, 128)
 
@@ -302,23 +308,19 @@ def fft_axis0_split(re, im, sign, scale=None, *, interpret=False):
     mp = m + pad
 
     n1, n2 = _choose_split(n)
-    consts = _constants(n, sign, float(scale) if scale is not None else 1.0)
-    const_arrays = [jnp.asarray(c) for c in consts]
-
-    kern = functools.partial(_kernel_ax0, n=n, n1=n1, n2=n2)
+    kern = functools.partial(
+        _kernel_ax0, n=n, n1=n1, n2=n2, sign=sign,
+        scale=float(scale) if scale is not None else 1.0,
+    )
     grid = (b, mp // 128)
     spec = pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
-
-    def _const_spec(arr):
-        return pl.BlockSpec(arr.shape, lambda i, j: (0, 0),
-                            memory_space=pltpu.VMEM)
 
     flops_per_col = 8 * n * (n1 + n2) + 6 * n
     out_r, out_i = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[spec, spec] + [_const_spec(c) for c in const_arrays],
+        in_specs=[spec, spec],
         out_specs=[spec, spec],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, mp), jnp.float32),
@@ -333,9 +335,118 @@ def fft_axis0_split(re, im, sign, scale=None, *, interpret=False):
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(re3, im3, *const_arrays)
+    )(re3, im3)
 
     if pad:
         out_r = out_r[..., :m]
         out_i = out_i[..., :m]
     return out_r.reshape(*lead, n, m), out_i.reshape(*lead, n, m)
+
+
+# --------------------------------------------------------------------- #
+# Four-step companion: rows-FFT with fused outer twiddle and transposed
+# block output (the two HBM-pass large-N path).
+# --------------------------------------------------------------------- #
+def _kernel_rows_t(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
+                   scale, bt, outer):
+    """Like `_kernel` but:
+
+    * optionally applies the OUTER four-step twiddle
+      tw[k1, m2] = exp(sign*2pi*i*k1*m2/N) to the input in-register, where
+      k1 is this block's global row index within the outer factor — fusing
+      fourstep's separate twiddle pass into the kernel (one HBM round trip
+      saved);
+    * writes the output block TRANSPOSED ([n, bt] into an [*, n, R] array),
+      so the four-step's final corner-turn flatten X[k1 + R*k2] = D[k1,k2]
+      happens in the output BlockSpec instead of an extra HBM transpose
+      (a second round trip saved).
+    """
+    ar = xr_ref[0]  # [bt, n]
+    ai = xi_ref[0]
+
+    if outer is not None:
+        outer_n1, outer_n = outer
+        i = pl.program_id(1)
+        k1 = (i * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, n), 0)).astype(jnp.float32)
+        m2 = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 1).astype(jnp.float32)
+        t = k1 * m2
+        r = t - outer_n * jnp.floor(t / outer_n)
+        theta = (sign * 2.0 * math.pi / outer_n) * r
+        twr = jnp.cos(theta)
+        twi = jnp.sin(theta)
+        ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
+
+    w1r, w1i = _gen_dft(n1, n1, n1, sign)
+    itwr, itwi = _gen_twiddle(n1, n2, n, sign)
+    w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
+
+    a3r = ar.reshape(bt, n1, n2)
+    a3i = ai.reshape(bt, n1, n2)
+    br, bi = _cdot(w1r, w1r + w1i, w1i - w1r, a3r, a3i, ((1,), (1,)))
+    cr = br * itwr[:, None, :] - bi * itwi[:, None, :]
+    ci = br * itwi[:, None, :] + bi * itwr[:, None, :]
+    dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (2,)))
+
+    or_ref[0] = dr.reshape(n, bt)  # already [k, row] — no transpose
+    oi_ref[0] = di.reshape(n, bt)
+
+
+def fft_rows_transposed_split(re, im, sign, scale=None, *, outer=None,
+                              interpret=False):
+    """FFT each length-n row of [..., R, n]; returns [..., n, R] (the
+    transposed result), optionally pre-multiplying row r by the outer
+    four-step twiddle exp(sign*2pi*i*r*m/outer_n).
+
+    This is the second pass of the two-HBM-pass four-step (see
+    ops/fourstep.py).
+    """
+    n = re.shape[-1]
+    if not _supported(n):
+        raise Unsupported(f"n={n} outside fused kernel envelope")
+    R = re.shape[-2]
+    lead = re.shape[:-2]
+    b = int(np.prod(lead)) if lead else 1
+    re3 = re.reshape(b, R, n)
+    im3 = im.reshape(b, R, n)
+
+    bt = 128
+    pad = (-R) % bt
+    if pad:
+        re3 = jnp.pad(re3, ((0, 0), (0, pad), (0, 0)))
+        im3 = jnp.pad(im3, ((0, 0), (0, pad), (0, 0)))
+    Rp = R + pad
+
+    n1, n2 = _choose_split(n)
+    kern = functools.partial(
+        _kernel_rows_t, n=n, n1=n1, n2=n2, sign=sign,
+        scale=float(scale) if scale is not None else 1.0, bt=bt, outer=outer,
+    )
+    grid = (b, Rp // bt)
+    in_spec = pl.BlockSpec((1, bt, n), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, n, bt), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[in_spec, in_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, Rp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(8 * n * (n1 + n2) + 6 * n) * b * Rp,
+            bytes_accessed=4 * b * Rp * n * 4,
+            transcendentals=2 * (n1 * n1 + n1 * n2 + n2 * n2),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(re3, im3)
+
+    if pad:
+        out_r = out_r[..., :R]
+        out_i = out_i[..., :R]
+    return out_r.reshape(*lead, n, R), out_i.reshape(*lead, n, R)

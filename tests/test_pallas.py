@@ -83,3 +83,33 @@ def test_axis0_kernel_unsupported():
         pallas_fft.fft_axis0_split(
             np.float32(x.real), np.float32(x.imag), -1, None, interpret=True
         )
+
+
+def test_rows_transposed_kernel(rng, assert_close):
+    # the two-pass four-step second stage: rows FFT + transposed output
+    x = crand(rng, 3, 200, 512)
+    re = np.ascontiguousarray(x.real, np.float32)
+    im = np.ascontiguousarray(x.imag, np.float32)
+    rr, ii = pallas_fft.fft_rows_transposed_split(re, im, -1, None, interpret=True)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    want = np.swapaxes(np.fft.fft(x, axis=-1), -1, -2)
+    assert_close(got, want)
+
+
+def test_rows_transposed_with_outer_twiddle(rng, assert_close):
+    # full two-pass four-step at n = 512*512 = 2^18, checked vs numpy
+    n1 = n2 = 512
+    n = n1 * n2
+    x = crand(rng, n)
+    a = x.reshape(n1, n2)
+    b = np.fft.fft(a, axis=0)  # stage-1 column FFT
+    rr, ii = pallas_fft.fft_rows_transposed_split(
+        np.ascontiguousarray(b.real, np.float32),
+        np.ascontiguousarray(b.imag, np.float32),
+        -1,
+        None,
+        outer=(n1, n),
+        interpret=True,
+    )
+    got = (np.asarray(rr) + 1j * np.asarray(ii)).reshape(n)
+    assert_close(got, np.fft.fft(x), what="(two-pass 2^18)")
