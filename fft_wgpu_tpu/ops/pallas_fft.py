@@ -57,7 +57,7 @@ from ..core import twiddle as _tw
 
 __all__ = ["fft_batched_split", "Unsupported", "FUSED_MIN_N", "FUSED_MAX_N"]
 
-FUSED_MIN_N = 256
+FUSED_MIN_N = 128
 FUSED_MAX_N = 8192  # 16384 exceeds VMEM (122 MiB scoped) with 128-row tiles
 
 _MM_PREC = jax.lax.Precision.HIGHEST
@@ -164,14 +164,18 @@ def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
     ar = xr_ref[:].reshape(bt, n1, n2)
     ai = xi_ref[:].reshape(bt, n1, n2)
 
-    # ---- stage 1 (+ fused corner turn): [k1, bt, n2] = W1 . A over m1 ----
-    br, bi = _cdot(w1r, w1r + w1i, w1i - w1r, ar, ai, ((1,), (1,)))
+    if n1 == 1:  # n == 128: single-stage DFT, no inter-factor twiddle
+        cr = jnp.swapaxes(ar, 0, 1)
+        ci = jnp.swapaxes(ai, 0, 1)
+    else:
+        # ---- stage 1 (+ fused corner turn): [k1, bt, n2] = W1 . A ----
+        br, bi = _cdot(w1r, w1r + w1i, w1i - w1r, ar, ai, ((1,), (1,)))
 
-    # ---- inter-factor twiddle tw[k1, n2], broadcast over batch (VPU) ----
-    twr = twr[:, None, :]
-    twi = twi[:, None, :]
-    cr = br * twr - bi * twi
-    ci = br * twi + bi * twr
+        # ---- inter-factor twiddle tw[k1, n2] over batch (VPU) ----
+        twr = twr[:, None, :]
+        twi = twi[:, None, :]
+        cr = br * twr - bi * twi
+        ci = br * twi + bi * twr
 
     # ---- stage 2 (+ fused corner turn): [k2, k1, bt] = W2 . C over m2 ----
     dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (2,)))
@@ -271,14 +275,17 @@ def _kernel_ax0(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
     ar = xr_ref[0].reshape(n1, n2, 128)
     ai = xi_ref[0].reshape(n1, n2, 128)
 
-    # stage 1: contract m1 (dim 0) -> [k1, n2, b]
-    br, bi = _cdot(w1r, w1r + w1i, w1i - w1r, ar, ai, ((1,), (0,)))
+    if n1 == 1:  # n == 128: single-stage DFT
+        cr, ci = ar, ai
+    else:
+        # stage 1: contract m1 (dim 0) -> [k1, n2, b]
+        br, bi = _cdot(w1r, w1r + w1i, w1i - w1r, ar, ai, ((1,), (0,)))
 
-    # twiddle tw[k1, n2] over the lane (batch) axis
-    twr = twr[:, :, None]
-    twi = twi[:, :, None]
-    cr = br * twr - bi * twi
-    ci = br * twi + bi * twr
+        # twiddle tw[k1, n2] over the lane (batch) axis
+        twr = twr[:, :, None]
+        twi = twi[:, :, None]
+        cr = br * twr - bi * twi
+        ci = br * twi + bi * twr
 
     # stage 2: contract m2 (dim 1) -> [k2, k1, b]; sublane-merge to [n, b]
     dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
@@ -382,9 +389,13 @@ def _kernel_rows_t(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
 
     a3r = ar.reshape(bt, n1, n2)
     a3i = ai.reshape(bt, n1, n2)
-    br, bi = _cdot(w1r, w1r + w1i, w1i - w1r, a3r, a3i, ((1,), (1,)))
-    cr = br * itwr[:, None, :] - bi * itwi[:, None, :]
-    ci = br * itwi[:, None, :] + bi * itwr[:, None, :]
+    if n1 == 1:  # n == 128: single-stage DFT
+        cr = jnp.swapaxes(a3r, 0, 1)
+        ci = jnp.swapaxes(a3i, 0, 1)
+    else:
+        br, bi = _cdot(w1r, w1r + w1i, w1i - w1r, a3r, a3i, ((1,), (1,)))
+        cr = br * itwr[:, None, :] - bi * itwi[:, None, :]
+        ci = br * itwi[:, None, :] + bi * itwr[:, None, :]
     dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (2,)))
 
     or_ref[0] = dr.reshape(n, bt)  # already [k, row] — no transpose

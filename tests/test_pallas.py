@@ -58,10 +58,16 @@ def test_leading_dims_flattened(rng, assert_close):
 
 def test_unsupported_shapes_raise():
     rng = np.random.default_rng(0)
-    for n in [128, 32768, 120, 512 + 128]:
+    for n in [64, 32768, 120, 512 + 128]:  # small, big, non-pow2, non-pow2
         x = crand(rng, 2, n)
         with pytest.raises(pallas_fft.Unsupported):
             run(x, -1)
+
+
+def test_n128_single_stage(rng, assert_close):
+    # n=128 degenerates to the single lane-factor DFT stage
+    x = crand(rng, 4, 128)
+    assert_close(run(x, -1), np.fft.fft(x, axis=-1))
 
 
 @pytest.mark.parametrize("shape", [(512, 100), (3, 1024, 130), (4096, 128)])
