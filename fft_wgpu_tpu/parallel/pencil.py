@@ -40,7 +40,7 @@ try:  # jax >= 0.6 moved shard_map out of experimental
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["fft3d", "ifft3d", "fft2d", "ifft2d", "fft1d_distributed"]
+__all__ = ["fft3d", "ifft3d", "fft2d", "ifft2d", "fft1d_distributed", "rfft3d", "irfft3d"]
 
 
 def _fft_axis_local(re, im, axis, sign, scale):
@@ -235,3 +235,98 @@ def fft1d_distributed(x, mesh: Mesh | None = None, *, inverse=False, norm=None):
     )
     rr, ii = jax.jit(fn)(re, im, jnp.asarray(twr_g), jnp.asarray(twi_g))
     return merge(rr, ii)
+
+
+# --------------------------------------------------------------------- #
+# 3-D R2C / C2R pencil transforms (real simulation data)
+# --------------------------------------------------------------------- #
+def rfft3d(x, mesh: Mesh | None = None, norm=None):
+    """Distributed 3-D R2C: rfft over Z locally, then complex pencil FFTs
+    over Y and X. Input real [X, Y, Z] sharded (px, py, -); output complex
+    [X, Y, Z//2+1] with the same (px, py, -) distribution."""
+    mesh = mesh or make_pencil_mesh()
+    ax, ay = mesh.axis_names
+    X, Y, Z = jnp.shape(x)
+    scale = _nd_scale((X, Y, Z), norm, FORWARD)
+
+    def local(xr):
+        from ..ops.rfft import _rfft_even_split
+        from ..ops.nd import fftn_split
+
+        if Z % 2 == 0 and Z >= 2:
+            re, im = _rfft_even_split(xr, None)           # [Xl, Yl, Z/2+1]
+        else:
+            re, im = fftn_split(xr, jnp.zeros_like(xr), (2,), FORWARD, None)
+            re, im = re[..., : Z // 2 + 1], im[..., : Z // 2 + 1]
+        # pad the half-spectrum axis to a multiple of the mesh for a2a
+        nb = re.shape[-1]
+        pad = (-nb) % mesh.devices.shape[1]
+        if pad:
+            re = jnp.pad(re, ((0, 0), (0, 0), (0, pad)))
+            im = jnp.pad(im, ((0, 0), (0, 0), (0, pad)))
+        re, im = _a2a((re, im), ay, 2, 1)                 # [Xl, Y, Kz/py]
+        re, im = _fft_axis_local(re, im, 1, FORWARD, None)
+        re, im = _a2a((re, im), ax, 1, 0)                 # [X, Y/px, Kz/py]
+        re, im = _fft_axis_local(re, im, 0, FORWARD, scale)
+        re, im = _a2a((re, im), ax, 0, 1)                 # [X/px, Y, Kz/py]
+        re, im = _a2a((re, im), ay, 1, 2)                 # [X/px, Y/py, Kz]
+        return re, im
+
+    in_spec = P(ax, ay, None)
+    xr = jnp.asarray(x, jnp.float32)
+    fn = shard_map(local, mesh=mesh, in_specs=(in_spec,),
+                   out_specs=(in_spec, in_spec))
+    re, im = jax.jit(fn)(xr)
+    nb = Z // 2 + 1
+    return merge(re[..., :nb], im[..., :nb])
+
+
+def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None):
+    """Distributed 3-D C2R inverse of :func:`rfft3d`.
+
+    `n_last` is the real length of the Z axis (numpy irfft `n`)."""
+    mesh = mesh or make_pencil_mesh()
+    ax, ay = mesh.axis_names
+    re, im = promote_to_split(X)
+    Xn, Yn, nb = re.shape
+    total = Xn * Yn * n_last
+    if norm in (None, "backward"):
+        scale = 1.0 / (Xn * Yn)  # Z-axis 1/n handled by the C2R step
+    elif norm == "ortho":
+        scale = total**-0.5 * (n_last**0.5)
+    elif norm == "forward":
+        scale = None
+    else:
+        raise ValueError(f"invalid norm {norm!r}")
+
+    def local(re, im):
+        from ..ops.rfft import _irfft_even_split
+
+        pad = (-re.shape[-1]) % mesh.devices.shape[1]
+        if pad:
+            re2 = jnp.pad(re, ((0, 0), (0, 0), (0, pad)))
+            im2 = jnp.pad(im, ((0, 0), (0, 0), (0, pad)))
+        else:
+            re2, im2 = re, im
+        re2, im2 = _a2a((re2, im2), ay, 2, 1)             # [Xl, Y, K/py]
+        re2, im2 = _fft_axis_local(re2, im2, 1, INVERSE, None)
+        re2, im2 = _a2a((re2, im2), ax, 1, 0)             # [X, Y/px, K/py]
+        re2, im2 = _fft_axis_local(re2, im2, 0, INVERSE, scale)
+        re2, im2 = _a2a((re2, im2), ax, 0, 1)
+        re2, im2 = _a2a((re2, im2), ay, 1, 2)             # [X/px, Y/py, K]
+        re2 = re2[..., :nb]
+        im2 = im2[..., :nb]
+        if n_last % 2 == 0 and n_last >= 2:
+            out = _irfft_even_split(re2, im2, n_last, None)
+        else:
+            from ..ops.rfft import _hermitian_extend
+            from ..ops.nd import fftn_split
+
+            fr, fi = _hermitian_extend(re2, im2, n_last)
+            out, _ = fftn_split(fr, fi, (2,), INVERSE, 1.0 / n_last)
+        return out
+
+    in_spec = P(ax, ay, None)
+    fn = shard_map(local, mesh=mesh, in_specs=(in_spec, in_spec),
+                   out_specs=in_spec)
+    return jax.jit(fn)(re, im)

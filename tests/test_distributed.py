@@ -79,3 +79,18 @@ def test_fft3d_norms(rng, assert_close):
             np.fft.fftn(x, norm=norm or "backward"),
             what=f"norm={norm}",
         )
+
+
+def test_rfft3d_pencil(rng, assert_close):
+    m = meshlib.make_pencil_mesh()
+    x = rng.standard_normal((16, 16, 32)).astype(np.float32)
+    got = pencil.rfft3d(x, m)
+    assert_close(got, np.fft.rfftn(x), what="pencil rfft3d")
+
+
+def test_irfft3d_roundtrip(rng, assert_close):
+    m = meshlib.make_pencil_mesh()
+    x = rng.standard_normal((8, 16, 32)).astype(np.float32)
+    X = pencil.rfft3d(x, m)
+    back = pencil.irfft3d(X, n_last=32, mesh=m)
+    assert_close(back, x, what="rfft3d roundtrip")
