@@ -187,12 +187,16 @@ def main():
     # secondary configs (stderr, not the headline line)
     try:
         signal.alarm(900)
-        for n2, b2, tag in [(1 << 20, 4, "N=2^20 four-step")]:
+        for n2, b2, passes, tag in [
+            (1 << 20, 1, 2, "N=2^20 single-shot (four-step)"),
+            (512, 2500, 1, "reference shape 2500x512"),
+        ]:
             dt2, rt2, _ = bench_batched_1d(n2, b2, iters=8)
-            r2 = roofline(n2, b2, dt2, passes=2, device=dev)
+            r2 = roofline(n2, b2, dt2, passes=passes, device=dev)
             print(
                 f"# {tag}: {dt2*1e3:.3f} ms, {r2['gflops']:.0f} GFLOP/s, "
-                f"{r2['fraction']:.1%} of 2-pass roofline, roundtrip={rt2:.2e}",
+                f"{r2['fraction']:.1%} of {passes}-pass roofline, "
+                f"roundtrip={rt2:.2e}",
                 file=sys.stderr,
             )
         signal.alarm(0)

@@ -241,6 +241,8 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
 
     lead = re.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
+    if rows == 0:
+        return re, im  # empty batch: nothing to transform
     re2 = re.reshape(rows, n)
     im2 = im.reshape(rows, n)
 

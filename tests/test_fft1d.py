@@ -119,3 +119,9 @@ def test_jit_and_grad():
     np.testing.assert_allclose(
         np.asarray(g), 2 * 64 * np.arange(64.0), rtol=1e-4, atol=1e-2
     )
+
+
+def test_empty_batch(rng):
+    x = np.zeros((0, 256), np.complex64)
+    out = np.asarray(ftt.fft(x))
+    assert out.shape == (0, 256)
