@@ -11,6 +11,7 @@ from .core.reference import naive_dft, naive_idft
 from .ops.helpers import fft_convolve, fftfreq, fftshift, ifftshift, rfftfreq
 from .ops.nd import fft2, fftn, ifft2, ifftn
 from .ops.rfft import irfft, irfft2, irfftn, rfft, rfft2, rfftn
+from .ops.stft import hamming_window, hann_window, istft, stft
 from .ops.transforms import fft, ifft, ifft_unnormalized, normalize
 from .plan.parity import Forward, Inverse, Normalize, Onlyinverse
 from .plan.plan import Plan, plan
@@ -36,6 +37,10 @@ __all__ = [
     "fftfreq",
     "rfftfreq",
     "fft_convolve",
+    "stft",
+    "istft",
+    "hann_window",
+    "hamming_window",
     "ifft_unnormalized",
     "normalize",
     "plan",

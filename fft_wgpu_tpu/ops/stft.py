@@ -1,0 +1,94 @@
+"""STFT / ISTFT and window functions (scipy.signal-style semantics).
+
+Framework completeness layer: short-time transforms built on the batched
+R2C pipeline — framing is a reshape/gather, the hot loop is the fused
+Pallas rfft, and everything composes under one jit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .rfft import irfft, rfft
+
+__all__ = ["hann_window", "hamming_window", "stft", "istft"]
+
+
+def hann_window(n: int, *, periodic: bool = True):
+    m = n if periodic else n - 1
+    k = np.arange(n, dtype=np.float64)
+    return jnp.asarray((0.5 - 0.5 * np.cos(2 * np.pi * k / m)).astype(np.float32))
+
+
+def hamming_window(n: int, *, periodic: bool = True):
+    m = n if periodic else n - 1
+    k = np.arange(n, dtype=np.float64)
+    return jnp.asarray((0.54 - 0.46 * np.cos(2 * np.pi * k / m)).astype(np.float32))
+
+
+def _frame(x, frame_len: int, hop: int):
+    """[..., t] -> [..., num_frames, frame_len] by strided windowing."""
+    t = x.shape[-1]
+    num = 1 + (t - frame_len) // hop
+    idx = (np.arange(num)[:, None] * hop + np.arange(frame_len)[None, :])
+    return x[..., idx]
+
+
+def stft(x, n_fft: int = 512, hop_length: int | None = None, window=None,
+         center: bool = True):
+    """Short-time Fourier transform of a real signal.
+
+    Returns complex [..., n_fft//2 + 1, num_frames] (librosa-style layout).
+    """
+    hop = hop_length or n_fft // 4
+    x = jnp.asarray(x, jnp.float32)
+    if window is None:
+        window = hann_window(n_fft)
+    if center:
+        pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        x = jnp.pad(x, pad, mode="reflect")
+
+    def impl(v):
+        frames = _frame(v, n_fft, hop) * window  # [..., num, n_fft]
+        spec = rfft(frames, axis=-1)             # [..., num, n_fft//2+1]
+        return jnp.swapaxes(spec, -1, -2)
+
+    return jax.jit(impl)(x)
+
+
+def istft(Z, n_fft: int = 512, hop_length: int | None = None, window=None,
+          center: bool = True, length: int | None = None):
+    """Inverse STFT via windowed overlap-add (COLA normalization)."""
+    hop = hop_length or n_fft // 4
+    if window is None:
+        window = hann_window(n_fft)
+
+    def impl(spec):
+        frames = irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+        frames = frames * window  # [..., num, n_fft]
+        num = frames.shape[-2]
+        t = n_fft + hop * (num - 1)
+        lead = frames.shape[:-2]
+
+        idx = (
+            np.arange(num)[:, None] * hop + np.arange(n_fft)[None, :]
+        ).ravel()
+        flat = frames.reshape(*lead, num * n_fft)
+        out = jnp.zeros((*lead, t), jnp.float32).at[..., idx].add(flat)
+
+        wsq = (np.asarray(window) ** 2).astype(np.float32)
+        norm = np.zeros(t, np.float32)
+        np.add.at(norm, idx, np.tile(wsq, num))
+        norm = np.where(norm > 1e-8, norm, 1.0)
+        return out / jnp.asarray(norm)
+
+    y = jax.jit(impl)(jnp.asarray(Z))
+    if center:
+        y = y[..., n_fft // 2 : y.shape[-1] - n_fft // 2]
+    if length is not None:
+        y = y[..., :length]
+    return y
