@@ -15,14 +15,15 @@ turns:
                                         folded here)
     4. X[k1 + n1*k2] = D[k1, k2]       (transpose-flatten)
 
-HBM traffic is ~3 round trips (the corner turns are fundamental — the
-"sequence scaling" story of SURVEY §5); roofline accounting in the bench
-harness reflects that.
+On TPU the whole transform is TWO HBM round trips: pass 1 is the
+transpose-free axis(-2) kernel, and pass 2 fuses the inter-factor twiddle
+(generated in-register) and the final corner-turn flatten into the rows
+kernel's transposed output BlockSpecs (see pallas_fft.fft_rows_transposed_
+split).  The CPU/fallback path uses an explicit twiddle plane and an XLA
+corner turn (~3-4 round trips).
 """
 
 from __future__ import annotations
-
-import math
 
 import jax.numpy as jnp
 

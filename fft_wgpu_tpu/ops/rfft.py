@@ -12,11 +12,8 @@ whole transform traces into one jitted program.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.complex_utils import merge, promote_to_split
 from ..core.twiddle import FORWARD, INVERSE, halfcomplex_twiddle_np

@@ -7,8 +7,6 @@ Pallas rfft, and everything composes under one jit.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

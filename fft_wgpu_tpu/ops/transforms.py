@@ -15,7 +15,7 @@ import math
 
 import jax.numpy as jnp
 
-from ..core.complex_utils import merge, promote_to_split
+from ..core.complex_utils import promote_to_split
 from ..core.twiddle import FORWARD, INVERSE
 from ..plan.plan import get_plan
 

@@ -22,7 +22,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..core import factor as _factor
 from ..core.complex_utils import merge, promote_to_split
 from ..core.twiddle import FORWARD, INVERSE
 from ..ops import stockham

@@ -11,7 +11,6 @@ The reference relies on WGSL implicit bounds clamping and per-stage
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
