@@ -72,11 +72,23 @@ class Plan:
         if self.executor != "auto":
             return self.executor
         n = self.n
-        if _backend() == "tpu" and _is_pow2(n):
-            if FUSED_MIN_N <= n <= FUSED_MAX_N:
-                return "pallas"
-            if n > FUSED_MAX_N:
-                return "fourstep"
+        if _backend() == "tpu":
+            # native C++ planner (the reference's plan-construction role,
+            # processor.rs:19-108); python fallback mirrors it exactly
+            from ..core.factor import MAX_DIRECT
+            from ..ops.bluestein import BLUESTEIN_MIN
+            from ..utils import native
+
+            choice = native.plan_choice(
+                n, MAX_DIRECT, FUSED_MIN_N, FUSED_MAX_N, BLUESTEIN_MIN
+            )
+            if choice is not None:
+                return choice[0]
+            if _is_pow2(n):
+                if FUSED_MIN_N <= n <= FUSED_MAX_N:
+                    return "pallas"
+                if n > FUSED_MAX_N:
+                    return "fourstep"
         return "xla"
 
     # ------------------------------------------------------------------ #

@@ -75,6 +75,11 @@ def get_lib():
                 ctypes.c_int64,
             ]
             lib.fftcore_factorize.restype = ctypes.c_int64
+            lib.fftcore_plan.argtypes = [ctypes.c_int64] * 5 + [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.fftcore_plan.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib = None
@@ -104,6 +109,26 @@ def twiddle_f64(n1: int, n2: int, sign: int):
     wi = np.empty((n1, n2), dtype=np.float64)
     lib.fftcore_twiddle(n1, n2, sign, _dptr(wr), _dptr(wi))
     return wr, wi
+
+
+PLAN_EXECUTORS = {0: "direct", 1: "pallas", 2: "fourstep", 3: "xla", 4: "xla"}
+
+
+def plan_choice(n: int, max_direct: int, fused_min: int, fused_max: int,
+                bluestein_min: int):
+    """Native plan decision: (executor_name, n1, n2), or None without the
+    C++ core.  Code 4 (Bluestein) executes through the xla path, which
+    dispatches to the chirp-z module for non-smooth lengths."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n1 = ctypes.c_int64(0)
+    n2 = ctypes.c_int64(0)
+    code = lib.fftcore_plan(
+        n, max_direct, fused_min, fused_max, bluestein_min,
+        ctypes.byref(n1), ctypes.byref(n2),
+    )
+    return PLAN_EXECUTORS[int(code)], int(n1.value), int(n2.value)
 
 
 def factorize(n: int, max_radix: int):
