@@ -10,7 +10,7 @@ sharded multi-chip transforms via `shard_map` + all-to-all over ICI.
 from .core.reference import naive_dft, naive_idft
 from .ops.helpers import fft_convolve, fftfreq, fftshift, ifftshift, rfftfreq
 from .ops.nd import fft2, fftn, ifft2, ifftn
-from .ops.rfft import irfft, irfft2, irfftn, rfft, rfft2, rfftn
+from .ops.rfft import hfft, ihfft, irfft, irfft2, irfftn, rfft, rfft2, rfftn
 from .ops.stft import hamming_window, hann_window, istft, stft
 from .ops.transforms import fft, ifft, ifft_unnormalized, normalize
 from .plan.parity import Forward, Inverse, Normalize, Onlyinverse
@@ -32,6 +32,8 @@ __all__ = [
     "irfft2",
     "rfftn",
     "irfftn",
+    "hfft",
+    "ihfft",
     "fftshift",
     "ifftshift",
     "fftfreq",

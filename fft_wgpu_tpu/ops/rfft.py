@@ -19,7 +19,7 @@ from ..core.complex_utils import merge, promote_to_split
 from ..core.twiddle import FORWARD, INVERSE, halfcomplex_twiddle_np
 from .nd import _norm_axes, fftn_split
 
-__all__ = ["rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn"]
+__all__ = ["rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn", "hfft", "ihfft"]
 
 
 def _scales(n, norm, inverse):
@@ -225,3 +225,34 @@ def rfft2(x, s=None, axes=(-2, -1), norm=None):
 
 def irfft2(x, s=None, axes=(-2, -1), norm=None):
     return irfftn(x, s=s, axes=list(axes), norm=norm)
+
+
+def hfft(x, n=None, axis: int = -1, norm=None):
+    """FFT of a signal with Hermitian symmetry -> real output
+    (numpy.fft.hfft semantics): hfft(x, n) == irfft(conj(x), n) * n."""
+    Xr, Xi = promote_to_split(x)
+    length = n if n is not None else 2 * (Xr.shape[axis] - 1)
+    y = irfft(merge(Xr, -Xi), n=length, axis=axis, norm=None)
+    if norm in (None, "backward"):
+        return y * jnp.float32(length)
+    if norm == "ortho":
+        return y * jnp.float32(length**0.5)
+    if norm == "forward":
+        return y
+    raise ValueError(f"invalid norm {norm!r}")
+
+
+def ihfft(x, n=None, axis: int = -1, norm=None):
+    """Inverse of hfft: real input -> half-spectrum with conjugate flip."""
+    X = rfft(x, n=n, axis=axis, norm=None)
+    length = n if n is not None else jnp.shape(x)[axis]
+    Xr, Xi = promote_to_split(X)
+    if norm in (None, "backward"):
+        s = 1.0 / length
+    elif norm == "ortho":
+        s = length**-0.5
+    elif norm == "forward":
+        s = 1.0
+    else:
+        raise ValueError(f"invalid norm {norm!r}")
+    return merge(Xr * jnp.float32(s), -Xi * jnp.float32(s))

@@ -60,3 +60,12 @@ def test_rfft_rejects_complex(rng):
     z = (rng.standard_normal(16) + 1j * rng.standard_normal(16)).astype(np.complex64)
     with pytest.raises(TypeError):
         ftt.rfft(z)
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_hfft_ihfft(norm, rng, assert_close):
+    n = 256
+    X = (rng.standard_normal(n // 2 + 1) + 1j * rng.standard_normal(n // 2 + 1)).astype(np.complex64)
+    assert_close(ftt.hfft(X, n=n, norm=norm), np.fft.hfft(X, n=n, norm=norm or "backward"))
+    x = rng.standard_normal(n).astype(np.float32)
+    assert_close(ftt.ihfft(x, norm=norm), np.fft.ihfft(x, norm=norm or "backward"))
