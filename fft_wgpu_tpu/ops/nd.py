@@ -33,7 +33,28 @@ def _norm_axes(ndim, s, axes):
 
 def fftn_split(re, im, axes, sign, scale, executor="auto"):
     """Apply the 1-D executor along each axis; scale applied once at the end."""
+    import jax as _jax
+
     from ..plan.plan import get_plan
+
+    # TPU fast path: a trailing-2D transform runs as two transposed-rows
+    # Pallas passes with zero explicit transposes (pallas_fft.fft2_split).
+    nd = re.ndim
+    if (
+        executor in ("auto", "pallas")
+        and _jax.default_backend() == "tpu"
+        and sorted(a % nd for a in axes) == [nd - 2, nd - 1]
+        and len(axes) == 2
+    ):
+        try:
+            from . import pallas_fft
+        except ImportError:
+            pass
+        else:
+            try:
+                return pallas_fft.fft2_split(re, im, sign, scale)
+            except pallas_fft.Unsupported:
+                pass
 
     for ax in axes:
         # the plan layer picks the right executor per axis; axis -2 runs

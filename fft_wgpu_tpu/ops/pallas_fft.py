@@ -501,3 +501,22 @@ def fft_rows_transposed_split(re, im, sign, scale=None, *, outer=None,
         out_r = out_r[..., :R]
         out_i = out_i[..., :R]
     return out_r.reshape(*lead, n, R), out_i.reshape(*lead, n, R)
+
+
+def fft2_split(re, im, sign, scale=None, *, interpret=False):
+    """2-D FFT over the last two axes as TWO transposed-rows passes.
+
+    fft_rows_transposed_split computes row FFTs and emits the transposed
+    plane, so applying it twice yields the full 2-D transform back in
+    natural [ka, kb] order with no explicit transpose anywhere:
+
+        pass 1: X[a, b]   -> Y[kb, a]   (FFT over b)
+        pass 2: Y[kb, a]  -> Z[ka, kb]  (FFT over a; output scale folded)
+
+    Both axes must be in the fused envelope; caller falls back otherwise.
+    """
+    A, B = re.shape[-2], re.shape[-1]
+    if not (_supported(A) and _supported(B)):
+        raise Unsupported(f"fft2 axes ({A},{B}) outside fused envelope")
+    r1, i1 = fft_rows_transposed_split(re, im, sign, None, interpret=interpret)
+    return fft_rows_transposed_split(r1, i1, sign, scale, interpret=interpret)

@@ -119,3 +119,16 @@ def test_rows_transposed_with_outer_twiddle(rng, assert_close):
     )
     got = (np.asarray(rr) + 1j * np.asarray(ii)).reshape(n)
     assert_close(got, np.fft.fft(x), what="(two-pass 2^18)")
+
+
+def test_fft2_two_pass(rng, assert_close):
+    x = crand(rng, 3, 256, 512)
+    re = np.ascontiguousarray(x.real, np.float32)
+    im = np.ascontiguousarray(x.imag, np.float32)
+    rr, ii = pallas_fft.fft2_split(re, im, -1, None, interpret=True)
+    assert_close(np.asarray(rr) + 1j * np.asarray(ii),
+                 np.fft.fft2(x, axes=(-2, -1)))
+    n_tot = 256 * 512
+    rr, ii = pallas_fft.fft2_split(re, im, +1, 1.0 / n_tot, interpret=True)
+    assert_close(np.asarray(rr) + 1j * np.asarray(ii),
+                 np.fft.ifft2(x, axes=(-2, -1)))
