@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..ops.rfft import irfft, rfft
 
-__all__ = ["init_fno1d", "fno1d_apply", "mse_loss", "train_step"]
+__all__ = ["init_fno1d", "fno1d_apply", "init_fno2d", "fno2d_apply", "mse_loss", "train_step"]
 
 
 def _glorot(key, shape, scale):
@@ -83,3 +83,57 @@ def train_step(params, x, y, lr=1e-3):
     loss, grads = jax.value_and_grad(mse_loss)(params, x, y)
     params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
     return params, loss
+
+
+# --------------------------------------------------------------------- #
+# 2-D spectral operator (FNO2d) — drives the two-pass fft2 kernels
+# --------------------------------------------------------------------- #
+def init_fno2d(key, *, modes=(16, 16), width=32, depth=2, in_ch=1, out_ch=1):
+    """Parameter pytree for a 2-D FNO over [batch, H, W, ch] fields."""
+    keys = jax.random.split(key, 2 + 4 * depth)
+    params = {
+        "lift": _glorot(keys[0], (in_ch, width), (2.0 / (in_ch + width)) ** 0.5),
+        "proj": _glorot(keys[1], (width, out_ch), (2.0 / (width + out_ch)) ** 0.5),
+        "blocks": [],
+    }
+    m1, m2 = modes
+    s = 1.0 / (width * m1 * m2) ** 0.5
+    for d in range(depth):
+        k = keys[2 + 4 * d : 6 + 4 * d]
+        params["blocks"].append(
+            {
+                "wr": _glorot(k[0], (m1, m2, width, width), s),
+                "wi": _glorot(k[1], (m1, m2, width, width), s),
+                "pw": _glorot(k[2], (width, width), (1.0 / width) ** 0.5),
+                "b": jnp.zeros((width,), jnp.float32),
+            }
+        )
+    return params
+
+
+def _spectral_conv2d(block, x, modes):
+    """x [batch, H, W, ch]: 2-D spectral multiply on low modes."""
+    from ..ops.nd import fft2, ifft2
+
+    b, h, w, c = x.shape
+    m1, m2 = modes
+    # channels-last complex transform over (H, W)
+    X = fft2(jnp.moveaxis(x, -1, 1), axes=(-2, -1))  # [b, c, H, W]
+    Xr = jnp.real(X)[:, :, :m1, :m2]
+    Xi = jnp.imag(X)[:, :, :m1, :m2]
+    wr, wi = block["wr"], block["wi"]
+    Yr = jnp.einsum("bcij,ijco->boij", Xr, wr) - jnp.einsum("bcij,ijco->boij", Xi, wi)
+    Yi = jnp.einsum("bcij,ijco->boij", Xr, wi) + jnp.einsum("bcij,ijco->boij", Xi, wr)
+    pad = [(0, 0), (0, 0), (0, h - m1), (0, w - m2)]
+    Y = jax.lax.complex(jnp.pad(Yr, pad), jnp.pad(Yi, pad))
+    y = jnp.real(ifft2(Y, axes=(-2, -1)))
+    return jnp.moveaxis(y, 1, -1)
+
+
+def fno2d_apply(params, x):
+    """Forward pass. x: [batch, H, W, in_ch] float32."""
+    h = x @ params["lift"]
+    modes = params["blocks"][0]["wr"].shape[:2]
+    for blk in params["blocks"]:
+        h = jax.nn.gelu(_spectral_conv2d(blk, h, modes) + h @ blk["pw"] + blk["b"])
+    return h @ params["proj"]

@@ -45,3 +45,16 @@ def test_graft_dryrun_multichip_8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_fno2d_forward_and_grad():
+    from fft_wgpu_tpu.models.spectral import fno2d_apply, init_fno2d
+
+    params = init_fno2d(jax.random.PRNGKey(0), modes=(8, 8), width=8, depth=1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1), jnp.float32)
+    y = fno2d_apply(params, x)
+    assert y.shape == (2, 32, 32, 1)
+    loss = lambda p: jnp.mean(fno2d_apply(p, x) ** 2)
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
