@@ -141,18 +141,26 @@ class Plan:
         ax = axis % nd
         if ax == nd - 1:
             return self._execute_split(re, im, sign, scale)
-        if (
-            ax == nd - 2
-            and self.executor in ("auto", "pallas")
-            and _backend() == "tpu"
-        ):
+        if self.executor in ("auto", "pallas") and _backend() == "tpu":
+            # Any non-minor axis: flatten the trailing dims into one "lane
+            # batch" and run the transpose-free sublane-domain kernel — no
+            # moveaxis (= no HBM transpose) for ANY axis of an ND transform.
             try:
                 from ..ops import pallas_fft
             except ImportError:
                 pass
             else:
                 try:
-                    return pallas_fft.fft_axis0_split(re, im, sign, scale)
+                    shape = re.shape
+                    if ax == nd - 2:
+                        return pallas_fft.fft_axis0_split(re, im, sign, scale)
+                    trail = 1
+                    for d in shape[ax + 1:]:
+                        trail *= d
+                    re3 = re.reshape(*shape[: ax + 1], trail)
+                    im3 = im.reshape(*shape[: ax + 1], trail)
+                    rr, ii = pallas_fft.fft_axis0_split(re3, im3, sign, scale)
+                    return rr.reshape(shape), ii.reshape(shape)
                 except pallas_fft.Unsupported:
                     pass
         re = jnp.moveaxis(re, ax, -1)
