@@ -101,6 +101,13 @@ class Plan:
             )
         ex = self._resolve_executor()
         auto = self.executor == "auto"
+        if ex == "pallas" and auto:
+            rows = 1
+            for d in re.shape[:-1]:
+                rows *= d
+            if 0 < rows < 16:
+                # 128-row kernel tiles would be mostly padding
+                ex = "xla"
         if ex == "pallas":
             try:
                 from ..ops import pallas_fft
