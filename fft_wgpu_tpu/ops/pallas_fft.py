@@ -292,6 +292,21 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
 # --------------------------------------------------------------------- #
 # Axis(-2) kernel: transform down the sublane axis, batch in lanes.
 # --------------------------------------------------------------------- #
+
+def _choose_split_sublane(n: int) -> tuple[int, int]:
+    """Balanced split for the sublane-domain (axis -2) kernel.
+
+    Unlike the row kernel (whose lane-split pins n2 = 128), both factors
+    live on the sublane axis here, so the factorization is free: balanced
+    factors minimize MACs/point (n1 + n2) and keep both stages in the
+    single-dot real-matrix form (measured: (64,64) beats (32,128) by ~15%
+    at n = 4096).
+    """
+    e = n.bit_length() - 1
+    n1 = 1 << (e // 2)
+    return n1, n // n1
+
+
 def _kernel_ax0(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
     """Columns-FFT tile: block [1, n, 128] transforms each of the 128 lane
     columns along the sublane axis.
@@ -302,30 +317,41 @@ def _kernel_ax0(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
     why the planner prefers axis -2 transforms wherever layout allows
     (ND row-column passes, four-step stage 1).
     """
-    w1r, w1i = _gen_dft(n1, n1, n1, sign)
-    twr, twi = _gen_twiddle(n1, n2, n, sign)
-    w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
-
     ar = xr_ref[0].reshape(n1, n2, 128)
     ai = xi_ref[0].reshape(n1, n2, 128)
 
-    if n1 == 1:  # n == 128: single-stage DFT
+    if n1 == 1:  # single-stage DFT
         cr, ci = ar, ai
     else:
         # stage 1: contract m1 (dim 0) -> [k1, n2, b]
         if 2 * n1 <= 128:
             br, bi = _cdot_realcat(n1, sign, ar, ai, 0, ((1,), (0,)))
         else:
+            w1r, w1i = _gen_dft(n1, n1, n1, sign)
             br, bi = _cdot(w1r, w1r + w1i, w1i - w1r, ar, ai, ((1,), (0,)))
 
         # twiddle tw[k1, n2] over the lane (batch) axis
-        twr = twr[:, :, None]
-        twi = twi[:, :, None]
-        cr = br * twr - bi * twi
-        ci = br * twi + bi * twr
+        twr, twi = _gen_twiddle(n1, n2, n, sign)
+        cr = br * twr[:, :, None] - bi * twi[:, :, None]
+        ci = br * twi[:, :, None] + bi * twr[:, :, None]
 
     # stage 2: contract m2 (dim 1) -> [k2, k1, b]; sublane-merge to [n, b]
-    dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
+    if 2 * n2 <= 128 and scale == 1.0:
+        dr, di = _cdot_realcat(n2, sign, cr, ci, 1, ((1,), (1,)))
+    else:
+        w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
+        if 2 * n2 <= 128:
+            # realcat with folded scale: build the scaled big matrix inline
+            wbig = jnp.concatenate(
+                [jnp.concatenate([w2r, -w2i], axis=1),
+                 jnp.concatenate([w2i, w2r], axis=1)], axis=0)
+            xcat = jnp.concatenate([cr, ci], axis=1)
+            res = jax.lax.dot_general(
+                wbig, xcat, ((((1,), (1,))), ((), ())), precision=_MM_PREC,
+                preferred_element_type=jnp.float32)
+            dr, di = res[:n2], res[n2:]
+        else:
+            dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
     or_ref[0] = dr.reshape(n, 128)
     oi_ref[0] = di.reshape(n, 128)
 
@@ -351,7 +377,7 @@ def fft_axis0_split(re, im, sign, scale=None, *, interpret=False):
         im3 = jnp.pad(im3, ((0, 0), (0, 0), (0, pad)))
     mp = m + pad
 
-    n1, n2 = _choose_split(n)
+    n1, n2 = _choose_split_sublane(n)
     kern = functools.partial(
         _kernel_ax0, n=n, n1=n1, n2=n2, sign=sign,
         scale=float(scale) if scale is not None else 1.0,
