@@ -56,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fft_batched_split", "Unsupported", "FUSED_MIN_N", "FUSED_MAX_N"]
 
 FUSED_MIN_N = 128
-FUSED_MAX_N = 8192  # 16384 exceeds VMEM (122 MiB scoped) with 128-row tiles
+FUSED_MAX_N = 16384  # fits VMEM since the real-matrix stage-1 slimmed liveness
 
 _MM_PREC = jax.lax.Precision.HIGHEST
 

@@ -30,7 +30,7 @@ __all__ = ["Plan", "plan", "get_plan"]
 
 # Largest transform the fused VMEM-resident Pallas kernel handles per row
 # (re+im f32 working set must fit VMEM with double-buffering headroom).
-FUSED_MAX_N = 8192
+FUSED_MAX_N = 16384
 FUSED_MIN_N = 128
 
 

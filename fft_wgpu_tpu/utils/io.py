@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["device_get_complex", "device_put_complex"]
+__all__ = ["device_get_complex", "device_put_complex", "enable_persistent_compilation_cache"]
 
 
 @jax.jit
@@ -40,3 +40,20 @@ def device_put_complex(x: np.ndarray, device=None):
     re = jax.device_put(np.ascontiguousarray(x.real, np.float32), device)
     im = jax.device_put(np.ascontiguousarray(x.imag, np.float32), device)
     return jax.jit(jax.lax.complex)(re, im)
+
+
+def enable_persistent_compilation_cache(path: str = "~/.cache/fft_wgpu_tpu_xla"):
+    """Enable JAX's on-disk compilation cache for plan executables.
+
+    Remote-compile TPU runtimes can take minutes per kernel; with the
+    persistent cache, plan warmup after the first process start is
+    near-instant — the serving-deployment analogue of shipping precompiled
+    pipelines.
+    """
+    import os
+
+    p = os.path.expanduser(path)
+    os.makedirs(p, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", p)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return p

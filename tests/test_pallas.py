@@ -24,7 +24,7 @@ def run(x, sign, scale=None, **kw):
     return np.asarray(rr) + 1j * np.asarray(ii)
 
 
-@pytest.mark.parametrize("n", [256, 512, 1024, 4096, 8192])
+@pytest.mark.parametrize("n", [256, 512, 1024, 4096, 16384])
 def test_forward_matches_numpy(n, rng, assert_close):
     x = crand(rng, 4, n)
     assert_close(run(x, -1), np.fft.fft(x, axis=-1), what=f"(n={n})")
