@@ -84,14 +84,13 @@ def _choose_split(n: int) -> tuple[int, int]:
 
 
 def _row_tile(n: int) -> int:
-    """Rows per grid step: always 128.
+    """Rows per grid step (must be a multiple of 128: the kernel's
+    sublane<->lane shape casts need full-vreg minors).
 
-    The kernel's sublane<->lane shape casts (the free Stockham reindexing)
-    are only supported by Mosaic when the minor dim is a full 128-lane
-    vreg, so the batch tile is pinned to 128 and VMEM pressure is handled
-    by raising the scoped-vmem limit instead."""
-    del n
-    return 128
+    Measured on v5e: 128 is best for n >= 1024; small transforms benefit
+    from 256-row tiles (bigger blocks amortize per-step overhead:
+    n=512 x 2560 drops 0.090 -> 0.074 ms)."""
+    return 256 if n <= 512 else 128
 
 
 def _gen_dft(nk, nm, n_mod, sign, scale=1.0):
