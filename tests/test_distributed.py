@@ -94,3 +94,20 @@ def test_irfft3d_roundtrip(rng, assert_close):
     X = pencil.rfft3d(x, m)
     back = pencil.irfft3d(X, n_last=32, mesh=m)
     assert_close(back, x, what="rfft3d roundtrip")
+
+
+def test_fft_batch_sharded(rng, assert_close):
+    from fft_wgpu_tpu.parallel.batched import fft_batch_sharded, ifft_batch_sharded
+
+    m = meshlib.make_mesh()
+    x = crand(rng, 64, 256)
+    got = fft_batch_sharded(x, m)
+    assert_close(got, np.fft.fft(x, axis=-1), what="batch-sharded fft")
+    assert_close(ifft_batch_sharded(x, m), np.fft.ifft(x, axis=-1))
+
+
+def test_multihost_mesh_helper():
+    from fft_wgpu_tpu.parallel.multihost import global_pencil_mesh
+
+    m = global_pencil_mesh()
+    assert m.devices.size == 8
