@@ -183,11 +183,6 @@ def _cdot_realcat(n1, sign, xr, xi, cat_axis, dims):
 def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
     bt = xr_ref.shape[0]
 
-    # In-register tables (VPU, sub-us) + Gauss-form combinations.
-    w1r, w1i = _gen_dft(n1, n1, n1, sign)
-    twr, twi = _gen_twiddle(n1, n2, n, sign)
-    w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
-
     # Row split n -> (n1, n2): lane-dim split, free.
     ar = xr_ref[:].reshape(bt, n1, n2)
     ai = xi_ref[:].reshape(bt, n1, n2)
@@ -200,15 +195,18 @@ def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
         if 2 * n1 <= 128:
             br, bi = _cdot_realcat(n1, sign, ar, ai, 1, ((1,), (1,)))
         else:
+            w1r, w1i = _gen_dft(n1, n1, n1, sign)
             br, bi = _cdot(w1r, w1r + w1i, w1i - w1r, ar, ai, ((1,), (1,)))
 
         # ---- inter-factor twiddle tw[k1, n2] over batch (VPU) ----
+        twr, twi = _gen_twiddle(n1, n2, n, sign)
         twr = twr[:, None, :]
         twi = twi[:, None, :]
         cr = br * twr - bi * twi
         ci = br * twi + bi * twr
 
     # ---- stage 2 (+ fused corner turn): [k2, k1, bt] = W2 . C over m2 ----
+    w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
     dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (2,)))
 
     # Natural order: flatten [k2, k1] is a sublane merge; one output
