@@ -63,7 +63,7 @@ def _device_time(fn, args, iters=8):
                 # skip the enclosing jit-module event (would double-count)
                 if e["name"].startswith("jit"):
                     continue
-                if e.get("dur", 0) > 50:  # ignore sub-50us noise ops
+                if e.get("dur", 0) > 3:  # count everything per-iteration
                     per_name[e["name"]].append(e["dur"])
         total = 0.0
         for durs in per_name.values():

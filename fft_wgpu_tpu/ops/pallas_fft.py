@@ -83,6 +83,10 @@ def _choose_split(n: int) -> tuple[int, int]:
     return n // 128, 128
 
 
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
 def _row_tile(n: int) -> int:
     """Rows per grid step (must be a multiple of 128: the kernel's
     sublane<->lane shape casts need full-vreg minors).
@@ -241,19 +245,16 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
     re2 = re.reshape(rows, n)
     im2 = im.reshape(rows, n)
 
-    bt = row_tile or _row_tile(n)
-    pad = (-rows) % bt
-    if pad:
-        re2 = jnp.pad(re2, ((0, pad), (0, 0)))
-        im2 = jnp.pad(im2, ((0, pad), (0, 0)))
-    padded_rows = rows + pad
+    bt = min(row_tile or _row_tile(n), _round_up(rows, 128))
 
     n1, n2 = _choose_split(n)
     kern = functools.partial(
         _kernel, n=n, n1=n1, n2=n2, sign=sign,
         scale=float(scale) if scale is not None else 1.0,
     )
-    grid = (padded_rows // bt,)
+    # non-divisible batches ride Pallas's native ragged-grid masking —
+    # no pad/slice copies (they cost more than the FFT at small n)
+    grid = (pl.cdiv(rows, bt),)
     spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     flops_per_row = 8 * n * (n1 + n2) + 6 * n
@@ -263,12 +264,12 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
         in_specs=[spec, spec],
         out_specs=[spec, spec],
         out_shape=[
-            jax.ShapeDtypeStruct((padded_rows, n), jnp.float32),
-            jax.ShapeDtypeStruct((padded_rows, n), jnp.float32),
+            jax.ShapeDtypeStruct((rows, n), jnp.float32),
+            jax.ShapeDtypeStruct((rows, n), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_row * padded_rows,
-            bytes_accessed=4 * padded_rows * n * 4,
+            flops=flops_per_row * rows,
+            bytes_accessed=4 * rows * n * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -280,9 +281,6 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
         interpret=interpret,
     )(re2, im2)
 
-    if pad:
-        out_r = out_r[:rows]
-        out_i = out_i[:rows]
     return out_r.reshape(*lead, n), out_i.reshape(*lead, n)
 
 
@@ -368,18 +366,13 @@ def fft_axis0_split(re, im, sign, scale=None, *, interpret=False):
     b = int(np.prod(lead)) if lead else 1
     re3 = re.reshape(b, n, m)
     im3 = im.reshape(b, n, m)
-    pad = (-m) % 128
-    if pad:
-        re3 = jnp.pad(re3, ((0, 0), (0, 0), (0, pad)))
-        im3 = jnp.pad(im3, ((0, 0), (0, 0), (0, pad)))
-    mp = m + pad
 
     n1, n2 = _choose_split_sublane(n)
     kern = functools.partial(
         _kernel_ax0, n=n, n1=n1, n2=n2, sign=sign,
         scale=float(scale) if scale is not None else 1.0,
     )
-    grid = (b, mp // 128)
+    grid = (b, pl.cdiv(m, 128))  # ragged lane edges masked natively
     spec = pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
 
@@ -390,12 +383,12 @@ def fft_axis0_split(re, im, sign, scale=None, *, interpret=False):
         in_specs=[spec, spec],
         out_specs=[spec, spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, mp), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, mp), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, m), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_col * b * mp,
-            bytes_accessed=4 * b * n * mp * 4,
+            flops=flops_per_col * b * m,
+            bytes_accessed=4 * b * n * m * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -404,9 +397,6 @@ def fft_axis0_split(re, im, sign, scale=None, *, interpret=False):
         interpret=interpret,
     )(re3, im3)
 
-    if pad:
-        out_r = out_r[..., :m]
-        out_i = out_i[..., :m]
     return out_r.reshape(*lead, n, m), out_i.reshape(*lead, n, m)
 
 
@@ -484,18 +474,13 @@ def fft_rows_transposed_split(re, im, sign, scale=None, *, outer=None,
     im3 = im.reshape(b, R, n)
 
     bt = 128
-    pad = (-R) % bt
-    if pad:
-        re3 = jnp.pad(re3, ((0, 0), (0, pad), (0, 0)))
-        im3 = jnp.pad(im3, ((0, 0), (0, pad), (0, 0)))
-    Rp = R + pad
 
     n1, n2 = _choose_split(n)
     kern = functools.partial(
         _kernel_rows_t, n=n, n1=n1, n2=n2, sign=sign,
         scale=float(scale) if scale is not None else 1.0, bt=bt, outer=outer,
     )
-    grid = (b, Rp // bt)
+    grid = (b, pl.cdiv(R, bt))  # ragged row edges masked natively
     in_spec = pl.BlockSpec((1, bt, n), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, n, bt), lambda i, j: (i, 0, j),
@@ -506,12 +491,12 @@ def fft_rows_transposed_split(re, im, sign, scale=None, *, outer=None,
         in_specs=[in_spec, in_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, R), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, R), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=(8 * n * (n1 + n2) + 6 * n) * b * Rp,
-            bytes_accessed=4 * b * Rp * n * 4,
+            flops=(8 * n * (n1 + n2) + 6 * n) * b * R,
+            bytes_accessed=4 * b * R * n * 4,
             transcendentals=2 * (n1 * n1 + n1 * n2 + n2 * n2),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -520,9 +505,6 @@ def fft_rows_transposed_split(re, im, sign, scale=None, *, outer=None,
         interpret=interpret,
     )(re3, im3)
 
-    if pad:
-        out_r = out_r[..., :R]
-        out_i = out_i[..., :R]
     return out_r.reshape(*lead, n, R), out_i.reshape(*lead, n, R)
 
 
