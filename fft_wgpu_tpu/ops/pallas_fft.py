@@ -33,6 +33,10 @@ corner-turned layout:
 leaving exactly one real transpose ([n, bt] -> [bt, n]) per tile on the
 output path.
 
+Ragged batch/lane edges rely on Pallas's masked edge blocks; this is safe
+because every kernel here is row/column independent — garbage in masked
+input positions can only influence masked output positions.
+
 The DFT matrices and twiddles are f64-generated host constants cast to
 f32, mirroring the reference's host-side f64 twiddle precompute
 (processor.rs:43-49) but baked into the executable instead of bound as a
