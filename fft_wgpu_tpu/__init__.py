@@ -8,6 +8,7 @@ sharded multi-chip transforms via `shard_map` + all-to-all over ICI.
 """
 
 from .core.reference import naive_dft, naive_idft
+from .ops.dct import dct, dst, idct, idst
 from .ops.helpers import fft_convolve, fftfreq, fftshift, ifftshift, rfftfreq
 from .ops.nd import fft2, fftn, ifft2, ifftn
 from .ops.rfft import hfft, ihfft, irfft, irfft2, irfftn, rfft, rfft2, rfftn
@@ -39,6 +40,10 @@ __all__ = [
     "fftfreq",
     "rfftfreq",
     "fft_convolve",
+    "dct",
+    "idct",
+    "dst",
+    "idst",
     "stft",
     "istft",
     "hann_window",

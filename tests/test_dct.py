@@ -1,0 +1,39 @@
+"""DCT/DST (types 2, 3) vs the scipy.fft oracle."""
+
+import numpy as np
+import pytest
+
+scipy_fft = pytest.importorskip("scipy.fft")
+
+import fft_wgpu_tpu as ftt
+
+
+@pytest.mark.parametrize("n", [8, 64, 100, 512])
+@pytest.mark.parametrize("t", [2, 3])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_dct_matches_scipy(n, t, norm, rng, assert_close):
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    assert_close(ftt.dct(x, type=t, norm=norm), scipy_fft.dct(x, type=t, norm=norm, axis=-1))
+    assert_close(ftt.idct(x, type=t, norm=norm), scipy_fft.idct(x, type=t, norm=norm, axis=-1))
+
+
+@pytest.mark.parametrize("t", [2, 3])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_dst_matches_scipy(t, norm, rng, assert_close):
+    x = rng.standard_normal((2, 256)).astype(np.float32)
+    assert_close(ftt.dst(x, type=t, norm=norm), scipy_fft.dst(x, type=t, norm=norm, axis=-1))
+    assert_close(ftt.idst(x, type=t, norm=norm), scipy_fft.idst(x, type=t, norm=norm, axis=-1))
+
+
+def test_dct_roundtrip_and_axis(rng, assert_close):
+    x = rng.standard_normal((4, 128, 3)).astype(np.float32)
+    assert_close(ftt.idct(ftt.dct(x, axis=1), axis=1), x)
+    assert_close(
+        ftt.dct(x, axis=1, norm="ortho"),
+        scipy_fft.dct(x, axis=1, norm="ortho"),
+    )
+
+
+def test_unsupported_types_raise():
+    with pytest.raises(NotImplementedError):
+        ftt.dct(np.zeros(8, np.float32), type=1)
