@@ -12,6 +12,7 @@ from .ops.dct import dct, dst, idct, idst
 from .ops.helpers import fft_convolve, fftfreq, fftshift, ifftshift, rfftfreq
 from .ops.nd import fft2, fftn, ifft2, ifftn
 from .ops.rfft import hfft, ihfft, irfft, irfft2, irfftn, rfft, rfft2, rfftn
+from .ops.spectral import spectral_derivative, spectral_gradient, spectral_laplacian
 from .ops.stft import hamming_window, hann_window, istft, stft
 from .ops.transforms import fft, ifft, ifft_unnormalized, normalize
 from .plan.parity import Forward, Inverse, Normalize, Onlyinverse
@@ -44,6 +45,9 @@ __all__ = [
     "idct",
     "dst",
     "idst",
+    "spectral_derivative",
+    "spectral_gradient",
+    "spectral_laplacian",
     "stft",
     "istft",
     "hann_window",
