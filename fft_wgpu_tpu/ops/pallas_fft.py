@@ -250,6 +250,13 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
     im2 = im.reshape(rows, n)
 
     bt = min(row_tile or _row_tile(n), _round_up(rows, 128))
+    short = rows < bt
+    if short:
+        # Mosaic faults when a block exceeds the whole dim; pad the (small)
+        # batch up to one tile. Ragged EDGE blocks (rows >= bt) are fine.
+        re2 = jnp.pad(re2, ((0, bt - rows), (0, 0)))
+        im2 = jnp.pad(im2, ((0, bt - rows), (0, 0)))
+    grid_rows = bt if short else rows
 
     n1, n2 = _choose_split(n)
     kern = functools.partial(
@@ -258,7 +265,7 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
     )
     # non-divisible batches ride Pallas's native ragged-grid masking —
     # no pad/slice copies (they cost more than the FFT at small n)
-    grid = (pl.cdiv(rows, bt),)
+    grid = (pl.cdiv(grid_rows, bt),)
     spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     flops_per_row = 8 * n * (n1 + n2) + 6 * n
@@ -268,8 +275,8 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
         in_specs=[spec, spec],
         out_specs=[spec, spec],
         out_shape=[
-            jax.ShapeDtypeStruct((rows, n), jnp.float32),
-            jax.ShapeDtypeStruct((rows, n), jnp.float32),
+            jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
+            jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops_per_row * rows,
@@ -285,6 +292,9 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
         interpret=interpret,
     )(re2, im2)
 
+    if short:
+        out_r = out_r[:rows]
+        out_i = out_i[:rows]
     return out_r.reshape(*lead, n), out_i.reshape(*lead, n)
 
 
@@ -370,13 +380,18 @@ def fft_axis0_split(re, im, sign, scale=None, *, interpret=False):
     b = int(np.prod(lead)) if lead else 1
     re3 = re.reshape(b, n, m)
     im3 = im.reshape(b, n, m)
+    short = m < 128
+    if short:
+        re3 = jnp.pad(re3, ((0, 0), (0, 0), (0, 128 - m)))
+        im3 = jnp.pad(im3, ((0, 0), (0, 0), (0, 128 - m)))
+    grid_m = 128 if short else m
 
     n1, n2 = _choose_split_sublane(n)
     kern = functools.partial(
         _kernel_ax0, n=n, n1=n1, n2=n2, sign=sign,
         scale=float(scale) if scale is not None else 1.0,
     )
-    grid = (b, pl.cdiv(m, 128))  # ragged lane edges masked natively
+    grid = (b, pl.cdiv(grid_m, 128))  # ragged lane edges masked natively
     spec = pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
 
@@ -387,8 +402,8 @@ def fft_axis0_split(re, im, sign, scale=None, *, interpret=False):
         in_specs=[spec, spec],
         out_specs=[spec, spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, m), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, grid_m), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, grid_m), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops_per_col * b * m,
@@ -401,6 +416,9 @@ def fft_axis0_split(re, im, sign, scale=None, *, interpret=False):
         interpret=interpret,
     )(re3, im3)
 
+    if short:
+        out_r = out_r[..., :m]
+        out_i = out_i[..., :m]
     return out_r.reshape(*lead, n, m), out_i.reshape(*lead, n, m)
 
 
@@ -478,13 +496,18 @@ def fft_rows_transposed_split(re, im, sign, scale=None, *, outer=None,
     im3 = im.reshape(b, R, n)
 
     bt = 128
+    short = R < bt
+    if short:
+        re3 = jnp.pad(re3, ((0, 0), (0, bt - R), (0, 0)))
+        im3 = jnp.pad(im3, ((0, 0), (0, bt - R), (0, 0)))
+    grid_R = bt if short else R
 
     n1, n2 = _choose_split(n)
     kern = functools.partial(
         _kernel_rows_t, n=n, n1=n1, n2=n2, sign=sign,
         scale=float(scale) if scale is not None else 1.0, bt=bt, outer=outer,
     )
-    grid = (b, pl.cdiv(R, bt))  # ragged row edges masked natively
+    grid = (b, pl.cdiv(grid_R, bt))  # ragged row edges masked natively
     in_spec = pl.BlockSpec((1, bt, n), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, n, bt), lambda i, j: (i, 0, j),
@@ -495,8 +518,8 @@ def fft_rows_transposed_split(re, im, sign, scale=None, *, outer=None,
         in_specs=[in_spec, in_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, R), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, R), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, grid_R), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, grid_R), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=(8 * n * (n1 + n2) + 6 * n) * b * R,
@@ -509,6 +532,9 @@ def fft_rows_transposed_split(re, im, sign, scale=None, *, outer=None,
         interpret=interpret,
     )(re3, im3)
 
+    if short:
+        out_r = out_r[..., :R]
+        out_i = out_i[..., :R]
     return out_r.reshape(*lead, n, R), out_i.reshape(*lead, n, R)
 
 

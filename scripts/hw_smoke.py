@@ -86,11 +86,33 @@ def main():
         x3 = (rng.standard_normal((32, 32, 64)) + 1j * rng.standard_normal((32, 32, 64))).astype(np.complex64)
         check("config5 (single-chip fftn stand-in)", dget(ftt.fftn(x3)), np.fft.fftn(x3))
 
+    extended()
+
     print("=" * 40)
     if failures:
         print(f"FAILURES: {failures}")
         sys.exit(1)
     print("ALL CONFIGS PASS")
+
+
+def extended():
+    """Extended sweep over the scipy-surface ops (run after main())."""
+    from scipy import fft as sfft
+
+    from fft_wgpu_tpu.ops.stft import istft, stft
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((8, 512)).astype(np.float32)
+    check("ext dct2", ftt.dct(x), sfft.dct(x, axis=-1))
+    check("ext dst3", ftt.dst(x, type=3), sfft.dst(x, type=3, axis=-1))
+    sig = rng.standard_normal(4096).astype(np.float32)
+    y = np.asarray(istft(stft(sig, n_fft=512), n_fft=512, length=4096))
+    err = np.linalg.norm(y - sig) / np.linalg.norm(sig)
+    print(f"{'PASS' if err < 1e-4 else 'FAIL'} ext stft roundtrip: {err:.2e}")
+    if err >= 1e-4:
+        failures.append("stft")
+    z = (rng.standard_normal(129) + 1j * rng.standard_normal(129)).astype(np.complex64)
+    check("ext hfft", ftt.hfft(z, n=256), np.fft.hfft(z, n=256))
 
 
 if __name__ == "__main__":
