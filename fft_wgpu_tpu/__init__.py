@@ -8,6 +8,7 @@ sharded multi-chip transforms via `shard_map` + all-to-all over ICI.
 """
 
 from .core.reference import naive_dft, naive_idft
+from .ops.czt import czt, zoom_fft
 from .ops.dct import dct, dst, idct, idst
 from .ops.helpers import fft_convolve, fftfreq, fftshift, ifftshift, rfftfreq
 from .ops.nd import fft2, fftn, ifft2, ifftn
@@ -45,6 +46,8 @@ __all__ = [
     "idct",
     "dst",
     "idst",
+    "czt",
+    "zoom_fft",
     "spectral_derivative",
     "spectral_gradient",
     "spectral_laplacian",
