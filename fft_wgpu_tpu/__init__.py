@@ -10,7 +10,7 @@ sharded multi-chip transforms via `shard_map` + all-to-all over ICI.
 from .core.reference import naive_dft, naive_idft
 from .ops.czt import czt, zoom_fft
 from .ops.dct import dct, dst, idct, idst
-from .ops.helpers import fft_convolve, fftfreq, fftshift, ifftshift, rfftfreq
+from .ops.helpers import fft_convolve, fftfreq, fftshift, ifftshift, oaconvolve, rfftfreq
 from .ops.nd import fft2, fftn, ifft2, ifftn
 from .ops.rfft import hfft, ihfft, irfft, irfft2, irfftn, rfft, rfft2, rfftn
 from .ops.spectral import spectral_derivative, spectral_gradient, spectral_laplacian
@@ -42,6 +42,7 @@ __all__ = [
     "fftfreq",
     "rfftfreq",
     "fft_convolve",
+    "oaconvolve",
     "dct",
     "idct",
     "dst",

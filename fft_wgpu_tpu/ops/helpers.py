@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,6 +19,7 @@ __all__ = [
     "fftfreq",
     "rfftfreq",
     "fft_convolve",
+    "oaconvolve",
 ]
 
 
@@ -88,6 +90,71 @@ def fft_convolve(a, b, mode: str = "full", axis: int = -1):
         lv = max(la, lb) - min(la, lb) + 1
         start = min(la, lb) - 1
         sl[axis] = slice(start, start + lv)
+    else:
+        raise ValueError(f"invalid mode {mode!r}")
+    return full[tuple(sl)]
+
+
+def oaconvolve(a, b, mode: str = "full", axis: int = -1):
+    """Overlap-add convolution for a long signal `a` with a short kernel
+    `b` (scipy.signal.oaconvolve semantics, 1-D along `axis`).
+
+    The signal is segmented, all segments are transformed in ONE batched
+    R2C call (the framework's sweet spot), multiplied by the kernel
+    spectrum, inverse-transformed, and overlap-added.
+    """
+    import numpy as np
+
+    from .rfft import irfft, rfft
+    from .transforms import fft as cfft, ifft as cifft
+
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    la = a.shape[axis]
+    lb = b.shape[axis]
+    if la < lb:
+        return oaconvolve(b, a, mode=mode, axis=axis)
+    lfull = la + lb - 1
+
+    # segment size: a few kernel lengths, power-of-two FFT
+    nfft = 1 << max(3, math.ceil(math.log2(8 * lb)))
+    step = nfft - (lb - 1)
+    nseg = -(-la // step)
+
+    cplx = jnp.iscomplexobj(a) or jnp.iscomplexobj(b)
+    Ff = (cfft if cplx else rfft)
+    Fi = (lambda z, n, ax: cifft(z, axis=ax)) if cplx else (
+        lambda z, n, ax: irfft(z, n=n, axis=ax)
+    )
+
+    def impl(av, bv):
+        x = jnp.moveaxis(av, axis, -1)
+        lead = x.shape[:-1]
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, nseg * step - la)]
+        xp = jnp.pad(x, pad).reshape(*lead, nseg, step)
+        segs = jnp.pad(xp, [(0, 0)] * (x.ndim - 1) + [(0, 0), (0, nfft - step)])
+        B = Ff(jnp.moveaxis(bv, axis, -1), n=nfft, axis=-1)
+        S = Ff(segs, axis=-1)
+        Y = Fi(S * B, nfft, -1)  # [.., nseg, nfft]
+        # overlap-add into [.., nseg*step + nfft - step]
+        t = nseg * step + (nfft - step)
+        idx = (np.arange(nseg)[:, None] * step + np.arange(nfft)[None, :]).ravel()
+        out = jnp.zeros((*lead, t), Y.dtype).at[..., idx].add(
+            Y.reshape(*lead, nseg * nfft)
+        )
+        return jnp.moveaxis(out[..., :lfull], -1, axis)
+
+    full = jax.jit(impl)(a, b)
+
+    sl = [slice(None)] * full.ndim
+    if mode == "full":
+        return full
+    if mode == "same":
+        start = (lb - 1) // 2
+        sl[axis] = slice(start, start + la)
+    elif mode == "valid":
+        lv = la - lb + 1
+        sl[axis] = slice(lb - 1, lb - 1 + lv)
     else:
         raise ValueError(f"invalid mode {mode!r}")
     return full[tuple(sl)]

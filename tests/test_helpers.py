@@ -42,3 +42,18 @@ def test_fft_convolve_batched(rng, assert_close):
     b = rng.standard_normal((4, 11)).astype(np.float32)
     want = np.stack([np.convolve(a[i], b[i]) for i in range(4)])
     assert_close(ftt.fft_convolve(a, b), want)
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_oaconvolve_real(mode, rng, assert_close):
+    a = rng.standard_normal(5000).astype(np.float32)
+    b = rng.standard_normal(64).astype(np.float32)
+    assert_close(ftt.oaconvolve(a, b, mode=mode), np.convolve(a, b, mode=mode),
+                 tol=2e-5)
+
+
+def test_oaconvolve_complex_and_swap(rng, assert_close):
+    a = (rng.standard_normal(2000) + 1j * rng.standard_normal(2000)).astype(np.complex64)
+    b = (rng.standard_normal(33) + 1j * rng.standard_normal(33)).astype(np.complex64)
+    assert_close(ftt.oaconvolve(a, b), np.convolve(a, b), tol=2e-5)
+    assert_close(ftt.oaconvolve(b, a), np.convolve(b, a), tol=2e-5)
