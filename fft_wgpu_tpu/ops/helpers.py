@@ -55,29 +55,46 @@ def rfftfreq(n: int, d: float = 1.0, *, dtype=jnp.float32):
     return jnp.asarray(k, dtype)
 
 
+def _as_host_or_device(x):
+    """Normalize input to something with .shape WITHOUT complex transfers:
+    python sequences become host numpy; numpy/jnp arrays pass through."""
+    if not hasattr(x, "shape"):
+        return np.asarray(x)
+    return x
+
+
+def _iscomplex(x) -> bool:
+    # np.iscomplexobj on a host array avoids touching the device; jnp
+    # arrays are already resident so dtype inspection is free.
+    if isinstance(x, np.ndarray):
+        return np.iscomplexobj(x)
+    return jnp.iscomplexobj(x)
+
+
 def fft_convolve(a, b, mode: str = "full", axis: int = -1):
     """1-D linear convolution via the FFT (scipy.signal.fftconvolve-style).
 
     Real inputs use the R2C pipeline; power-of-two padded length keeps the
-    transform on the fused Pallas path.
+    transform on the fused Pallas path.  Complex host inputs are split at
+    the boundary inside `fft` (no complex H2D transfer — CLAUDE.md rule).
     """
     from .rfft import irfft, rfft
     from .transforms import fft, ifft
 
-    a = jnp.asarray(a)
-    b = jnp.asarray(b)
+    a = _as_host_or_device(a)
+    b = _as_host_or_device(b)
     la = a.shape[axis]
     lb = b.shape[axis]
     lfull = la + lb - 1
     nfft = 1 << max(1, math.ceil(math.log2(lfull)))
 
-    if jnp.iscomplexobj(a) or jnp.iscomplexobj(b):
+    if _iscomplex(a) or _iscomplex(b):
         fa = fft(a, n=nfft, axis=axis)
         fb = fft(b, n=nfft, axis=axis)
         full = ifft(fa * fb, axis=axis)
     else:
-        fa = rfft(a.astype(jnp.float32), n=nfft, axis=axis)
-        fb = rfft(b.astype(jnp.float32), n=nfft, axis=axis)
+        fa = rfft(jnp.asarray(a, jnp.float32), n=nfft, axis=axis)
+        fb = rfft(jnp.asarray(b, jnp.float32), n=nfft, axis=axis)
         full = irfft(fa * fb, n=nfft, axis=axis)
 
     sl = [slice(None)] * full.ndim
@@ -103,17 +120,20 @@ def oaconvolve(a, b, mode: str = "full", axis: int = -1):
     R2C call (the framework's sweet spot), multiplied by the kernel
     spectrum, inverse-transformed, and overlap-added.
     """
-    import numpy as np
-
+    from ..core.complex_utils import promote_to_split
     from .rfft import irfft, rfft
     from .transforms import fft as cfft, ifft as cifft
 
-    a = jnp.asarray(a)
-    b = jnp.asarray(b)
-    la = a.shape[axis]
-    lb = b.shape[axis]
-    if la < lb:
-        return oaconvolve(b, a, mode=mode, axis=axis)
+    a = _as_host_or_device(a)
+    b = _as_host_or_device(b)
+    la0 = a.shape[axis]
+    lb0 = b.shape[axis]
+    # Swap only for the segmentation math (convolution is commutative);
+    # the mode slicing at the end uses the ORIGINAL la0/lb0 so 'same'
+    # follows the first argument like scipy's oaconvolve.
+    if la0 < lb0:
+        a, b = b, a
+    la, lb = max(la0, lb0), min(la0, lb0)
     lfull = la + lb - 1
 
     # segment size: a few kernel lengths, power-of-two FFT
@@ -121,13 +141,20 @@ def oaconvolve(a, b, mode: str = "full", axis: int = -1):
     step = nfft - (lb - 1)
     nseg = -(-la // step)
 
-    cplx = jnp.iscomplexobj(a) or jnp.iscomplexobj(b)
+    cplx = _iscomplex(a) or _iscomplex(b)
     Ff = (cfft if cplx else rfft)
     Fi = (lambda z, n, ax: cifft(z, axis=ax)) if cplx else (
         lambda z, n, ax: irfft(z, n=n, axis=ax)
     )
 
-    def impl(av, bv):
+    def impl(*ops):
+        # complex operands arrive as split (re, im) pairs — merged here,
+        # inside jit, so no complex array ever crosses host<->device.
+        if cplx:
+            av = jax.lax.complex(ops[0], ops[1])
+            bv = jax.lax.complex(ops[2], ops[3])
+        else:
+            av, bv = ops
         x = jnp.moveaxis(av, axis, -1)
         lead = x.shape[:-1]
         pad = [(0, 0)] * (x.ndim - 1) + [(0, nseg * step - la)]
@@ -144,14 +171,22 @@ def oaconvolve(a, b, mode: str = "full", axis: int = -1):
         )
         return jnp.moveaxis(out[..., :lfull], -1, axis)
 
-    full = jax.jit(impl)(a, b)
+    if cplx:
+        ar, ai = promote_to_split(a)
+        br, bi = promote_to_split(b)
+        full = jax.jit(impl)(ar, ai, br, bi)
+    else:
+        full = jax.jit(impl)(jnp.asarray(a, jnp.float32),
+                             jnp.asarray(b, jnp.float32))
 
     sl = [slice(None)] * full.ndim
     if mode == "full":
         return full
     if mode == "same":
-        start = (lb - 1) // 2
-        sl[axis] = slice(start, start + la)
+        # scipy semantics: 'same' is relative to the FIRST input as the
+        # user passed it, independent of the internal segmentation swap.
+        start = (lb0 - 1) // 2
+        sl[axis] = slice(start, start + la0)
     elif mode == "valid":
         lv = la - lb + 1
         sl[axis] = slice(lb - 1, lb - 1 + lv)

@@ -31,6 +31,11 @@ def hamming_window(n: int, *, periodic: bool = True):
 def _frame(x, frame_len: int, hop: int):
     """[..., t] -> [..., num_frames, frame_len] by strided windowing."""
     t = x.shape[-1]
+    if t < frame_len:
+        raise ValueError(
+            f"signal length {t} is shorter than n_fft={frame_len}; "
+            "pad the input or pass center=True"
+        )
     num = 1 + (t - frame_len) // hop
     idx = (np.arange(num)[:, None] * hop + np.arange(frame_len)[None, :])
     return x[..., idx]
@@ -65,7 +70,9 @@ def istft(Z, n_fft: int = 512, hop_length: int | None = None, window=None,
     if window is None:
         window = hann_window(n_fft)
 
-    def impl(spec):
+    def impl(zr, zi):
+        # merged inside jit: complex arrays never cross host<->device
+        spec = jax.lax.complex(zr, zi)
         frames = irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
         frames = frames * window  # [..., num, n_fft]
         num = frames.shape[-2]
@@ -84,7 +91,10 @@ def istft(Z, n_fft: int = 512, hop_length: int | None = None, window=None,
         norm = np.where(norm > 1e-8, norm, 1.0)
         return out / jnp.asarray(norm)
 
-    y = jax.jit(impl)(jnp.asarray(Z))
+    from ..core.complex_utils import promote_to_split
+
+    zr, zi = promote_to_split(Z)  # host complex split on host (CLAUDE.md)
+    y = jax.jit(impl)(zr, zi)
     if center:
         y = y[..., n_fft // 2 : y.shape[-1] - n_fft // 2]
     if length is not None:

@@ -289,12 +289,15 @@ def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None):
     re, im = promote_to_split(X)
     Xn, Yn, nb = re.shape
     total = Xn * Yn * n_last
+    # The C2R step always contributes 1/n_last, so the complex-stage scale
+    # must bring the NET inverse scaling to 1/total (backward), total**-0.5
+    # (ortho), or 1.0 (forward).
     if norm in (None, "backward"):
-        scale = 1.0 / (Xn * Yn)  # Z-axis 1/n handled by the C2R step
+        scale = 1.0 / (Xn * Yn)
     elif norm == "ortho":
-        scale = total**-0.5 * (n_last**0.5)
+        scale = total**-0.5 * n_last
     elif norm == "forward":
-        scale = None
+        scale = float(n_last)
     else:
         raise ValueError(f"invalid norm {norm!r}")
 

@@ -111,3 +111,13 @@ def test_multihost_mesh_helper():
 
     m = global_pencil_mesh()
     assert m.devices.size == 8
+
+def test_irfft3d_norms(rng, assert_close):
+    # ADVICE round 1: ortho/forward inverse scaling was off by sqrt(n_last)
+    # and n_last respectively (only backward was tested).
+    m = meshlib.make_pencil_mesh()
+    x = rng.standard_normal((8, 16, 32)).astype(np.float32)
+    for norm in ("ortho", "forward"):
+        X = pencil.rfft3d(x, m, norm=norm)
+        back = pencil.irfft3d(X, n_last=32, mesh=m, norm=norm)
+        assert_close(back, x, what=f"rfft3d roundtrip norm={norm}")

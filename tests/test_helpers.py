@@ -57,3 +57,18 @@ def test_oaconvolve_complex_and_swap(rng, assert_close):
     b = (rng.standard_normal(33) + 1j * rng.standard_normal(33)).astype(np.complex64)
     assert_close(ftt.oaconvolve(a, b), np.convolve(a, b), tol=2e-5)
     assert_close(ftt.oaconvolve(b, a), np.convolve(b, a), tol=2e-5)
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_oaconvolve_short_signal_long_kernel(mode, rng, assert_close):
+    # ADVICE round 1: 'same' must follow the FIRST argument's length even
+    # when the internal segmentation swaps the operands (la < lb).
+    # Oracle is scipy (oaconvolve 'same' = shape of in1; np.convolve uses
+    # max(la, lb) instead).
+    import scipy.signal as ss
+
+    a = rng.standard_normal(20).astype(np.float32)
+    b = rng.standard_normal(100).astype(np.float32)
+    want = ss.oaconvolve(a, b, mode=mode)
+    got = ftt.oaconvolve(a, b, mode=mode)
+    assert got.shape == want.shape, f"mode={mode}: {got.shape} vs {want.shape}"
+    assert_close(got, want, tol=2e-5)

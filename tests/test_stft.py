@@ -39,3 +39,7 @@ def test_stft_batched(rng):
     y = np.asarray(st.istft(Z, n_fft=256, length=2048))
     err = np.linalg.norm(y - x) / np.linalg.norm(x)
     assert err < 1e-4
+
+def test_stft_too_short_raises():
+    with pytest.raises(ValueError, match="shorter than n_fft"):
+        st.stft(np.zeros(100, np.float32), n_fft=256, center=False)
