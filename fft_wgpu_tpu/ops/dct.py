@@ -1,12 +1,16 @@
-"""Discrete cosine / sine transforms (scipy.fft-compatible types II/III).
+"""Discrete cosine / sine transforms (scipy.fft-compatible types I-IV).
 
-Built on the C2C pipeline via the even-odd permutation trick, so the hot
-loop is the fused Pallas FFT:
+Built on the C2C pipeline via permutation/extension tricks, so the hot
+loop is always the fused Pallas FFT:
 
+    DCT-I:   Re(FFT(even-symmetric extension, length 2(n-1)))[:n]
     DCT-II:  v[j] = x[2j], v[n-1-j] = x[2j+1];  V = FFT(v)
              X[k] = 2 * Re( exp(-i*pi*k/(2n)) * V[k] )
     DCT-III: inverse of II (with matching norm conventions)
-    DST-II/III: via DCT of the sign-flipped, reversed sequence.
+    DCT-IV:  modulated FFT of the signed even-odd permutation (see _dct4)
+    DST-I:   -Im(FFT(odd-symmetric extension, length 2(n+1)))[1:n+1]
+    DST-II/III: via DCT of the sign-flipped, reversed sequence
+    DST-IV:  (-1)^k * DCT-IV(reversed input)
 """
 
 from __future__ import annotations
@@ -37,16 +41,26 @@ def _even_odd_perm(n: int) -> np.ndarray:
 
 
 def dct(x, type: int = 2, axis: int = -1, norm=None):
-    """DCT along `axis` (types 2 and 3, scipy.fft semantics)."""
+    """DCT along `axis` (types 1-4, scipy.fft semantics)."""
+    if type == 1:
+        return _dct1(x, axis, norm)
     if type == 2:
         return _dct2(x, axis, norm)
     if type == 3:
         return _dct3(x, axis, norm)
-    raise NotImplementedError(f"DCT type {type} (supported: 2, 3)")
+    if type == 4:
+        return _dct4(x, axis, norm)
+    raise NotImplementedError(f"DCT type {type} (supported: 1-4)")
 
 
 def idct(x, type: int = 2, axis: int = -1, norm=None):
     """Inverse DCT (scipy semantics: the inverse of `dct(type=...)`)."""
+    n = jnp.shape(x)[axis]
+    if type == 1:
+        # DCT-I is self-inverse up to 2(n-1) (ortho: exactly self-inverse)
+        if norm == "ortho":
+            return _dct1(x, axis, "ortho")
+        return _dct1(x, axis, None) / jnp.float32(2 * (n - 1))
     if type == 2:
         if norm == "ortho":
             return _dct3(x, axis, "ortho")
@@ -55,9 +69,78 @@ def idct(x, type: int = 2, axis: int = -1, norm=None):
         if norm == "ortho":
             return _dct2(x, axis, "ortho")
         y = _dct2(x, axis, None)
-        n = jnp.shape(x)[axis]
         return y / jnp.float32(2 * n)
-    raise NotImplementedError(f"IDCT type {type} (supported: 2, 3)")
+    if type == 4:
+        # DCT-IV is self-inverse up to 2n (ortho: exactly self-inverse)
+        if norm == "ortho":
+            return _dct4(x, axis, "ortho")
+        return _dct4(x, axis, None) / jnp.float32(2 * n)
+    raise NotImplementedError(f"IDCT type {type} (supported: 1-4)")
+
+
+def _dct1(x, axis, norm):
+    """DCT-I via the even-symmetric extension of length 2(n-1):
+    X[k] = Re(FFT([x0..x_{n-1}, x_{n-2}..x_1]))[k]."""
+    from ..plan.plan import get_plan
+
+    xr, _ = promote_to_split(x)
+    n = xr.shape[axis]
+    if n < 2:
+        raise ValueError("DCT-I requires n >= 2")
+    m = 2 * (n - 1)
+    p = get_plan(m, "auto")
+
+    def impl(v):
+        v = jnp.moveaxis(v, axis, -1)
+        if norm == "ortho":
+            # scipy's orthogonal DCT-I: endpoints scaled sqrt(2) on input,
+            # 1/sqrt(2) on output, overall 1/sqrt(2(n-1)).
+            s = np.ones(n, np.float32)
+            s[0] = s[-1] = np.sqrt(2.0, dtype=np.float64).astype(np.float32)
+            v = v * jnp.asarray(s)
+        ext = jnp.concatenate([v, jnp.flip(v[..., 1:-1], axis=-1)], axis=-1)
+        Vr, _ = p._execute_split(ext, jnp.zeros_like(ext), -1, None)
+        X = Vr[..., :n]
+        if norm == "ortho":
+            s = np.full(n, 1.0 / np.sqrt(2.0 * (n - 1)), np.float32)
+            s[0] = s[-1] = s[0] / np.sqrt(2.0)
+            X = X * jnp.asarray(s)
+        return jnp.moveaxis(X, -1, axis)
+
+    return jax.jit(impl)(xr)
+
+
+def _dct4(x, axis, norm):
+    """DCT-IV via one modulated C2C FFT of the even-odd permuted input:
+    with u[m] = s_m * x[perm][m] (s=-1 on the mirrored half) the identity
+    X4[k] = 2*Re( e^{-i pi (2k+1)/(4n)} * FFT(u * e^{-i pi m / n})[k] )."""
+    from ..plan.plan import get_plan
+
+    xr, _ = promote_to_split(x)
+    n = xr.shape[axis]
+    perm = _even_odd_perm(n)
+    signs = np.ones(n, np.float32)
+    signs[(n + 1) // 2:] = -1.0  # mirrored (odd-origin) half of the perm
+    m = np.arange(n, dtype=np.float64)
+    pre = np.exp(-1j * np.pi * m / n)  # f64-generated modulation
+    post = np.exp(-1j * np.pi * (2 * m + 1) / (4.0 * n))
+    prer = jnp.asarray((signs * pre.real).astype(np.float32))
+    prei = jnp.asarray((signs * pre.imag).astype(np.float32))
+    postr = jnp.asarray(post.real.astype(np.float32))
+    posti = jnp.asarray(post.imag.astype(np.float32))
+    permj = jnp.asarray(perm)
+    p = get_plan(n, "auto")
+
+    def impl(v):
+        v = jnp.moveaxis(v, axis, -1)
+        u = jnp.take(v, permj, axis=-1)
+        Vr, Vi = p._execute_split(u * prer, u * prei, -1, None)
+        X = 2.0 * (Vr * postr - Vi * posti)
+        if norm == "ortho":
+            X = X * jnp.float32(1.0 / np.sqrt(2.0 * n))
+        return jnp.moveaxis(X, -1, axis)
+
+    return jax.jit(impl)(xr)
 
 
 def _dct2(x, axis, norm):
@@ -135,6 +218,8 @@ def dst(x, type: int = 2, axis: int = -1, norm=None):
     n = xr.shape[axis]
     signs = jnp.asarray(((-1.0) ** np.arange(n)).astype(np.float32))
 
+    if type == 1:
+        return _dst1(xr, axis, norm)
     if type == 2:
         v = jnp.moveaxis(xr, axis, -1) * signs
         v = jnp.moveaxis(v, -1, axis)
@@ -145,21 +230,55 @@ def dst(x, type: int = 2, axis: int = -1, norm=None):
         y = dct(v, type=3, axis=axis, norm=norm)
         y = jnp.moveaxis(y, axis, -1) * signs
         return jnp.moveaxis(y, -1, axis)
-    raise NotImplementedError(f"DST type {type} (supported: 2, 3)")
+    if type == 4:
+        # DST-IV(x)[k] = (-1)^k * DCT-IV(reverse(x))[k]; both maps are
+        # orthogonal so the norm carries over unchanged.
+        v = jnp.flip(xr, axis=axis)
+        y = dct(v, type=4, axis=axis, norm=norm)
+        y = jnp.moveaxis(y, axis, -1) * signs
+        return jnp.moveaxis(y, -1, axis)
+    raise NotImplementedError(f"DST type {type} (supported: 1-4)")
+
+
+def _dst1(xr, axis, norm):
+    """DST-I via the odd-symmetric extension of length 2(n+1):
+    X[k] = -Im(FFT([0, x0..x_{n-1}, 0, -x_{n-1}..-x0]))[k+1]."""
+    from ..plan.plan import get_plan
+
+    n = xr.shape[axis]
+    m = 2 * (n + 1)
+    p = get_plan(m, "auto")
+
+    def impl(v):
+        v = jnp.moveaxis(v, axis, -1)
+        z = jnp.zeros_like(v[..., :1])
+        ext = jnp.concatenate([z, v, z, -jnp.flip(v, axis=-1)], axis=-1)
+        _, Vi = p._execute_split(ext, jnp.zeros_like(ext), -1, None)
+        X = -Vi[..., 1 : n + 1]
+        if norm == "ortho":
+            X = X * jnp.float32(1.0 / np.sqrt(2.0 * (n + 1)))
+        return jnp.moveaxis(X, -1, axis)
+
+    return jax.jit(impl)(xr)
 
 
 def idst(x, type: int = 2, axis: int = -1, norm=None):
     """Inverse DST (scipy semantics)."""
+    n = jnp.shape(x)[axis]
+    if type == 1:
+        if norm == "ortho":
+            return dst(x, type=1, axis=axis, norm="ortho")
+        return dst(x, type=1, axis=axis) / jnp.float32(2 * (n + 1))
     if type == 2:
         if norm == "ortho":
             return dst(x, type=3, axis=axis, norm="ortho")
-        xr, _ = promote_to_split(x)
-        n = xr.shape[axis]
         return dst(x, type=3, axis=axis) / jnp.float32(2 * n)
     if type == 3:
         if norm == "ortho":
             return dst(x, type=2, axis=axis, norm="ortho")
-        xr, _ = promote_to_split(x)
-        n = xr.shape[axis]
         return dst(x, type=2, axis=axis) / jnp.float32(2 * n)
-    raise NotImplementedError
+    if type == 4:
+        if norm == "ortho":
+            return dst(x, type=4, axis=axis, norm="ortho")
+        return dst(x, type=4, axis=axis) / jnp.float32(2 * n)
+    raise NotImplementedError(f"IDST type {type} (supported: 1-4)")

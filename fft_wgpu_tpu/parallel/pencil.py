@@ -160,6 +160,23 @@ def ifft2d(x, mesh: Mesh | None = None, norm=None):
 # --------------------------------------------------------------------- #
 # Distributed 1-D FFT (single huge vector, four-step across the mesh)
 # --------------------------------------------------------------------- #
+def _divisible_factors(n: int, p: int) -> tuple[int, int] | None:
+    """Most-balanced n = n1 * n2 with p | n1 and p | n2, or None."""
+    if p <= 0 or n % (p * p):
+        return None
+    m = n // (p * p)
+    best = None
+    d = 1
+    while d * d <= m:
+        if m % d == 0:
+            best = d  # largest divisor <= sqrt(m)
+        d += 1
+    if best is None:
+        return None
+    return p * best, p * (m // best)
+
+
+
 def fft1d_distributed(x, mesh: Mesh | None = None, *, inverse=False, norm=None):
     """1-D FFT of a vector sharded across a 1-D mesh.
 
@@ -176,11 +193,6 @@ def fft1d_distributed(x, mesh: Mesh | None = None, *, inverse=False, norm=None):
 
     from ..ops.fourstep import choose_factors
 
-    n1, n2 = choose_factors(n)
-    if n1 % ndev or n2 % ndev:
-        raise ValueError(
-            f"n={n} factors ({n1},{n2}) must be divisible by mesh size {ndev}"
-        )
     if norm in (None, "backward"):
         scale = 1.0 / n if inverse else None
     elif norm == "ortho":
@@ -189,6 +201,26 @@ def fft1d_distributed(x, mesh: Mesh | None = None, *, inverse=False, norm=None):
         scale = None if inverse else 1.0 / n
     else:
         raise ValueError(f"invalid norm {norm!r}")
+
+    n1, n2 = choose_factors(n)
+    if n1 % ndev or n2 % ndev:
+        # Re-plan: find a factor pair with both factors divisible by the
+        # mesh size; if none exists (n too small / wrong factors for this
+        # mesh), fall back to a replicated single-shard transform instead
+        # of erroring — every valid n stays computable on every mesh.
+        pair = _divisible_factors(n, ndev)
+        if pair is None:
+            from ..plan.plan import get_plan
+
+            re, im = promote_to_split(x)
+            re = re.reshape(n)
+            im = im.reshape(n)
+            p = get_plan(n, "auto")
+            rr, ii = jax.jit(
+                lambda a, b: p._execute_split(a, b, sign, scale)
+            )(re, im)
+            return merge(rr, ii)
+        n1, n2 = pair
 
     # Inter-factor twiddle plane, f64-generated on host in the transposed
     # [m2, k1] layout and *sharded over m2* by shard_map's in_specs — each

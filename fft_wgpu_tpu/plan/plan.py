@@ -52,14 +52,28 @@ class Plan:
       normalize              -> Normalize::proc      (processor.rs:467-504)
     """
 
-    def __init__(self, n: int, *, executor: str = "auto", dtype=jnp.complex64):
+    def __init__(self, n: int, *, executor: str = "auto", dtype=jnp.complex64,
+                 donate: bool = False):
         if n < 1:
             raise ValueError(f"fft length must be >= 1, got {n}")
         self.n = int(n)
-        self.dtype = dtype
+        # The compute path is split re/im float32 with a complex64 facade
+        # (CLAUDE.md invariant); other precisions are not silently accepted.
+        if jnp.dtype(dtype) != jnp.dtype(jnp.complex64):
+            raise ValueError(
+                f"unsupported dtype {dtype!r}: plans compute in split-f32 and "
+                "return complex64 (TPU has no f64; use dtype=jnp.complex64)"
+            )
+        self.dtype = jnp.complex64
         if executor not in ("auto", "xla", "pallas", "fourstep", "direct"):
             raise ValueError(f"unknown executor {executor!r}")
         self.executor = executor
+        # donate=True donates the (re, im) input buffers to XLA so replaying
+        # the plan allocates nothing new — the TPU analogue of the
+        # reference's caller-owned in-place ping-pong buffers
+        # (fft_wgpu src/processor.rs:580-586, parity dance :153-157).
+        # The caller's input arrays are INVALIDATED by each call.
+        self.donate = bool(donate)
         # One compiled executable per (axis, sign, scale) — the TPU analogue
         # of the reference's cached ComputePipeline (processor.rs:28,161-229).
         # jax.jit adds per-shape caching on top.
@@ -202,7 +216,10 @@ class Plan:
                     im = jnp.moveaxis(im, -1, axis)
                 return merge(re, im)
 
-            fn = jax.jit(impl)
+            if self.donate:
+                fn = jax.jit(impl, donate_argnums=(0, 1))
+            else:
+                fn = jax.jit(impl)
             self._jit_cache[key] = fn
         return fn
 

@@ -1,4 +1,4 @@
-"""DCT/DST (types 2, 3) vs the scipy.fft oracle."""
+"""DCT/DST (types 1-4) vs the scipy.fft oracle."""
 
 import numpy as np
 import pytest
@@ -9,7 +9,7 @@ import fft_wgpu_tpu as ftt
 
 
 @pytest.mark.parametrize("n", [8, 64, 100, 512])
-@pytest.mark.parametrize("t", [2, 3])
+@pytest.mark.parametrize("t", [1, 2, 3, 4])
 @pytest.mark.parametrize("norm", [None, "ortho"])
 def test_dct_matches_scipy(n, t, norm, rng, assert_close):
     x = rng.standard_normal((3, n)).astype(np.float32)
@@ -17,7 +17,7 @@ def test_dct_matches_scipy(n, t, norm, rng, assert_close):
     assert_close(ftt.idct(x, type=t, norm=norm), scipy_fft.idct(x, type=t, norm=norm, axis=-1))
 
 
-@pytest.mark.parametrize("t", [2, 3])
+@pytest.mark.parametrize("t", [1, 2, 3, 4])
 @pytest.mark.parametrize("norm", [None, "ortho"])
 def test_dst_matches_scipy(t, norm, rng, assert_close):
     x = rng.standard_normal((2, 256)).astype(np.float32)
@@ -36,4 +36,12 @@ def test_dct_roundtrip_and_axis(rng, assert_close):
 
 def test_unsupported_types_raise():
     with pytest.raises(NotImplementedError):
-        ftt.dct(np.zeros(8, np.float32), type=1)
+        ftt.dct(np.zeros(8, np.float32), type=5)
+
+
+@pytest.mark.parametrize("t", [1, 4])
+def test_dct_dst_new_types_roundtrip(t, rng, assert_close):
+    x = rng.standard_normal((2, 96)).astype(np.float32)
+    assert_close(ftt.idct(ftt.dct(x, type=t), type=t), x)
+    assert_close(ftt.idst(ftt.dst(x, type=t), type=t), x)
+    assert_close(ftt.idct(ftt.dct(x, type=t, norm="ortho"), type=t, norm="ortho"), x)
