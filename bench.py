@@ -184,24 +184,85 @@ def main():
         "impulse_max_err": f"{imp_err:.2e}",
     }
 
-    # secondary configs (stderr, not the headline line)
-    try:
-        signal.alarm(900)
-        for n2, b2, passes, tag in [
-            (1 << 20, 1, 2, "N=2^20 single-shot (four-step)"),
-            (512, 2500, 1, "reference shape 2500x512"),
-        ]:
-            dt2, rt2, _ = bench_batched_1d(n2, b2, iters=8)
-            r2 = roofline(n2, b2, dt2, passes=passes, device=dev)
-            print(
-                f"# {tag}: {dt2*1e3:.3f} ms, {r2['gflops']:.0f} GFLOP/s, "
-                f"{r2['fraction']:.1%} of {passes}-pass roofline, "
-                f"roundtrip={rt2:.2e}",
-                file=sys.stderr,
-            )
-        signal.alarm(0)
-    except Exception as e:  # secondary rows must never kill the headline
-        print(f"# secondary bench failed: {e}", file=sys.stderr)
+    # secondary configs (stderr, not the headline line) — every BASELINE.md
+    # row is reported; each row is individually alarm-bounded so one slow
+    # compile cannot starve the rest (or the headline JSON line).
+    def _row(tag, thunk, budget=420):
+        try:
+            signal.alarm(budget)
+            print(f"# {tag}: {thunk()}", file=sys.stderr, flush=True)
+            signal.alarm(0)
+        except Exception as e:
+            print(f"# {tag}: failed: {e}", file=sys.stderr, flush=True)
+
+    def _1d(n2, b2, passes):
+        dt2, rt2, _ = bench_batched_1d(n2, b2, iters=8)
+        r2 = roofline(n2, b2, dt2, passes=passes, device=dev)
+        return (
+            f"{dt2*1e3:.3f} ms, {r2['gflops']:.0f} GFLOP/s, "
+            f"{r2['fraction']:.1%} of {passes}-pass roofline, roundtrip={rt2:.2e}"
+        )
+
+    def _2d(n2):
+        from fft_wgpu_tpu.ops.nd import fftn_split
+
+        re = jax.random.normal(jax.random.PRNGKey(2), (n2, n2), jnp.float32)
+        im = jax.random.normal(jax.random.PRNGKey(3), (n2, n2), jnp.float32)
+        fn = jax.jit(lambda a, b: fftn_split(a, b, (-2, -1), -1, None))
+        dt2 = _device_time(fn, (re, im))
+        r2 = roofline(n2, n2, dt2, passes=2, device=dev)  # two row passes
+        Fr, Fi = fn(re, im)
+        ref = jax.jit(
+            lambda a, b: jnp.fft.fft2(jax.lax.complex(a, b)))(re, im)
+        err = float(
+            jnp.sqrt(jnp.sum((Fr - ref.real) ** 2 + (Fi - ref.imag) ** 2)
+                     / jnp.sum(ref.real ** 2 + ref.imag ** 2)))
+        gf = 2 * 5.0 * n2 * n2 * math.log2(n2) / dt2 / 1e9
+        return (f"{dt2*1e3:.3f} ms, {gf:.0f} GFLOP/s, "
+                f"{r2['fraction']:.1%} of 2-pass roofline, vs_xla_fft2={err:.2e}")
+
+    def _r2c(n2, b2):
+        from fft_wgpu_tpu.ops.rfft import _rfft_even_split
+
+        x = jax.random.normal(jax.random.PRNGKey(4), (b2, n2), jnp.float32)
+        fn = jax.jit(lambda v: _rfft_even_split(v, None))
+        dt2 = _device_time(fn, (x,))
+        # R2C traffic: n f32 in, 2*(n/2+1) f32 out per row
+        bw = 4.0 * (n2 + 2 * (n2 // 2 + 1)) * b2 / dt2
+        from fft_wgpu_tpu.utils.roofline import hbm_bandwidth
+
+        frac = bw / hbm_bandwidth(dev)
+        Xr, Xi = fn(x)
+        ref = jnp.fft.rfft(x, axis=-1)
+        err = float(
+            jnp.sqrt(jnp.sum((Xr - ref.real) ** 2 + (Xi - ref.imag) ** 2)
+                     / jnp.sum(ref.real ** 2 + ref.imag ** 2)))
+        return f"{dt2*1e3:.3f} ms, {frac:.1%} of R2C roofline, vs_xla_rfft={err:.2e}"
+
+    def _end_to_end(n2, b2, iters=20):
+        """Reference-style serving loop: host complex in -> forward -> host
+        complex out, INCLUDING planar split + H2D + D2H each iteration
+        (the reference times exactly this, examples/basic.rs:70-129)."""
+        import fft_wgpu_tpu as ftt
+
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal((b2, n2)) + 1j * rng.standard_normal((b2, n2))
+             ).astype(np.complex64)
+        p = ftt.plan(n2)
+        _ = ftt.device_get_complex(p.forward(x))  # warm the jit cache
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _ = ftt.device_get_complex(p.forward(x))
+        dt2 = (time.perf_counter() - t0) / iters
+        gb = 2 * 8e-9 * n2 * b2 / dt2
+        return f"{dt2*1e3:.3f} ms/iter incl. H2D+D2H ({gb:.1f} GB/s effective)"
+
+    _row("N=2^20 single-shot (four-step)", lambda: _1d(1 << 20, 1, 2))
+    _row("N=2^22 x4 (four-step)", lambda: _1d(1 << 22, 4, 2))
+    _row("reference shape 2500x512", lambda: _1d(512, 2500, 1))
+    _row("2-D 4096x4096 C2C", lambda: _2d(4096))
+    _row("R2C 4096 x 4096 rows", lambda: _r2c(4096, 4096))
+    _row("end-to-end 2500x512 (reference loop)", lambda: _end_to_end(512, 2500))
 
     print(json.dumps(result))
 

@@ -45,9 +45,26 @@ def choose_factors(n: int) -> tuple[int, int]:
 
 def fft_last_axis(re, im, sign, scale=None):
     """Four-step FFT over the last axis of a split (re, im) pair."""
+    import jax as _jax
+
     from ..plan.plan import get_plan
 
     n = re.shape[-1]
+
+    # Whole-row-in-VMEM fused kernel: ONE HBM round trip and no HBM-level
+    # [.., n] <-> [.., n1, n2] relayouts (each ~60 us of pure copies on the
+    # two-pass path) for 2^15 <= n <= 2^21.
+    if _jax.default_backend() == "tpu":
+        try:
+            from . import bigfft
+        except ImportError:
+            bigfft = None
+        if bigfft is not None:
+            try:
+                return bigfft.fft_big_split(re, im, sign, scale)
+            except bigfft.Unsupported:
+                pass
+
     n1, n2 = choose_factors(n)
     if n1 == 1:  # prime / unsplittable: delegate to the general executor
         from . import stockham

@@ -188,6 +188,159 @@ def _cdot_realcat(n1, sign, xr, xi, cat_axis, dims):
     return res[:n1], res[n1:]
 
 
+# --------------------------------------------------------------------- #
+# Generic sublane-domain DFT: multi-level DIT factor chain.
+# --------------------------------------------------------------------- #
+#
+# Measured MXU truths on v5e (scripts/probe_r2/r3/r4):
+#   * [64,64]- and [128,128]-shaped f32 dots run at the full MAC rate
+#     (6 bf16 passes per real matmul); [64,64] Gauss triples and smaller
+#     dots do NOT (D-variant: (64,64)-Gauss slower than (64,64)-realcat
+#     despite 25% fewer MACs).
+#   * in-kernel transposes are nearly free (C-variant == A-variant).
+#
+# The standard Cooley-Tukey recursion over the SUBLANE axis, contracting
+# the MAJOR factor first (the proven two-level pattern of _kernel/_kernel_
+# ax0, generalized): for block = f * B (f major),
+#
+#     Y[k_f, m_B]  = DFT_f over the major index
+#     Y[k_f, m_B] *= w_block^(k_f * m_B)
+#     recurse on m_B per k_f
+#
+# The dot moves each new k to the FRONT, so after the chain the leading
+# dims are [k_L, .., k_1] whose flatten IS the natural output order
+# X[k_1 + f_1 k_2 + f_1 f_2 k_3 ...] — no bit reversal, no corner turn.
+# Factors come from {32, 64} (full-rate realcat atoms) plus pure-VPU
+# butterflies for {2,4,8} tails, a MAC floor of 256 f32 MACs/point for
+# every power of two n >= 1024 (vs 512/768 for the two-factor schedules).
+
+
+def _dit_schedule(S: int) -> tuple[int, ...]:
+    """Factor S (power of two) into (major..minor) DIT factors: full-rate
+    realcat atoms {32, 64} first, small pure-VPU factors {2,4,8} last."""
+    table = {
+        2: (2,), 4: (4,), 8: (8,),
+        16: (4, 4),
+        32: (32,),
+        64: (64,),
+        128: (32, 4),
+        256: (64, 4),
+        512: (32, 4, 4),
+        1024: (32, 32),
+        2048: (32, 32, 2),
+        4096: (32, 32, 4),
+        8192: (32, 32, 8),
+        16384: (32, 32, 4, 4),
+    }
+    if S not in table:
+        raise Unsupported(f"no DIT schedule for S={S}")
+    return table[S]
+
+
+def _stage_dft(xr, xi, f: int, dim: int, sign: int, scale: float):
+    """Complex DFT of size f contracting `dim` (0 or 1) of xr/xi, in the
+    fastest measured form for the factor size; the new k lands at dim 0."""
+    if f <= 8:
+        # unrolled VPU butterflies: trace-time-constant unit roots (pure
+        # adds for f in {2,4}; adds + sqrt(1/2) rotations for f=8)
+        idx = (slice(None),) * dim
+        outs_r, outs_i = [], []
+        for k in range(f):
+            ar = ai = None
+            for j in range(f):
+                c = scale * math.cos(sign * 2.0 * math.pi * k * j / f)
+                s = scale * math.sin(sign * 2.0 * math.pi * k * j / f)
+                vr = xr[idx + (j,)]
+                vi = xi[idx + (j,)]
+                if abs(s) < 1e-12 * abs(scale):
+                    tr = vr if c == 1.0 else c * vr
+                    ti = vi if c == 1.0 else c * vi
+                elif abs(c) < 1e-12 * abs(scale):
+                    tr = -s * vi
+                    ti = s * vr
+                else:
+                    tr = c * vr - s * vi
+                    ti = c * vi + s * vr
+                ar = tr if ar is None else ar + tr
+                ai = ti if ai is None else ai + ti
+            outs_r.append(ar[None])
+            outs_i.append(ai[None])
+        return jnp.concatenate(outs_r, 0), jnp.concatenate(outs_i, 0)
+    dims = ((1,), (dim,))
+    wr, wi = _gen_dft(f, f, f, sign, scale)
+    if 2 * f <= 128:
+        wbig = jnp.concatenate(
+            [jnp.concatenate([wr, -wi], axis=1),
+             jnp.concatenate([wi, wr], axis=1)], axis=0)
+        xcat = jnp.concatenate([xr, xi], axis=dim)
+        res = jax.lax.dot_general(
+            wbig, xcat, (dims, ((), ())), precision=_MM_PREC,
+            preferred_element_type=jnp.float32)
+        return res[:f], res[f:]
+    return _cdot(wr, wr + wi, wi - wr, xr, xi, dims)
+
+
+def _dft_sublane_chain(xr, xi, S: int, sign: int, scale: float = 1.0,
+                       factors=None):
+    """DFT of size S over the LEADING sublane axis of [S, ...lanes],
+    natural output order, `scale` folded into the last stage's constants.
+
+    State between stages is kept flat [S, ...]: leading order
+    (k_j, .., k_1, m_B) — every reshape is a pure sublane regroup, the
+    accumulated k block is a broadcast spectator for the twiddles, and
+    contractions touch dim 0 (first stage) or dim 1 (rest).
+    """
+    factors = tuple(factors) if factors is not None else _dit_schedule(S)
+    rest = xr.shape[1:]
+    ones = (1,) * len(rest)
+    K, B = 1, S
+    for j, f in enumerate(factors):
+        last = j == len(factors) - 1
+        B //= f
+        block = f * B  # this level's DFT block (<= S <= 16384: f32-exact)
+        st_scale = scale if last else 1.0
+        if K == 1:
+            xr = xr.reshape(f, B, *rest)
+            xi = xi.reshape(f, B, *rest)
+            br, bi = _stage_dft(xr, xi, f, 0, sign, st_scale)
+            # [k_f, B, rest]
+            if B > 1:
+                twr, twi = _gen_dft(f, B, block, sign)
+                twr = twr.reshape(f, B, *ones)
+                twi = twi.reshape(f, B, *ones)
+        else:
+            xr = xr.reshape(K, f, B, *rest)
+            xi = xi.reshape(K, f, B, *rest)
+            br, bi = _stage_dft(xr, xi, f, 1, sign, st_scale)
+            # [k_f, K, B, rest]
+            if B > 1:
+                twr, twi = _gen_dft(f, B, block, sign)
+                twr = twr.reshape(f, 1, B, *ones)
+                twi = twi.reshape(f, 1, B, *ones)
+        if B > 1:
+            xr = br * twr - bi * twi
+            xi = br * twi + bi * twr
+        else:
+            xr, xi = br, bi
+        K *= f
+        xr = xr.reshape(S, *rest)
+        xi = xi.reshape(S, *rest)
+    return xr, xi
+
+
+def _kernel_rows_dit(xr_ref, xi_ref, or_ref, oi_ref, *, n, sign, scale,
+                     factors):
+    """Row-FFT tile via in-kernel transpose + sublane DIT chain: [bt, n] ->
+    [n, bt] -> factored DFT over sublanes -> [bt, n].  256 f32 MACs/point
+    for n >= 1024 vs the classic two-factor kernel's 512 (and 768 at
+    n=16384); the two transposes are ~free (probe_r2 C-variant)."""
+    ar = xr_ref[:].T
+    ai = xi_ref[:].T
+    dr, di = _dft_sublane_chain(ar, ai, n, sign, scale, factors)
+    or_ref[:] = dr.T
+    oi_ref[:] = di.T
+
+
 def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
     bt = xr_ref.shape[0]
 
@@ -231,8 +384,17 @@ def _supported(n) -> bool:
     return n % 128 == 0 and n // 128 <= 128
 
 
+# Row-kernel schedule: "dit" (transpose-in sublane DIT chain, 256 MACs/pt)
+# or "classic" (lane-split two-factor, 512-768 MACs/pt).  Resolved per call;
+# the module default is what the probes measured fastest.
+ROW_SCHEDULE = "classic"
+# DIT needs a full transpose of the tile in VMEM: require n >= 1024 (below
+# that the classic kernel is already at the copy floor).
+_DIT_MIN_N = 1024
+
+
 def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
-                      interpret=False):
+                      interpret=False, schedule=None):
     """Batched FFT over the last axis via the fused Pallas kernel.
 
     re/im: float32 [..., n] (leading dims flattened to a row batch).
@@ -241,6 +403,8 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
     n = re.shape[-1]
     if not _supported(n):
         raise Unsupported(f"n={n} outside fused kernel envelope")
+    schedule = schedule or ROW_SCHEDULE
+    use_dit = schedule == "dit" and n >= _DIT_MIN_N
 
     lead = re.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
@@ -259,10 +423,17 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
     grid_rows = bt if short else rows
 
     n1, n2 = _choose_split(n)
-    kern = functools.partial(
-        _kernel, n=n, n1=n1, n2=n2, sign=sign,
-        scale=float(scale) if scale is not None else 1.0,
-    )
+    if use_dit:
+        kern = functools.partial(
+            _kernel_rows_dit, n=n, sign=sign,
+            scale=float(scale) if scale is not None else 1.0,
+            factors=_dit_schedule(n),
+        )
+    else:
+        kern = functools.partial(
+            _kernel, n=n, n1=n1, n2=n2, sign=sign,
+            scale=float(scale) if scale is not None else 1.0,
+        )
     # non-divisible batches ride Pallas's native ragged-grid masking —
     # no pad/slice copies (they cost more than the FFT at small n)
     grid = (pl.cdiv(grid_rows, bt),)
