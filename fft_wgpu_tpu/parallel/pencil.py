@@ -65,18 +65,51 @@ def _a2a(pair, axis_name, split_axis, concat_axis):
     return re, im
 
 
+def _fft_then_a2a_chunked(re, im, fft_axis, sign, scale, axis_name,
+                          split_axis, concat_axis, chunk_axis, chunks):
+    """FFT along `fft_axis` then all-to-all, pipelined in `chunks` slices
+    along `chunk_axis` (an axis participating in neither the FFT nor the
+    a2a).  Chunk i's a2a depends only on chunk i's FFT, so XLA's async
+    collectives (start/done pairs on TPU) overlap chunk i's ICI transfer
+    with chunk i+1's compute — the SURVEY §7 hard part ("pencil 3-D FFT
+    must overlap ICI all-to-all with per-pencil compute").  chunks=1 is
+    the unpipelined baseline."""
+    if chunks <= 1 or re.shape[chunk_axis] < chunks:
+        re, im = _fft_axis_local(re, im, fft_axis, sign, scale)
+        return _a2a((re, im), axis_name, split_axis, concat_axis)
+    assert chunk_axis not in (split_axis, concat_axis)
+    n = re.shape[chunk_axis]
+    step = -(-n // chunks)
+    outs_r, outs_i = [], []
+    for s in range(0, n, step):
+        sl = [slice(None)] * re.ndim
+        sl[chunk_axis] = slice(s, min(s + step, n))
+        cr, ci = re[tuple(sl)], im[tuple(sl)]
+        cr, ci = _fft_axis_local(cr, ci, fft_axis, sign, scale)
+        cr, ci = _a2a((cr, ci), axis_name, split_axis, concat_axis)
+        outs_r.append(cr)
+        outs_i.append(ci)
+    return (jnp.concatenate(outs_r, chunk_axis),
+            jnp.concatenate(outs_i, chunk_axis))
+
+
 # --------------------------------------------------------------------- #
 # 3-D pencil FFT
 # --------------------------------------------------------------------- #
-def _fft3d_impl(x, mesh, sign, scale, transposed_output):
+def _fft3d_impl(x, mesh, sign, scale, transposed_output, overlap_chunks=None):
     ax, ay = mesh.axis_names
+    if overlap_chunks is None:
+        # pipeline by default on real meshes; 1 device has no ICI to hide
+        overlap_chunks = 4 if mesh.devices.size > 1 else 1
 
     def local(re, im):
-        # in: [X/px, Y/py, Z]
-        re, im = _fft_axis_local(re, im, 2, sign, None)          # Z-FFT
-        re, im = _a2a((re, im), ay, 2, 1)                        # -> [X/px, Y, Z/py]
-        re, im = _fft_axis_local(re, im, 1, sign, None)          # Y-FFT
-        re, im = _a2a((re, im), ax, 1, 0)                        # -> [X, Y/px, Z/py]
+        # in: [X/px, Y/py, Z].  Each FFT->a2a pair is chunk-pipelined along
+        # a spectator axis so the ICI transfer of one chunk overlaps the
+        # next chunk's pencil FFTs (see _fft_then_a2a_chunked).
+        re, im = _fft_then_a2a_chunked(                          # Z-FFT
+            re, im, 2, sign, None, ay, 2, 1, 0, overlap_chunks)  # -> [X/px, Y, Z/py]
+        re, im = _fft_then_a2a_chunked(                          # Y-FFT
+            re, im, 1, sign, None, ax, 1, 0, 2, overlap_chunks)  # -> [X, Y/px, Z/py]
         re, im = _fft_axis_local(re, im, 0, sign, scale)         # X-FFT
         if not transposed_output:
             re, im = _a2a((re, im), ax, 0, 1)                    # -> [X/px, Y, Z/py]
@@ -97,19 +130,27 @@ def _fft3d_impl(x, mesh, sign, scale, transposed_output):
     return merge(re, im)
 
 
-def fft3d(x, mesh: Mesh | None = None, norm=None, *, transposed_output=False):
-    """Distributed 3-D forward FFT, pencil-decomposed over a 2-D mesh."""
+def fft3d(x, mesh: Mesh | None = None, norm=None, *, transposed_output=False,
+          overlap_chunks: int | None = None):
+    """Distributed 3-D forward FFT, pencil-decomposed over a 2-D mesh.
+
+    `overlap_chunks` pipelines each FFT->all-to-all pair in that many
+    chunks so ICI transfers overlap pencil compute (default: 4 on real
+    meshes, 1 single-device)."""
     mesh = mesh or make_pencil_mesh()
     scale = _nd_scale(jnp.shape(x), norm, FORWARD)
-    return _fft3d_impl(x, mesh, FORWARD, scale, transposed_output)
+    return _fft3d_impl(x, mesh, FORWARD, scale, transposed_output,
+                       overlap_chunks)
 
 
-def ifft3d(x, mesh: Mesh | None = None, norm=None, *, transposed_output=False):
+def ifft3d(x, mesh: Mesh | None = None, norm=None, *, transposed_output=False,
+           overlap_chunks: int | None = None):
     """Distributed 3-D inverse FFT (1/N total scale folded into the last
     axis pass, mirroring the reference's fused normalize — ifft.wgsl:65-74)."""
     mesh = mesh or make_pencil_mesh()
     scale = _nd_scale(jnp.shape(x), norm, INVERSE)
-    return _fft3d_impl(x, mesh, INVERSE, scale, transposed_output)
+    return _fft3d_impl(x, mesh, INVERSE, scale, transposed_output,
+                       overlap_chunks)
 
 
 def _nd_scale(shape, norm, sign):

@@ -138,3 +138,22 @@ def test_fft1d_distributed_replan_and_fallback(rng, assert_close):
     x = (rng.standard_normal(48) + 1j * rng.standard_normal(48)).astype(np.complex64)
     got = pencil.fft1d_distributed(x, m)
     assert_close(got, np.fft.fft(x), what="dist1d replicated fallback")
+
+
+def test_fft3d_overlap_chunks(rng, assert_close):
+    """Chunk-pipelined FFT->a2a (ICI/compute overlap) is bit-compatible
+    with the unpipelined schedule and numpy."""
+    from fft_wgpu_tpu.parallel import pencil
+
+    m = pencil.make_pencil_mesh()
+    x = (rng.standard_normal((16, 16, 32))
+         + 1j * rng.standard_normal((16, 16, 32))).astype(np.complex64)
+    base = pencil.fft3d(x, m, overlap_chunks=1)
+    for chunks in (2, 4, 16):  # incl. chunks > extent (clamps to baseline)
+        got = pencil.fft3d(x, m, overlap_chunks=chunks)
+        assert_close(got, np.asarray(base), what=f"overlap chunks={chunks}")
+    assert_close(base, np.fft.fftn(x), what="pipelined pencil vs numpy")
+    assert_close(
+        pencil.ifft3d(pencil.fft3d(x, m, overlap_chunks=4), m,
+                      overlap_chunks=4),
+        x, what="pipelined roundtrip")
