@@ -216,21 +216,27 @@ def _cdot_realcat(n1, sign, xr, xi, cat_axis, dims):
 
 
 def _dit_schedule(S: int) -> tuple[int, ...]:
-    """Factor S (power of two) into (major..minor) DIT factors: full-rate
-    realcat atoms {32, 64} first, small pure-VPU factors {2,4,8} last."""
+    """Factor S (power of two) into (major..minor) DIT factors: small
+    pure-VPU factors {2,4,8} FIRST, full-rate realcat atoms {32, 64} last.
+
+    Ordering matters for vreg packing: the remaining-block size B is the
+    second-minor dim of every stage's operand, so it must stay a sublane
+    multiple (>= 8, ideally >= 32) until the final stage — small factors
+    last would leave B in {2,4} next to the lane dim (half-empty vregs,
+    measured 1.8x slower at n=4096)."""
     table = {
         2: (2,), 4: (4,), 8: (8,),
         16: (4, 4),
         32: (32,),
         64: (64,),
-        128: (32, 4),
-        256: (64, 4),
-        512: (32, 4, 4),
+        128: (4, 32),
+        256: (4, 64),
+        512: (4, 4, 32),
         1024: (32, 32),
-        2048: (32, 32, 2),
-        4096: (32, 32, 4),
-        8192: (32, 32, 8),
-        16384: (32, 32, 4, 4),
+        2048: (2, 32, 32),
+        4096: (4, 32, 32),
+        8192: (8, 32, 32),
+        16384: (4, 4, 32, 32),
     }
     if S not in table:
         raise Unsupported(f"no DIT schedule for S={S}")
@@ -308,6 +314,11 @@ def _dft_sublane_chain(xr, xi, S: int, sign: int, scale: float = 1.0,
                 twr, twi = _gen_dft(f, B, block, sign)
                 twr = twr.reshape(f, B, *ones)
                 twi = twi.reshape(f, B, *ones)
+        elif B == 1:  # final stage: rank-3, no dangling unit dim
+            xr = xr.reshape(K, f, *rest)
+            xi = xi.reshape(K, f, *rest)
+            br, bi = _stage_dft(xr, xi, f, 1, sign, st_scale)
+            # [k_f, K, rest]
         else:
             xr = xr.reshape(K, f, B, *rest)
             xi = xi.reshape(K, f, B, *rest)

@@ -21,8 +21,8 @@ from fft_wgpu_tpu.ops import pallas_fft as pf
 
 def main():
     bw = 819e9
-    for n, rows in [(4096, 4096), (8192, 2048), (16384, 1024), (2048, 8192),
-                    (1024, 16384)]:
+    for n, rows in [(4096, 4096), (8192, 2048), (2048, 8192),
+                    (1024, 16384), (16384, 1024)]:
         re = jax.random.normal(jax.random.PRNGKey(0), (rows, n), jnp.float32)
         im = jax.random.normal(jax.random.PRNGKey(1), (rows, n), jnp.float32)
         fns = {}

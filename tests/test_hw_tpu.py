@@ -1,0 +1,102 @@
+"""Hardware validation tier: the BASELINE.md configs as pytest asserts on
+the real TPU backend (promoted from scripts/hw_smoke.py sweeps).
+
+Run:  FFT_WGPU_TPU_HW=1 python -m pytest tests/ -m tpu -q
+(on the default CPU tier these auto-skip; see conftest.py).
+
+All data crosses the device boundary as planar float32 (the axon runtime
+cannot transfer complex arrays — CLAUDE.md invariant); large configs
+validate with device-side roundtrips and scalar readbacks only.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+TOL = 1e-5
+
+
+@pytest.fixture(scope="module")
+def ftt():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend available")
+    import fft_wgpu_tpu
+
+    return fft_wgpu_tpu
+
+
+def _rel(got, want):
+    return float(np.linalg.norm(got - want) / np.linalg.norm(want))
+
+
+def test_config1_n1024_vs_naive(ftt, rng):
+    x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)
+         ).astype(np.complex64)
+    got = ftt.device_get_complex(ftt.fft(x))
+    assert _rel(got, ftt.naive_dft(x)) < TOL
+
+
+def test_config2_batched_4096(ftt, rng):
+    x = (rng.standard_normal((256, 4096))
+         + 1j * rng.standard_normal((256, 4096))).astype(np.complex64)
+    assert _rel(ftt.device_get_complex(ftt.fft(x)),
+                np.fft.fft(x, axis=-1)) < TOL
+    assert _rel(ftt.device_get_complex(ftt.ifft(x)),
+                np.fft.ifft(x, axis=-1)) < TOL
+
+
+def test_config3_large_n_roundtrip_device_side(ftt):
+    """2^20 single-shot through the fused big kernel: device-side
+    roundtrip + impulse, scalar transfers only."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 1 << 20
+    re = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
+    im = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32)
+    p = ftt.plan(n)
+
+    @jax.jit
+    def rt(a, b):
+        fr, fi = p._execute_split(a, b, -1, None)
+        rr, ri = p._execute_split(fr, fi, +1, 1.0 / n)
+        return jnp.sqrt(jnp.sum((rr - a) ** 2 + (ri - b) ** 2)
+                        / jnp.sum(a ** 2 + b ** 2))
+
+    assert float(rt(re, im)) < TOL
+
+    d = jnp.zeros((n,), jnp.float32).at[0].set(1.0)
+    dr, di = jax.jit(lambda a, b: p._execute_split(a, b, -1, None))(
+        d, jnp.zeros_like(d))
+    err = float(jnp.max(jnp.abs(dr - 1.0)) + jnp.max(jnp.abs(di)))
+    assert err < TOL
+
+
+def test_config4_2d_and_r2c(ftt, rng):
+    x2 = (rng.standard_normal((512, 512))
+          + 1j * rng.standard_normal((512, 512))).astype(np.complex64)
+    assert _rel(ftt.device_get_complex(ftt.fft2(x2)), np.fft.fft2(x2)) < TOL
+    xr = rng.standard_normal((128, 4096)).astype(np.float32)
+    assert _rel(ftt.device_get_complex(ftt.rfft(xr)),
+                np.fft.rfft(xr, axis=-1)) < TOL
+
+
+def test_plan_parity_two_pass(ftt, rng):
+    """Onlyinverse + Normalize two-pass (reference basic_inverse2.rs)."""
+    x = (rng.standard_normal((32, 2048))
+         + 1j * rng.standard_normal((32, 2048))).astype(np.complex64)
+    p = ftt.plan(2048)
+    X = p.forward(x)
+    back = p.normalize(p.inverse_unnormalized(X))
+    assert _rel(ftt.device_get_complex(back), x) < TOL
+
+
+def test_non_pow2_and_prime(ftt, rng):
+    for n in (1000, 997):
+        x = (rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n))
+             ).astype(np.complex64)
+        assert _rel(ftt.device_get_complex(ftt.fft(x)),
+                    np.fft.fft(x, axis=-1)) < TOL, f"n={n}"
