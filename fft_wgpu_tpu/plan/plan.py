@@ -65,7 +65,8 @@ class Plan:
                 "return complex64 (TPU has no f64; use dtype=jnp.complex64)"
             )
         self.dtype = jnp.complex64
-        if executor not in ("auto", "xla", "pallas", "fourstep", "direct"):
+        if executor not in ("auto", "xla", "pallas", "fourstep", "bigfft",
+                            "direct"):
             raise ValueError(f"unknown executor {executor!r}")
         self.executor = executor
         # donate=True donates the (re, im) input buffers to XLA so replaying
@@ -136,6 +137,12 @@ class Plan:
                     if not auto:
                         raise
                     ex = "xla"
+        if ex == "bigfft":
+            # explicit single-pass whole-row-in-VMEM kernel (TPU);
+            # out-of-envelope shapes raise so callers see why
+            from ..ops import bigfft
+
+            return bigfft.fft_big_split(re, im, sign, scale)
         if ex == "fourstep":
             try:
                 from ..ops import fourstep

@@ -106,3 +106,17 @@ def test_plan_donate_zero_alloc_replay(rng, assert_close):
     assert not any(a.donated for a in info2)
     # plan replay with fresh buffers still works
     assert_close(p.forward(x), want)
+
+
+def test_bigfft_executor_option():
+    """executor='bigfft' is selectable and rejects out-of-envelope n."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from fft_wgpu_tpu.ops.bigfft import Unsupported
+    from fft_wgpu_tpu.plan.plan import Plan
+
+    p = Plan(512, executor="bigfft")  # construction is lazy: no raise yet
+    r = jnp.zeros((2, 512), jnp.float32)
+    with _pytest.raises(Unsupported):
+        p._execute_split(r, r, -1, None)
