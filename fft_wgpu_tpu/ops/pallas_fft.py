@@ -396,9 +396,12 @@ def _supported(n) -> bool:
 
 
 # Row-kernel schedule: "dit" (transpose-in sublane DIT chain, 256 MACs/pt)
-# or "classic" (lane-split two-factor, 512-768 MACs/pt).  Resolved per call;
-# the module default is what the probes measured fastest.
-ROW_SCHEDULE = "classic"
+# or "classic" (lane-split two-factor, 512 MACs/pt; 768 at n=16384).
+# Measured (probe_r5b): classic wins up to n=8192 (per-stage overheads beat
+# the DIT MAC savings); DIT wins 1.12x at n=16384 where classic's MACs
+# balloon.  None = pick per n.
+ROW_SCHEDULE = None
+_DIT_AUTO_MIN_N = 16384
 # DIT needs a full transpose of the tile in VMEM: require n >= 1024 (below
 # that the classic kernel is already at the copy floor).
 _DIT_MIN_N = 1024
@@ -415,6 +418,8 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
     if not _supported(n):
         raise Unsupported(f"n={n} outside fused kernel envelope")
     schedule = schedule or ROW_SCHEDULE
+    if schedule is None:
+        schedule = "dit" if n >= _DIT_AUTO_MIN_N else "classic"
     use_dit = schedule == "dit" and n >= _DIT_MIN_N
 
     lead = re.shape[:-1]
