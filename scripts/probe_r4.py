@@ -1,6 +1,12 @@
 #!/usr/bin/env python
 """Round-2 probes, part 3: multi-level sublane schedules in the row kernel.
 
+HISTORICAL — every variant here crashed the remote Mosaic compiler
+(HTTP 500).  Root cause isolated later (/tmp/bisect.py -> PERFORMANCE.md):
+rank-3 `broadcasted_iota` in `_stage_twiddle` is rejected by this Mosaic;
+tables must be generated in 2-D and reshaped.  The corrected machinery
+lives in pallas_fft._dft_sublane_chain (probe_r5 measures it).
+
 The measured MXU truth (probe_r2/r3): [64,64]-shaped realcat dots run at the
 full f32 MAC rate; [64,64] Gauss triples and smaller dots do not; in-kernel
 transposes are ~free; dot algorithm presets and HIGH are unsupported.
@@ -92,8 +98,6 @@ def sublane_dft_sched(xr, xi, factors, sign, scale=1.0):
                 res = jax.lax.dot_general(
                     wbig, xcat, ((((1,), (dim,))), ((), ())), precision=_PREC,
                     preferred_element_type=jnp.float32)
-                br, bi = (jax.lax.index_in_dim(res, s, 0, keepdims=False)
-                          for s in (0,))  # placeholder, replaced below
                 br = res[:f]
                 bi = res[f:]
             else:
