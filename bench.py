@@ -230,10 +230,10 @@ def main():
                 f"{r2['fraction']:.1%} of 2-pass roofline, vs_xla_fft2={err:.2e}")
 
     def _r2c(n2, b2):
-        from fft_wgpu_tpu.ops.rfft import _rfft_even_split
+        from fft_wgpu_tpu.ops.rfft import rfft_last_split
 
         x = jax.random.normal(jax.random.PRNGKey(4), (b2, n2), jnp.float32)
-        fn = jax.jit(lambda v: _rfft_even_split(v, None))
+        fn = jax.jit(lambda v: rfft_last_split(v, None))
         dt2 = _device_time(fn, (x,))
         # R2C traffic: n f32 in, 2*(n/2+1) f32 out per row
         bw = 4.0 * (n2 + 2 * (n2 // 2 + 1)) * b2 / dt2

@@ -725,6 +725,102 @@ def fft_rows_transposed_split(re, im, sign, scale=None, *, outer=None,
     return out_r.reshape(*lead, n, R), out_i.reshape(*lead, n, R)
 
 
+# --------------------------------------------------------------------- #
+# Single-pass R2C rows kernel.
+# --------------------------------------------------------------------- #
+def _kernel_r2c(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp):
+    """Real-input rows FFT writing only the half spectrum.
+
+    The XLA-level packed R2C (ops/rfft.py) pays ~5 HBM passes in
+    de-interleave / flip / unpack relayouts (measured 9.7% of the R2C
+    roofline); here the real row is read ONCE, the zero-imag C2C runs in
+    VMEM, and only bins k <= n/2 are written — the natural-order flat
+    index equals k, so the half-spectrum slice is a plain sublane slice
+    of the pre-transpose [n, bt] result."""
+    bt = xr_ref.shape[0]
+    ar = xr_ref[:].reshape(bt, n1, n2)
+
+    # stage 1 on REAL input: B = W1 . x needs only 2 real half-matmuls,
+    # done as ONE stacked dot [[W1r],[W1i]] [2*n1, n1] . x — half the MACs
+    # of the complex realcat form.
+    w1r, w1i = _gen_dft(n1, n1, n1, sign)
+    wcat = jnp.concatenate([w1r, w1i], axis=0)
+    res = jax.lax.dot_general(
+        wcat, ar, ((((1,), (1,))), ((), ())), precision=_MM_PREC,
+        preferred_element_type=jnp.float32)
+    br, bi = res[:n1], res[n1:]
+
+    twr, twi = _gen_twiddle(n1, n2, n, sign)
+    cr = br * twr[:, None, :] - bi * twi[:, None, :]
+    ci = br * twi[:, None, :] + bi * twr[:, None, :]
+
+    # stage 2 computes only the output rows k2 <= (mp-1)//n1 — conjugate
+    # symmetry makes bins k > n/2 redundant, so the DFT matrix is cut to
+    # k2_max+1 (padded to a sublane multiple) rows: ~9/16 of the MACs.
+    k2_rows = _round_up(mp // n1 + 1, 8)
+    w2r, w2i = _gen_dft(k2_rows, n2, n2, sign, scale)
+    dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (2,)))
+
+    or_ref[:] = dr.reshape(k2_rows * n1, bt)[:mp].T
+    oi_ref[:] = di.reshape(k2_rows * n1, bt)[:mp].T
+
+
+def rfft_rows_split(xr, scale=None, *, interpret=False):
+    """Batched R2C FFT over the last axis: real float32 [..., n] ->
+    split complex [..., n//2+1], one HBM round trip (fused kernel
+    envelope; callers fall back to the packed XLA path outside it)."""
+    n = xr.shape[-1]
+    if not _supported(n):
+        raise Unsupported(f"n={n} outside fused kernel envelope")
+    lead = xr.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    if rows == 0:
+        z = jnp.zeros((*lead, n // 2 + 1), jnp.float32)
+        return z, z
+    x2 = xr.reshape(rows, n)
+
+    bt = min(_row_tile(n), _round_up(rows, 128))
+    short = rows < bt
+    if short:
+        x2 = jnp.pad(x2, ((0, bt - rows), (0, 0)))
+    grid_rows = bt if short else rows
+
+    m_out = n // 2 + 1
+    mp = m_out  # ragged minor is fine when the block spans the whole dim
+    n1, n2 = _choose_split(n)
+    kern = functools.partial(
+        _kernel_r2c, n=n, n1=n1, n2=n2, sign=-1,
+        scale=float(scale) if scale is not None else 1.0, mp=mp,
+    )
+    grid = (pl.cdiv(grid_rows, bt),)
+    in_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bt, mp), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[in_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid_rows, mp), jnp.float32),
+            jax.ShapeDtypeStruct((grid_rows, mp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(8 * n * (n1 + n2) + 6 * n) * rows,
+            bytes_accessed=4 * rows * (n + 2 * mp),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x2)
+
+    out_r = out_r[:rows, :m_out] if short else out_r[:, :m_out]
+    out_i = out_i[:rows, :m_out] if short else out_i[:, :m_out]
+    return out_r.reshape(*lead, m_out), out_i.reshape(*lead, m_out)
+
+
 def fft2_split(re, im, sign, scale=None, *, interpret=False):
     """2-D FFT over the last two axes as TWO transposed-rows passes.
 

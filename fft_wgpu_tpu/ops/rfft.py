@@ -32,6 +32,29 @@ def _scales(n, norm, inverse):
     raise ValueError(f"invalid norm {norm!r}")
 
 
+def rfft_last_split(xr, sign_scale):
+    """R2C over the last axis, split output — picks the fastest path.
+
+    On TPU, power-of-two rows in the fused envelope run the single-pass
+    Pallas R2C kernel (one HBM round trip; the XLA packed path below pays
+    ~5 passes of de-interleave/flip/unpack relayouts, measured 9.7% of
+    the R2C roofline).  Everything else uses the packed half-size path.
+    """
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        try:
+            from . import pallas_fft
+        except ImportError:
+            pallas_fft = None
+        if pallas_fft is not None:
+            try:
+                return pallas_fft.rfft_rows_split(xr, sign_scale)
+            except pallas_fft.Unsupported:
+                pass
+    return _rfft_even_split(xr, sign_scale)
+
+
 def _rfft_even_split(xr, sign_scale):
     """R2C over the last axis (even n) via half-size packing.
 
@@ -126,7 +149,7 @@ def rfft(x, n=None, axis: int = -1, norm=None):
         if moved:
             v = jnp.moveaxis(v, axis, -1)
         if length % 2 == 0 and length >= 2:
-            Xr, Xi = _rfft_even_split(v, scale)
+            Xr, Xi = rfft_last_split(v, scale)
         else:  # odd length fallback: zero-imag C2C, slice half spectrum
             re, im = fftn_split(v, jnp.zeros_like(v), (v.ndim - 1,), FORWARD, scale)
             Xr, Xi = re[..., : length // 2 + 1], im[..., : length // 2 + 1]

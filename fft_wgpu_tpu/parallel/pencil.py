@@ -322,11 +322,11 @@ def rfft3d(x, mesh: Mesh | None = None, norm=None):
     scale = _nd_scale((X, Y, Z), norm, FORWARD)
 
     def local(xr):
-        from ..ops.rfft import _rfft_even_split
+        from ..ops.rfft import rfft_last_split
         from ..ops.nd import fftn_split
 
         if Z % 2 == 0 and Z >= 2:
-            re, im = _rfft_even_split(xr, None)           # [Xl, Yl, Z/2+1]
+            re, im = rfft_last_split(xr, None)            # [Xl, Yl, Z/2+1]
         else:
             re, im = fftn_split(xr, jnp.zeros_like(xr), (2,), FORWARD, None)
             re, im = re[..., : Z // 2 + 1], im[..., : Z // 2 + 1]

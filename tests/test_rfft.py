@@ -1,6 +1,8 @@
 """R2C / C2R transforms vs numpy (new capability vs the C2C-only reference)."""
 
 import numpy as np
+
+import jax.numpy as jnp
 import pytest
 
 import fft_wgpu_tpu as ftt
@@ -69,3 +71,20 @@ def test_hfft_ihfft(norm, rng, assert_close):
     assert_close(ftt.hfft(X, n=n, norm=norm), np.fft.hfft(X, n=n, norm=norm or "backward"))
     x = rng.standard_normal(n).astype(np.float32)
     assert_close(ftt.ihfft(x, norm=norm), np.fft.ihfft(x, norm=norm or "backward"))
+
+
+def test_rfft_pallas_kernel_interpret(rng, assert_close):
+    """Single-pass Pallas R2C kernel (the TPU fast path) vs numpy."""
+    from fft_wgpu_tpu.ops import pallas_fft as pf
+
+    for n, rows in [(1024, 4), (512, 130)]:
+        x = rng.standard_normal((rows, n)).astype(np.float32)
+        Xr, Xi = pf.rfft_rows_split(jnp.asarray(x), interpret=True)
+        got = np.asarray(Xr) + 1j * np.asarray(Xi)
+        assert_close(got, np.fft.rfft(x, axis=-1), what=f"pallas r2c n={n}")
+    # folded scale (ortho)
+    x = rng.standard_normal((8, 1024)).astype(np.float32)
+    Xr, Xi = pf.rfft_rows_split(jnp.asarray(x), 1024**-0.5, interpret=True)
+    got = np.asarray(Xr) + 1j * np.asarray(Xi)
+    assert_close(got, np.fft.rfft(x, axis=-1, norm="ortho"),
+                 what="pallas r2c ortho")
