@@ -270,7 +270,24 @@ def main():
     _row("N=2^22 x4 (four-step)", lambda: _1d(1 << 22, 4, 2), budget=900)
     _row("reference shape 2500x512", lambda: _1d(512, 2500, 1))
     _row("2-D 4096x4096 C2C", lambda: _2d(4096))
+    def _c2r(n2, b2):
+        from fft_wgpu_tpu.ops.rfft import irfft_last_split
+        from fft_wgpu_tpu.utils.roofline import hbm_bandwidth
+
+        Xr = jax.random.normal(jax.random.PRNGKey(5), (b2, n2 // 2 + 1),
+                               jnp.float32)
+        Xi = jax.random.normal(jax.random.PRNGKey(6), (b2, n2 // 2 + 1),
+                               jnp.float32)
+        fn = jax.jit(lambda a, b: (irfft_last_split(a, b, n2, 1.0 / n2),))
+        out = fn(Xr, Xi)[0]
+        ref = jnp.fft.irfft(jax.lax.complex(Xr, Xi), n=n2, axis=-1)
+        err = float(jnp.sqrt(jnp.sum((out - ref) ** 2) / jnp.sum(ref ** 2)))
+        dt2 = _device_time(fn, (Xr, Xi))
+        frac = 4.0 * (n2 + 2 * (n2 // 2 + 1)) * b2 / dt2 / hbm_bandwidth(dev)
+        return f"{dt2*1e3:.3f} ms, {frac:.1%} of C2R roofline, vs_xla_irfft={err:.2e}"
+
     _row("R2C 4096 x 4096 rows", lambda: _r2c(4096, 4096))
+    _row("C2R 4096 x 4096 rows", lambda: _c2r(4096, 4096))
     _row("end-to-end 2500x512 (reference loop)", lambda: _end_to_end(512, 2500))
 
     print(json.dumps(result))

@@ -821,6 +821,132 @@ def rfft_rows_split(xr, scale=None, *, interpret=False):
     return out_r.reshape(*lead, m_out), out_i.reshape(*lead, m_out)
 
 
+# --------------------------------------------------------------------- #
+# Single-pass C2R rows kernel (flip-free half-spectrum contraction).
+# --------------------------------------------------------------------- #
+def _kernel_c2r(xr_ref, xi_ref, o_ref, *, n, Q, K2, nyq, scale):
+    """C2R: [bt, K2*128] padded half spectrum -> real [bt, n].
+
+    Mosaic has no lane-reverse (`rev` unimplemented) and minor-2
+    interleaves crash the compiler, so the classic packed/hermitian-
+    extend recipes are unusable in-kernel.  Instead contract the half
+    spectrum directly:
+
+        x[j] = 2*Re(S[j]) * scale,   S[j] = sum_{k=0..m} w_n^{+jk} X'[k]
+        (X' = X with the DC/Nyquist real parts halved, which makes the
+         2*Re fold exact — no correction terms)
+
+    four-stepped over k = k1 + 128*k2 and j = jq + Q*j1 (Q = n/128):
+
+        stage A: contract k2 (K2 = m/128+1 terms)  w_Q^{jq k2}   (small)
+        twiddle: w_n^{+jq k1}
+        stage B: contract k1, REAL PART ONLY: 2 full-rate [128,128] dots
+        output [j1, jq] row-major == j: natural order, one transpose
+
+    ~300 real MACs/point vs the 512 of a full C2C inverse, one HBM read
+    of the half spectrum and one write of the real row.
+    """
+    bt = xr_ref.shape[0]
+    m_k2 = nyq  # k2 index of the Nyquist bin (k1 == 0 there)
+    xr3 = xr_ref[:].reshape(bt, K2, 128)
+    xi3 = xi_ref[:].reshape(bt, K2, 128)
+
+    # mask: DC/Nyquist imag parts are discarded (C2R semantics) and any
+    # caller padding beyond the Nyquist bin is zeroed.
+    k2i = jax.lax.broadcasted_iota(jnp.int32, (K2, 128), 0)
+    k1i = jax.lax.broadcasted_iota(jnp.int32, (K2, 128), 1)
+    valid = ((k2i < m_k2) | ((k2i == m_k2) & (k1i == 0))).astype(jnp.float32)
+    ends = ((k1i == 0) & ((k2i == 0) | (k2i == m_k2))).astype(jnp.float32)
+    # halving the DC/Nyquist real parts makes x[j] == 2*Re(S[j]) EXACT
+    # (they would otherwise be double-counted by the 2*Re fold), so no
+    # per-row correction terms are needed at all.
+    xr3 = xr3 * (valid - 0.5 * ends)
+    xi3 = xi3 * (valid - ends)
+
+    # stage A: S_A[jq, bt, k1] = sum_k2 w_Q^{+jq k2} X[k1 + 128 k2]
+    war, wai = _gen_dft(Q, K2, Q, +1)
+    ar, ai = _cdot(war, war + wai, wai - war, xr3, xi3, ((1,), (1,)))
+
+    # inter twiddle w_n^{+jq k1}
+    twr, twi = _gen_dft(Q, 128, n, +1)
+    cr = ar * twr[:, None, :] - ai * twi[:, None, :]
+    ci = ar * twi[:, None, :] + ai * twr[:, None, :]
+
+    # stage B, real part only, with the 2*scale factor folded in:
+    # Re(W.c) = Wr.cr - Wi.ci  (two dots, no Gauss needed)
+    wbr, wbi = _gen_dft(128, 128, 128, +1, 2.0 * scale)
+    d = lambda w, x: jax.lax.dot_general(
+        w, x, ((((1,), (2,))), ((), ())), precision=_MM_PREC,
+        preferred_element_type=jnp.float32)
+    s2 = d(wbr, cr) - d(wbi, ci)  # [j1, jq, bt]
+
+    o_ref[:] = s2.reshape(n, bt).T
+
+
+def irfft_rows_split(Xr, Xi, n, scale=None, *, interpret=False):
+    """Batched C2R over the last axis: split half spectrum [..., n//2+1]
+    -> real float32 [..., n] in one HBM round trip.
+
+    `scale` multiplies the result; numpy's backward norm is scale=1/n.
+    Requires power-of-two n with n/128 even (n >= 256) in the fused
+    envelope; callers fall back to the packed XLA path otherwise.
+    """
+    if not _supported(n) or (n // 128) % 2:
+        raise Unsupported(f"n={n} outside C2R kernel envelope")
+    m = n // 2
+    bins = m + 1
+    if Xr.shape[-1] != bins:
+        raise Unsupported(f"expected {bins} bins, got {Xr.shape[-1]}")
+    Q = n // 128
+    # K2 padded to a sublane multiple: ragged second-minor dims (17) are
+    # hostile to Mosaic; the kernel's validity mask zeroes the pad rows.
+    K2 = _round_up(m // 128 + 1, 8)
+    mp_in = K2 * 128
+
+    lead = Xr.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    if rows == 0:
+        return jnp.zeros((*lead, n), jnp.float32)
+    pad = [(0, 0)] * (Xr.ndim - 1) + [(0, mp_in - bins)]
+    Xr2 = jnp.pad(Xr, pad).reshape(rows, mp_in)
+    Xi2 = jnp.pad(Xi, pad).reshape(rows, mp_in)
+
+    bt = min(_row_tile(n), _round_up(rows, 128))
+    short = rows < bt
+    if short:
+        Xr2 = jnp.pad(Xr2, ((0, bt - rows), (0, 0)))
+        Xi2 = jnp.pad(Xi2, ((0, bt - rows), (0, 0)))
+    grid_rows = bt if short else rows
+
+    kern = functools.partial(
+        _kernel_c2r, n=n, Q=Q, K2=K2, nyq=m // 128,
+        scale=float(scale) if scale is not None else 1.0,
+    )
+    in_spec = pl.BlockSpec((bt, mp_in), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bt, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(grid_rows, bt),),
+        in_specs=[in_spec, in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=(4 * n * 128 + 6 * n * K2) * rows,
+            bytes_accessed=4 * rows * (2 * mp_in + n),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Xr2, Xi2)
+    if short:
+        out = out[:rows]
+    return out.reshape(*lead, n)
+
+
 def fft2_split(re, im, sign, scale=None, *, interpret=False):
     """2-D FFT over the last two axes as TWO transposed-rows passes.
 

@@ -96,6 +96,31 @@ def _rfft_even_split(xr, sign_scale):
     return Xr, Xi
 
 
+def irfft_last_split(Xr, Xi, n, total_scale):
+    """C2R over the last axis with explicit TOTAL output scale
+    (numpy backward norm == 1/n) — picks the fastest path.
+
+    On TPU, in-envelope power-of-two n runs the single-pass flip-free
+    Pallas C2R kernel; otherwise the packed half-size XLA path."""
+    import jax as _jax
+
+    T = 1.0 if total_scale is None else float(total_scale)
+    if _jax.default_backend() == "tpu":
+        try:
+            from . import pallas_fft
+        except ImportError:
+            pallas_fft = None
+        if pallas_fft is not None:
+            try:
+                return pallas_fft.irfft_rows_split(Xr, Xi, n, T)
+            except pallas_fft.Unsupported:
+                pass
+    # packed path applies 1/n internally; pass the remainder on top
+    net = T * n
+    return _irfft_even_split(Xr, Xi, n,
+                             None if abs(net - 1.0) < 1e-12 else net)
+
+
 def _irfft_even_split(Xr, Xi, n, scale):
     """C2R over the last axis (even n): X [..., n//2+1] -> real [..., n].
 
@@ -177,10 +202,7 @@ def irfft(x, n=None, axis: int = -1, norm=None):
             r = jnp.moveaxis(r, axis, -1)
             i = jnp.moveaxis(i, axis, -1)
         if length % 2 == 0 and length >= 2:
-            # The packed reconstruction is exact (== backward 1/n overall);
-            # rescale relative to that for other norms.
-            net = (norm_scale if norm_scale is not None else 1.0) * length
-            out = _irfft_even_split(r, i, length, None if abs(net - 1.0) < 1e-12 else net)
+            out = irfft_last_split(r, i, length, norm_scale)
         else:
             fr = _hermitian_extend(r, i, length)
             re, im = fftn_split(fr[0], fr[1], (fr[0].ndim - 1,), INVERSE, norm_scale)

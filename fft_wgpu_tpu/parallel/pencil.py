@@ -375,7 +375,7 @@ def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None):
         raise ValueError(f"invalid norm {norm!r}")
 
     def local(re, im):
-        from ..ops.rfft import _irfft_even_split
+        from ..ops.rfft import irfft_last_split
 
         pad = (-re.shape[-1]) % mesh.devices.shape[1]
         if pad:
@@ -392,7 +392,7 @@ def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None):
         re2 = re2[..., :nb]
         im2 = im2[..., :nb]
         if n_last % 2 == 0 and n_last >= 2:
-            out = _irfft_even_split(re2, im2, n_last, None)
+            out = irfft_last_split(re2, im2, n_last, 1.0 / n_last)
         else:
             from ..ops.rfft import _hermitian_extend
             from ..ops.nd import fftn_split

@@ -88,3 +88,17 @@ def test_rfft_pallas_kernel_interpret(rng, assert_close):
     got = np.asarray(Xr) + 1j * np.asarray(Xi)
     assert_close(got, np.fft.rfft(x, axis=-1, norm="ortho"),
                  what="pallas r2c ortho")
+
+
+def test_irfft_pallas_kernel_interpret(rng, assert_close):
+    """Single-pass flip-free Pallas C2R kernel vs numpy."""
+    from fft_wgpu_tpu.ops import pallas_fft as pf
+
+    for n, rows in [(256, 4), (1024, 3), (2048, 130)]:
+        X = (rng.standard_normal((rows, n // 2 + 1))
+             + 1j * rng.standard_normal((rows, n // 2 + 1))
+             ).astype(np.complex64)
+        out = pf.irfft_rows_split(jnp.asarray(X.real), jnp.asarray(X.imag),
+                                  n, 1.0 / n, interpret=True)
+        assert_close(np.asarray(out), np.fft.irfft(X, n=n, axis=-1),
+                     what=f"pallas c2r n={n}")
