@@ -1,0 +1,17 @@
+"""Model family built on the FFT stack (the reference ships none).
+
+* spectral — FNO-style 1-D/2-D spectral operators + training steps
+* poisson — spectral Poisson solver (local and distributed pencil)
+* navier_stokes — pseudo-spectral 2-D Navier-Stokes (vorticity form)
+"""
+
+from .navier_stokes import ns2d_init, ns2d_rollout, ns2d_step, taylor_green_vorticity
+from .poisson import solve_poisson, solve_poisson_distributed
+from .spectral import (
+    fno1d_apply,
+    fno2d_apply,
+    init_fno1d,
+    init_fno2d,
+    mse_loss,
+    train_step,
+)
