@@ -8,33 +8,22 @@ trips); round 1 replaced that with a two-pass HBM four-step
 single-round-trip property the fused row kernel has for n <= 16384 —
 by running the entire four-step in VMEM:
 
-    x[1, n] --free view--> A[n1, n2]        (minor stays n2, a lane multiple)
-    1. B  = DFT_n1 over the SUBLANE axis    (factored MXU stages, in place)
-    2. C  = B * tw[k1, m2]                  (outer twiddle, split q/l tables)
-    3. Ct = C^T                             (one in-VMEM transpose; probed
-                                             nearly free on v5e)
-    4. D  = DFT_n2 over the SUBLANE axis    (output scale folded here)
-    5. out[1, n] = D.reshape(n)             (free sublane merge: natural
-                                             order X[k1 + n1*k2] = D[k2, k1])
+    x[1, n] --free view--> A[S, 128]        (S = n/128; minor stays 128)
+    1. B  = DFT_S over the SUBLANE axis      (DIT factor chain on the MXU:
+                                              realcat32/64 atoms + VPU
+                                              small-factor butterflies —
+                                              pallas_fft._dft_sublane_chain)
+    2. C  = B * w_n^(k_s * m_l)              (inter-factor twiddle; index
+                                              products < n <= 2^21: f32-exact)
+    3. D  = Gauss128 over the LANE axis      (scale folded; result order
+                                              [k_l, k_s] IS natural order)
+    4. out[1, n] = D.reshape(n)              (free merge)
 
 Both input and output stay FLAT [rows, n] — there is no HBM-level
 [.., n] <-> [.., n1, n2] reshape, which on TPU is a physical relayout that
-cost the two-pass four-step ~60 us/call (PERFORMANCE.md).
-
-Sublane-axis DFTs are factored into full-MXU-rate atoms only (measured on
-v5e: [64,64]/[128,128]-shaped dots run at the f32 MAC-rate; [32,32]-class
-Gauss dots do not — scripts/probe_r2.py):
-
-    factor 32   -> real-matrix single dot, wbig [64, 64]
-    factor 64   -> real-matrix single dot, wbig [128, 128]
-    factor 128  -> Gauss 3-mult, three [128,128] dots
-    factor 2/4/8 (schedule tails) -> unrolled VPU butterflies (adds and
-    trace-time-constant rotations; no MXU pass at all)
-
-Outer twiddle exactness: exp(sign*2pi*i*k1*m2/n) needs k1*m2 < 2^24 for
-exact f32 index math, which fails beyond n ~ 2^12 squared; the plane is
-generated as a product of two small tables over m2 = 128*q + l, keeping
-every index product <= 2^18 (exact).
+cost the two-pass four-step ~60 us/call (PERFORMANCE.md).  The earlier
+square [sqrt(n), sqrt(n)] layout (two sublane chains + in-VMEM transpose +
+split-table outer twiddle) measured 1.17x slower (scripts/probe_bigv2.py).
 """
 
 from __future__ import annotations
@@ -58,164 +47,45 @@ BIG_MIN_N = 1 << 15  # below: the fused row kernel handles it in one pass
 BIG_MAX_N = 1 << 21  # above: whole-row VMEM working set exceeds v5e VMEM
 
 
-def _schedule(S: int):
-    """Factor a sublane DFT size into (small_vpu_factor, mxu_factors...).
+def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, sign, scale):
+    """Tall layout [n/128, 128]: sublane DIT chain + one lane-stage Gauss.
 
-    The FIRST factor is the contraction over the major (outermost) index of
-    the four-step view, so the VPU tail factor leads; MXU factors are
-    restricted to the measured full-rate atoms {32, 64, 128}.
-    """
-    e = S.bit_length() - 1
-    assert (1 << e) == S
-    if S == 128:
-        return (128,)
-    if S == 256:
-        return (4, 64)
-    if S == 512:
-        return (8, 64)
-    if S == 1024:
-        return (32, 32)
-    if S == 2048:
-        return (32, 64)
-    if S == 4096:
-        return (64, 64)
-    raise Unsupported(f"no sublane DFT schedule for S={S}")
+    Measured against the square [sqrt(n), sqrt(n)] layout (two sublane
+    chains + in-VMEM transpose + split-table outer twiddle): the tall
+    form is 1.17x faster at 2^20 (134 vs 157 us, scripts/probe_bigv2.py)
+    and needs no transpose and no q/l twiddle split (k_s*m_l < n <= 2^21
+    is f32-exact directly).  The lane-stage dot's result order [k_l, k_s]
+    IS the natural output order, so the final reshape is free."""
+    from . import pallas_fft as _pf
 
+    S = n // 128
+    ar = xr_ref[0].reshape(S, 128)
+    ai = xi_ref[0].reshape(S, 128)
 
-def _vpu_dft_lead(xr, xi, f: int, sign: int):
-    """DFT of size f (<= 8) over the LEADING sublane axis, fully unrolled:
-    trace-time-constant unit-root coefficients, adds + a few rotations on
-    the VPU — zero MXU passes (the roots of unity for f in {2,4,8} are
-    mostly +-1 / +-i)."""
-    outs_r, outs_i = [], []
-    for k in range(f):
-        ar = ai = None
-        for j in range(f):
-            c = math.cos(sign * 2.0 * math.pi * k * j / f)
-            s = math.sin(sign * 2.0 * math.pi * k * j / f)
-            # (c + i s) * (xr[j] + i xi[j]); skip exact-zero terms
-            if abs(c) < 1e-12:
-                tr = -s * xi[j]
-                ti = s * xr[j]
-            elif abs(s) < 1e-12:
-                tr = c * xr[j] if c != 1.0 else xr[j]
-                ti = c * xi[j] if c != 1.0 else xi[j]
-            else:
-                tr = c * xr[j] - s * xi[j]
-                ti = c * xi[j] + s * xr[j]
-            ar = tr if ar is None else ar + tr
-            ai = ti if ai is None else ai + ti
-        outs_r.append(ar[None])
-        outs_i.append(ai[None])
-    return jnp.concatenate(outs_r, 0), jnp.concatenate(outs_i, 0)
+    # stage 1: DFT_S down the sublane axis, natural order out
+    br, bi = _pf._dft_sublane_chain(ar, ai, S, sign)
 
-
-def _sublane_dft(xr, xi, S: int, sign: int, scale: float):
-    """DFT of size S over the leading sublane axis of [S, ...lanes],
-    natural output order, `scale` folded into the final stage's matrix."""
-    a_b = _schedule(S)
-    if len(a_b) == 1:  # single Gauss stage (S == 128)
-        wr, wi = pf._gen_dft(S, S, S, sign, scale)
-        return pf._cdot(wr, wr + wi, wi - wr, xr, xi, ((1,), (0,)))
-
-    a, b = a_b
-    rest = xr.shape[1:]
-    xr = xr.reshape(a, b, *rest)
-    xi = xi.reshape(a, b, *rest)
-
-    # stage 1: contract the major factor a (dim 0) -> [ka, b, ...]
-    if a <= 8:
-        br, bi = _vpu_dft_lead(xr, xi, a, sign)
-    elif 2 * a <= 128:
-        br, bi = pf._cdot_realcat(a, sign, xr, xi, 0, ((1,), (0,)))
-    else:
-        wr, wi = pf._gen_dft(a, a, a, sign)
-        br, bi = pf._cdot(wr, wr + wi, wi - wr, xr, xi, ((1,), (0,)))
-
-    # inter-factor twiddle tw_S[ka, mb] (index products < S <= 4096: exact)
-    twr, twi = pf._gen_twiddle(a, b, S, sign)
-    bc = (a, b) + (1,) * len(rest)
-    twr = twr.reshape(bc)
-    twi = twi.reshape(bc)
+    # inter-factor twiddle w_n^{k_s * m_l} (direct 2-D generation)
+    twr, twi = _pf._gen_twiddle(S, 128, n, sign)
     cr = br * twr - bi * twi
     ci = br * twi + bi * twr
 
-    # stage 2: contract factor b (dim 1) -> [kb, ka, ...]; scale folded
-    if 2 * b <= 128 and scale == 1.0:
-        dr, di = pf._cdot_realcat(b, sign, cr, ci, 1, ((1,), (1,)))
-    else:
-        w2r, w2i = pf._gen_dft(b, b, b, sign, scale)
-        if 2 * b <= 128:
-            wbig = jnp.concatenate(
-                [jnp.concatenate([w2r, -w2i], axis=1),
-                 jnp.concatenate([w2i, w2r], axis=1)], axis=0)
-            xcat = jnp.concatenate([cr, ci], axis=1)
-            res = jax.lax.dot_general(
-                wbig, xcat, ((((1,), (1,))), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            dr, di = res[:b], res[b:]
-        else:
-            dr, di = pf._cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
-    # [kb, ka, ...] --sublane merge--> [S, ...] is the natural order
-    return dr.reshape(S, *rest), di.reshape(S, *rest)
+    # stage 2: contract the 128 lanes; [k_l, k_s] flattens to the natural
+    # index X[k_s + S*k_l]; output scale folded into the stage matrix
+    w2r, w2i = _pf._gen_dft(128, 128, 128, sign, scale)
+    dr, di = _pf._cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
 
-
-def _outer_twiddle(yr, yi, n1: int, n2: int, n: int, sign: int):
-    """Apply tw[k1, m2] = exp(sign*2pi*i*k1*m2/n) to [n1, n2] via the
-    m2 = 128*q + l split: tw = t1[k1, q] * t2[k1, l], every index product
-    f32-exact (<= 2^18 for n <= 2^22)."""
-    Q = n2 // 128
-    k = jax.lax.broadcasted_iota(jnp.int32, (n1, Q), 0).astype(jnp.float32)
-    q = jax.lax.broadcasted_iota(jnp.int32, (n1, Q), 1).astype(jnp.float32)
-    period = n // 128  # exp(i*2pi*128*k*q/n) has period n/128 in k*q
-    t = k * q
-    r = t - period * jnp.floor(t / period)
-    th1 = (sign * 2.0 * math.pi * 128.0 / n) * r
-    t1r, t1i = jnp.cos(th1), jnp.sin(th1)
-
-    k = jax.lax.broadcasted_iota(jnp.int32, (n1, 128), 0).astype(jnp.float32)
-    l = jax.lax.broadcasted_iota(jnp.int32, (n1, 128), 1).astype(jnp.float32)
-    t = k * l
-    r = t - n * jnp.floor(t / n)
-    th2 = (sign * 2.0 * math.pi / n) * r
-    t2r, t2i = jnp.cos(th2), jnp.sin(th2)
-
-    twr = t1r[:, :, None] * t2r[:, None, :] - t1i[:, :, None] * t2i[:, None, :]
-    twi = t1r[:, :, None] * t2i[:, None, :] + t1i[:, :, None] * t2r[:, None, :]
-
-    y3r = yr.reshape(n1, Q, 128)
-    y3i = yi.reshape(n1, Q, 128)
-    cr = y3r * twr - y3i * twi
-    ci = y3r * twi + y3i * twr
-    return cr.reshape(n1, n2), ci.reshape(n1, n2)
-
-
-def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
-    ar = xr_ref[0].reshape(n1, n2)  # lane->sublane split: free (n2 % 128 == 0)
-    ai = xi_ref[0].reshape(n1, n2)
-
-    br, bi = _sublane_dft(ar, ai, n1, sign, 1.0)      # DFT over columns
-    cr, ci = _outer_twiddle(br, bi, n1, n2, n, sign)  # four-step twiddle
-    ctr, cti = cr.T, ci.T                             # one in-VMEM transpose
-    dr, di = _sublane_dft(ctr, cti, n2, sign, scale)  # DFT over (old) rows
-
-    or_ref[0] = dr.reshape(n)  # [k2, k1] -> flat k1 + n1*k2: natural order
+    or_ref[0] = dr.reshape(n)
     oi_ref[0] = di.reshape(n)
-
-
-def _choose_split(n: int) -> tuple[int, int]:
-    e = n.bit_length() - 1
-    n1 = 1 << (e // 2)
-    return n1, n // n1
 
 
 def _supported(n: int) -> bool:
     if n < BIG_MIN_N or n > BIG_MAX_N or (n & (n - 1)):
         return False
-    n1, n2 = _choose_split(n)
+    from . import pallas_fft as _pf
+
     try:
-        _schedule(n1), _schedule(n2)
+        _pf._dit_schedule(n // 128)
     except Unsupported:
         return False
     return True
@@ -244,9 +114,8 @@ def fft_big_split(re, im, sign, scale=None, *, interpret=False):
     re2 = re.reshape(rows, n)
     im2 = im.reshape(rows, n)
 
-    n1, n2 = _choose_split(n)
     kern = functools.partial(
-        _kernel, n=n, n1=n1, n2=n2, sign=sign,
+        _kernel, n=n, sign=sign,
         scale=float(scale) if scale is not None else 1.0,
     )
     spec = pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -260,9 +129,9 @@ def fft_big_split(re, im, sign, scale=None, *, interpret=False):
             jax.ShapeDtypeStruct((rows, n), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=8 * n * (n1 + n2) * rows,
+            flops=8 * n * (n // 128 // 32 + 128) * rows,
             bytes_accessed=4 * rows * n * 4,
-            transcendentals=2 * (n1 * n2 // 128 + n1 * 128),
+            transcendentals=2 * n,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,

@@ -1,4 +1,8 @@
 #!/usr/bin/env python
+# HISTORICAL RECORD: measured the pre-tall-layout bigfft kernel (square
+# [sqrt(n), sqrt(n)] + transpose); that internal API was replaced by the
+# tall-layout kernel after probe_bigv2.py, so this script no longer runs.
+
 """Ablate the bigfft kernel at n=2^20 rows=1 to find where 157 us goes
 (ideal: DMA 20.5 us + MXU ~32 us).  Pieces are switched off by flag; the
 math is wrong for ablated variants — timing only.

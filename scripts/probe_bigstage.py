@@ -1,4 +1,8 @@
 #!/usr/bin/env python
+# HISTORICAL RECORD: measured the pre-tall-layout bigfft kernel (square
+# [sqrt(n), sqrt(n)] + transpose); that internal API was replaced by the
+# tall-layout kernel after probe_bigv2.py, so this script no longer runs.
+
 """bigfft stage formulation shootout at n=2^20 rows=1.
 
 Hypothesis: the 3.6x-over-MAC stage cost is realcat's concatenate+slice

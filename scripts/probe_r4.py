@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-2 probes, part 3: multi-level sublane schedules in the row kernel.
+"""Round-2 probes, part 3 (HISTORICAL, no longer importable: bigfft._vpu_dft_lead was superseded by pallas_fft._stage_dft).
 
 HISTORICAL — every variant here crashed the remote Mosaic compiler
 (HTTP 500).  Root cause isolated later (/tmp/bisect.py -> PERFORMANCE.md):

@@ -1,4 +1,8 @@
 #!/usr/bin/env python
+# HISTORICAL RECORD: measured the pre-tall-layout bigfft kernel (square
+# [sqrt(n), sqrt(n)] + transpose); that internal API was replaced by the
+# tall-layout kernel after probe_bigv2.py, so this script no longer runs.
+
 """Why is the bigfft sublane stage 3.6x over the MAC model?  Variants of a
 1024-point sublane DFT over [1024, 1024] (lanes wide) at n=2^20 rows=1:
 
