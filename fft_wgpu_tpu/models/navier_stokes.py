@@ -22,8 +22,6 @@ never crosses the step boundary, matching the framework invariant.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,11 +67,10 @@ def ns2d_init(n: int, nu: float, dt: float):
     """Precompute the stepper's spectral constants (a plan-like object)."""
     kx, ky, ksq, mask = _wavenumbers(n)
     ksq_safe = jnp.where(ksq == 0.0, 1.0, ksq)
-    visc = jnp.exp(-nu * ksq * dt)       # exact viscous integrating factor
-    visc_h = jnp.exp(-nu * ksq * dt / 2)
+    visc = jnp.exp(-nu * ksq * dt)  # exact viscous integrating factor
     return {
         "n": n, "dt": dt, "kx": kx, "ky": ky, "ksq_safe": ksq_safe,
-        "mask": mask, "visc": visc, "visc_h": visc_h,
+        "mask": mask, "visc": visc,
     }
 
 
@@ -85,7 +82,7 @@ def _nonlinear(c, wr, wi):
     pr, pi = wr / ksq, wi / ksq
     # i*k multiply in split form: (r, i) -> (-k*i, k*r)
     ur, ui = -ky * pi, ky * pr          # u_hat = i ky psi_hat
-    vr, vi = ky * 0 + kx * pi, -kx * pr  # v_hat = -i kx psi_hat
+    vr, vi = kx * pi, -kx * pr           # v_hat = -i kx psi_hat
     wxr, wxi = -kx * wi, kx * wr         # dw/dx_hat
     wyr, wyi = -ky * wi, ky * wr         # dw/dy_hat
     u = _irfft2_split(ur, ui, n)
@@ -114,21 +111,29 @@ def ns2d_step(c, wr, wi):
 
 def ns2d_rollout(c, w0, steps: int):
     """Integrate real vorticity w0 [n, n] for `steps` steps inside one
-    jitted lax.scan; returns the final real vorticity field."""
+    jitted lax.scan; returns the final real vorticity field.
 
-    @partial(jax.jit, static_argnums=(1,))
-    def run(w0, steps):
-        wr, wi = _rfft2_split(w0)
-        m = c["mask"]
-        wr, wi = wr * m, wi * m
+    The jitted program is cached on `c` per step count, so repeated
+    rollouts with the same config replay without retracing/recompiling
+    (the plan layer's _jit_cache pattern)."""
+    cache = c.setdefault("_jit_cache", {})
+    run = cache.get(steps)
+    if run is None:
 
-        def body(carry, _):
-            return ns2d_step(c, *carry), None
+        @jax.jit
+        def run(w0):
+            wr, wi = _rfft2_split(w0)
+            m = c["mask"]
+            wr, wi = wr * m, wi * m
 
-        (wr, wi), _ = jax.lax.scan(body, (wr, wi), None, length=steps)
-        return _irfft2_split(wr, wi, c["n"])
+            def body(carry, _):
+                return ns2d_step(c, *carry), None
 
-    return run(w0, steps)
+            (wr, wi), _ = jax.lax.scan(body, (wr, wi), None, length=steps)
+            return _irfft2_split(wr, wi, c["n"])
+
+        cache[steps] = run
+    return run(w0)
 
 
 def taylor_green_vorticity(n: int, k: int = 1):

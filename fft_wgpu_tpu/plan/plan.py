@@ -276,13 +276,17 @@ class Plan:
         doing all pipeline compilation up front (processor.rs:19-108).
         Returns self for chaining."""
         shape = tuple(batch_shape) + (self.n,)
-        re = jnp.zeros(shape, jnp.float32)
         for sign, scale in (
             (FORWARD, None),
             (INVERSE, 1.0 / self.n),
             (INVERSE, None),
         ):
-            jax.block_until_ready(self._jitted(axis, sign, scale)(re, re))
+            # fresh buffers per call: donate=True plans invalidate their
+            # inputs on backends that honor donation, and the two donated
+            # args must not alias each other
+            re = jnp.zeros(shape, jnp.float32)
+            im = jnp.zeros(shape, jnp.float32)
+            jax.block_until_ready(self._jitted(axis, sign, scale)(re, im))
         return self
 
     def __repr__(self):

@@ -132,3 +132,20 @@ def test_fft2_two_pass(rng, assert_close):
     rr, ii = pallas_fft.fft2_split(re, im, +1, 1.0 / n_tot, interpret=True)
     assert_close(np.asarray(rr) + 1j * np.asarray(ii),
                  np.fft.ifft2(x, axes=(-2, -1)))
+
+
+def test_dft_sublane_chain_all_schedules(rng, assert_close):
+    """Every _dit_schedule entry (incl. the f=2 and f=8 VPU butterflies
+    used only by the big kernel's S=2048/8192 chains) vs numpy — plain
+    jnp on CPU, no Pallas needed."""
+    import jax.numpy as jnp
+
+    from fft_wgpu_tpu.ops import pallas_fft as pf
+
+    for S in [128, 256, 512, 1024, 2048, 4096, 8192, 16384]:
+        x = (rng.standard_normal((S, 2)) + 1j * rng.standard_normal((S, 2))
+             ).astype(np.complex64)
+        rr, ri = pf._dft_sublane_chain(
+            jnp.asarray(x.real), jnp.asarray(x.imag), S, -1)
+        got = np.asarray(rr) + 1j * np.asarray(ri)
+        assert_close(got, np.fft.fft(x, axis=0), what=f"chain S={S}")
