@@ -80,15 +80,15 @@ def idct(x, type: int = 2, axis: int = -1, norm=None):
 
 def _dct1(x, axis, norm):
     """DCT-I via the even-symmetric extension of length 2(n-1):
-    X[k] = Re(FFT([x0..x_{n-1}, x_{n-2}..x_1]))[k]."""
-    from ..plan.plan import get_plan
+    X[k] = Re(FFT([x0..x_{n-1}, x_{n-2}..x_1]))[k] — bins 0..n-1 are
+    exactly the R2C half spectrum of the real extension, so this rides
+    the single-pass Pallas R2C kernel on TPU."""
+    from ..ops.rfft import rfft_last_split
 
     xr, _ = promote_to_split(x)
     n = xr.shape[axis]
     if n < 2:
         raise ValueError("DCT-I requires n >= 2")
-    m = 2 * (n - 1)
-    p = get_plan(m, "auto")
 
     def impl(v):
         v = jnp.moveaxis(v, axis, -1)
@@ -99,7 +99,7 @@ def _dct1(x, axis, norm):
             s[0] = s[-1] = np.sqrt(2.0, dtype=np.float64).astype(np.float32)
             v = v * jnp.asarray(s)
         ext = jnp.concatenate([v, jnp.flip(v[..., 1:-1], axis=-1)], axis=-1)
-        Vr, _ = p._execute_split(ext, jnp.zeros_like(ext), -1, None)
+        Vr, _ = rfft_last_split(ext, None)  # m//2+1 == n bins
         X = Vr[..., :n]
         if norm == "ortho":
             s = np.full(n, 1.0 / np.sqrt(2.0 * (n - 1)), np.float32)
@@ -242,18 +242,18 @@ def dst(x, type: int = 2, axis: int = -1, norm=None):
 
 def _dst1(xr, axis, norm):
     """DST-I via the odd-symmetric extension of length 2(n+1):
-    X[k] = -Im(FFT([0, x0..x_{n-1}, 0, -x_{n-1}..-x0]))[k+1]."""
-    from ..plan.plan import get_plan
+    X[k] = -Im(FFT([0, x0..x_{n-1}, 0, -x_{n-1}..-x0]))[k+1] — bins
+    1..n sit inside the R2C half spectrum (m//2+1 == n+2 bins), so this
+    rides the single-pass Pallas R2C kernel on TPU."""
+    from ..ops.rfft import rfft_last_split
 
     n = xr.shape[axis]
-    m = 2 * (n + 1)
-    p = get_plan(m, "auto")
 
     def impl(v):
         v = jnp.moveaxis(v, axis, -1)
         z = jnp.zeros_like(v[..., :1])
         ext = jnp.concatenate([z, v, z, -jnp.flip(v, axis=-1)], axis=-1)
-        _, Vi = p._execute_split(ext, jnp.zeros_like(ext), -1, None)
+        _, Vi = rfft_last_split(ext, None)
         X = -Vi[..., 1 : n + 1]
         if norm == "ortho":
             X = X * jnp.float32(1.0 / np.sqrt(2.0 * (n + 1)))
