@@ -9,7 +9,7 @@ sharded multi-chip transforms via `shard_map` + all-to-all over ICI.
 
 from .core.reference import naive_dft, naive_idft
 from .ops.czt import czt, zoom_fft
-from .ops.dct import dct, dst, idct, idst
+from .ops.dct import dct, dctn, dst, dstn, idct, idctn, idst, idstn
 from .ops.helpers import fft_convolve, fftfreq, fftshift, ifftshift, oaconvolve, rfftfreq
 from .ops.nd import fft2, fftn, ifft2, ifftn
 from .ops.rfft import hfft, ihfft, irfft, irfft2, irfftn, rfft, rfft2, rfftn
@@ -47,6 +47,10 @@ __all__ = [
     "idct",
     "dst",
     "idst",
+    "dctn",
+    "idctn",
+    "dstn",
+    "idstn",
     "czt",
     "zoom_fft",
     "spectral_derivative",

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..core.complex_utils import promote_to_split
 
-__all__ = ["dct", "idct", "dst", "idst"]
+__all__ = ["dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -282,3 +282,43 @@ def idst(x, type: int = 2, axis: int = -1, norm=None):
             return dst(x, type=4, axis=axis, norm="ortho")
         return dst(x, type=4, axis=axis) / jnp.float32(2 * n)
     raise NotImplementedError(f"IDST type {type} (supported: 1-4)")
+
+
+def _apply_nd(fn1d, x, type, s, axes, norm):
+    """Separable N-D transform: the 1-D transform applied per axis
+    (scipy.fft.dctn semantics; `s` trims/zero-pads each axis first)."""
+    nd = jnp.ndim(x)
+    if axes is None:
+        axes = tuple(range(nd))
+    axes = tuple(a % nd for a in axes)
+    if s is not None:
+        if len(s) != len(axes):
+            raise ValueError("s and axes must have the same length")
+        from .rfft import _resize_axis
+
+        for sz, ax in zip(s, axes):
+            if sz is not None and jnp.shape(x)[ax] != sz:
+                x = _resize_axis(jnp.asarray(x), sz, ax)
+    for ax in axes:
+        x = fn1d(x, type=type, axis=ax, norm=norm)
+    return x
+
+
+def dctn(x, type: int = 2, s=None, axes=None, norm=None):
+    """N-D DCT as separable 1-D DCTs over `axes` (scipy.fft.dctn)."""
+    return _apply_nd(dct, x, type, s, axes, norm)
+
+
+def idctn(x, type: int = 2, s=None, axes=None, norm=None):
+    """N-D inverse DCT (scipy.fft.idctn)."""
+    return _apply_nd(idct, x, type, s, axes, norm)
+
+
+def dstn(x, type: int = 2, s=None, axes=None, norm=None):
+    """N-D DST as separable 1-D DSTs over `axes` (scipy.fft.dstn)."""
+    return _apply_nd(dst, x, type, s, axes, norm)
+
+
+def idstn(x, type: int = 2, s=None, axes=None, norm=None):
+    """N-D inverse DST (scipy.fft.idstn)."""
+    return _apply_nd(idst, x, type, s, axes, norm)

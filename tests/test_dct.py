@@ -45,3 +45,32 @@ def test_dct_dst_new_types_roundtrip(t, rng, assert_close):
     assert_close(ftt.idct(ftt.dct(x, type=t), type=t), x)
     assert_close(ftt.idst(ftt.dst(x, type=t), type=t), x)
     assert_close(ftt.idct(ftt.dct(x, type=t, norm="ortho"), type=t, norm="ortho"), x)
+
+
+def test_dctn_dstn_vs_scipy(rng, assert_close):
+    from scipy import fft as sfft
+
+    x = rng.standard_normal((8, 16, 12)).astype(np.float32)
+    for type in (1, 2, 3, 4):
+        got = ftt.dctn(x, type=type, axes=(1, 2), norm="ortho")
+        assert_close(np.asarray(got),
+                     sfft.dctn(x, type=type, axes=(1, 2), norm="ortho"),
+                     what=f"dctn type {type}")
+        got = ftt.dstn(x, type=type, axes=(0, 2))
+        assert_close(np.asarray(got), sfft.dstn(x, type=type, axes=(0, 2)),
+                     what=f"dstn type {type}")
+    # roundtrips
+    assert_close(np.asarray(ftt.idctn(ftt.dctn(x), norm=None)), x,
+                 what="dctn roundtrip")
+    assert_close(np.asarray(ftt.idstn(ftt.dstn(x, norm="ortho"),
+                                      norm="ortho")), x,
+                 what="dstn ortho roundtrip")
+
+
+def test_dctn_s_resize(rng, assert_close):
+    from scipy import fft as sfft
+
+    x = rng.standard_normal((6, 10)).astype(np.float32)
+    got = ftt.dctn(x, s=(8, 8), axes=(0, 1), norm="ortho")
+    assert_close(np.asarray(got), sfft.dctn(x, s=(8, 8), axes=(0, 1),
+                                            norm="ortho"), what="dctn s=")
