@@ -10,7 +10,15 @@ sharded multi-chip transforms via `shard_map` + all-to-all over ICI.
 from .core.reference import naive_dft, naive_idft
 from .ops.czt import czt, zoom_fft
 from .ops.dct import dct, dctn, dst, dstn, idct, idctn, idst, idstn
-from .ops.helpers import fft_convolve, fftfreq, fftshift, ifftshift, oaconvolve, rfftfreq
+from .ops.helpers import (
+    fft_convolve,
+    fftfreq,
+    fftshift,
+    ifftshift,
+    next_fast_len,
+    oaconvolve,
+    rfftfreq,
+)
 from .ops.nd import fft2, fftn, ifft2, ifftn
 from .ops.rfft import hfft, ihfft, irfft, irfft2, irfftn, rfft, rfft2, rfftn
 from .ops.spectral import spectral_derivative, spectral_gradient, spectral_laplacian
@@ -42,6 +50,7 @@ __all__ = [
     "fftfreq",
     "rfftfreq",
     "fft_convolve",
+    "next_fast_len",
     "oaconvolve",
     "dct",
     "idct",

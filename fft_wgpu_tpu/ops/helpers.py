@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "next_fast_len",
     "fftshift",
     "ifftshift",
     "fftfreq",
@@ -193,3 +194,30 @@ def oaconvolve(a, b, mode: str = "full", axis: int = -1):
     else:
         raise ValueError(f"invalid mode {mode!r}")
     return full[tuple(sl)]
+
+
+def next_fast_len(target: int, real: bool = False) -> int:
+    """Smallest 5-smooth n >= target (scipy.fft.next_fast_len semantics).
+
+    On this framework powers of two are fastest (fused Pallas kernels);
+    5-smooth sizes run the mixed-radix XLA path; anything else pays
+    Bluestein.  `real` is accepted for scipy API parity (the R2C kernels
+    here want even n, which every 5-smooth n >= 2 satisfies).
+    """
+    del real
+    if target <= 1:
+        return 1
+    best = 1 << (target - 1).bit_length()  # pow2 upper bound
+    p5 = 1
+    while p5 < best:
+        p35 = p5
+        while p35 < best:
+            # smallest power of two lifting p35 over target
+            q = p35
+            while q < target:
+                q *= 2
+            if q < best:
+                best = q
+            p35 *= 3
+        p5 *= 5
+    return best

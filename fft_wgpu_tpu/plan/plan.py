@@ -239,6 +239,43 @@ class Plan:
             )
         return self._jitted(axis, sign, scale)(re, im)
 
+    def _jitted_split(self, axis: int, sign: int, scale):
+        """Cached jitted executor in the SPLIT domain: (re, im) -> (re, im).
+
+        This is the form where donate=True achieves true in-place replay —
+        the f32 outputs alias the donated f32 inputs (the complex-facade
+        methods cannot alias: their complex64 output has a different
+        dtype, so XLA declines the donation with a warning)."""
+        key = ("split", axis, sign, scale)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+
+            def impl(re, im):
+                return self._execute_split_axis(re, im, sign, scale, axis)
+
+            if self.donate:
+                fn = jax.jit(impl, donate_argnums=(0, 1))
+            else:
+                fn = jax.jit(impl)
+            self._jit_cache[key] = fn
+        return fn
+
+    def forward_split(self, re, im, axis: int = -1):
+        """Forward FFT on a split (re, im) float32 pair -> split pair.
+
+        The zero-copy serving form: with donate=True the outputs reuse the
+        input buffers (the reference's caller-owned ping-pong buffers,
+        processor.rs:580-586); the inputs are INVALIDATED."""
+        return self._jitted_split(axis, FORWARD, None)(re, im)
+
+    def inverse_split(self, re, im, axis: int = -1):
+        """Inverse FFT with fused 1/N on a split pair -> split pair."""
+        return self._jitted_split(axis, INVERSE, 1.0 / self.n)(re, im)
+
+    def inverse_unnormalized_split(self, re, im, axis: int = -1):
+        """Unnormalized inverse on a split pair -> split pair."""
+        return self._jitted_split(axis, INVERSE, None)(re, im)
+
     def forward(self, x, axis: int = -1):
         """Forward FFT, unscaled (reference Forward, processor.rs:7-159)."""
         return self._run(x, axis, FORWARD, None)

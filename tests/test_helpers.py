@@ -72,3 +72,23 @@ def test_oaconvolve_short_signal_long_kernel(mode, rng, assert_close):
     got = ftt.oaconvolve(a, b, mode=mode)
     assert got.shape == want.shape, f"mode={mode}: {got.shape} vs {want.shape}"
     assert_close(got, want, tol=2e-5)
+
+
+def test_next_fast_len_is_min_5smooth():
+    """This framework's fast set is 5-smooth (scipy's pocketfft also counts
+    7/11-smooth, so exact scipy equality is not the contract)."""
+    import fft_wgpu_tpu as ftt
+
+    def is_5smooth(n):
+        for p in (2, 3, 5):
+            while n % p == 0:
+                n //= p
+        return n == 1
+
+    for t in [1, 2, 7, 11, 97, 120, 121, 1000, 1025, 4097, 59049]:
+        got = ftt.next_fast_len(t)
+        assert got >= t and is_5smooth(got), f"t={t} got={got}"
+        brute = t
+        while not is_5smooth(brute):
+            brute += 1
+        assert got == brute, f"t={t}: got {got}, minimal is {brute}"

@@ -100,3 +100,56 @@ def test_non_pow2_and_prime(ftt, rng):
              ).astype(np.complex64)
         assert _rel(ftt.device_get_complex(ftt.fft(x)),
                     np.fft.fft(x, axis=-1)) < TOL, f"n={n}"
+
+
+def test_donated_plan_invalidates_and_computes(ftt, rng):
+    """donate=True plans (the reference's in-place ping-pong analogue)
+    must invalidate inputs ON REAL HARDWARE (CPU declines donation)."""
+    import jax
+    import jax.numpy as jnp
+
+    p = ftt.plan(2048, donate=True)
+    p.warmup((32,))
+    re = jnp.ones((32, 2048), jnp.float32)
+    im = jnp.zeros((32, 2048), jnp.float32)
+    X = p._jitted(-1, -1, None)(re, im)
+    got = np.asarray(jax.jit(jnp.real)(X)[:, 0])
+    assert np.allclose(got, 2048.0, atol=1e-2)  # FFT of ones: DC bin = n
+    assert re.is_deleted(), "input buffer should be donated on TPU"
+
+
+def test_c2r_and_dct_fast_paths(ftt, rng):
+    x = rng.standard_normal((64, 4096)).astype(np.float32)
+    X = np.fft.rfft(x, axis=-1).astype(np.complex64)
+    back = ftt.irfft(ftt.device_put_complex(X), n=4096, axis=-1)
+    assert _rel(np.asarray(back), x) < TOL
+    sfft = pytest.importorskip("scipy.fft")
+    d = ftt.dct(x[:32, :1024], type=1, norm="ortho")
+    assert _rel(np.asarray(d), sfft.dct(x[:32, :1024], type=1,
+                                        norm="ortho")) < TOL
+
+
+def test_bigfft_public_api_2e18(ftt, rng):
+    """2^18 single row through ftt.fft hits the big kernel end to end."""
+    n = 1 << 18
+    z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    Z = ftt.device_get_complex(ftt.fft(z))
+    assert _rel(Z, np.fft.fft(z)) < TOL
+
+
+def test_split_donation_truly_aliases(ftt, rng):
+    """forward_split with donate=True: f32-in/f32-out lets XLA alias the
+    donated buffers (no 'donated buffers not usable' path)."""
+    import jax.numpy as jnp
+
+    p = ftt.plan(1024, donate=True)
+    re = jnp.ones((32, 1024), jnp.float32)
+    im = jnp.zeros((32, 1024), jnp.float32)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # unusable donation would warn
+        Xr, Xi = p.forward_split(re, im)
+    assert re.is_deleted() and im.is_deleted()
+    assert np.allclose(np.asarray(Xr[:, 0]), 1024.0, atol=1e-2)

@@ -120,3 +120,32 @@ def test_bigfft_executor_option():
     r = jnp.zeros((2, 512), jnp.float32)
     with _pytest.raises(Unsupported):
         p._execute_split(r, r, -1, None)
+
+
+def test_split_domain_plan_methods(rng):
+    """forward_split/inverse_split: the zero-copy serving form (same-dtype
+    in/out so donate=True can truly alias buffers)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fft_wgpu_tpu.plan.plan import Plan
+
+    x = (rng.standard_normal((16, 512)) + 1j * rng.standard_normal((16, 512))
+         ).astype(np.complex64)
+    p = Plan(512)
+    Xr, Xi = p.forward_split(jnp.asarray(x.real), jnp.asarray(x.imag))
+    ref = np.fft.fft(x, axis=-1)
+    err = np.linalg.norm((np.asarray(Xr) + 1j * np.asarray(Xi)) - ref)
+    assert err / np.linalg.norm(ref) < 1e-5
+    rr, ri = p.inverse_split(Xr, Xi)
+    rt = np.linalg.norm((np.asarray(rr) + 1j * np.asarray(ri)) - x)
+    assert rt / np.linalg.norm(x) < 1e-5
+    ur, ui = p.inverse_unnormalized_split(Xr, Xi)
+    assert np.allclose(np.asarray(ur), np.asarray(rr) * 512, rtol=1e-4)
+
+    # donate=True: same math; on CPU donation is declined (buffers live)
+    pd = Plan(512, donate=True)
+    a, b = jnp.asarray(x.real), jnp.asarray(x.imag)
+    Yr, Yi = pd.forward_split(a, b)
+    err = np.linalg.norm((np.asarray(Yr) + 1j * np.asarray(Yi)) - ref)
+    assert err / np.linalg.norm(ref) < 1e-5
