@@ -91,12 +91,7 @@ def _supported(n: int) -> bool:
     return True
 
 
-def fft_big_split(re, im, sign, scale=None, *, interpret=False):
-    """Whole-row fused FFT over the last axis for 2^15 <= n <= 2^21.
-
-    re/im: float32 [..., n]; returns the transform in natural order with
-    input and output both flat (no HBM relayouts).
-    """
+def _fft_big_core(re, im, sign, scale=None, *, interpret=False):
     n = re.shape[-1]
     if not _supported(n):
         raise Unsupported(f"n={n} outside big-kernel envelope")
@@ -139,3 +134,31 @@ def fft_big_split(re, im, sign, scale=None, *, interpret=False):
         interpret=interpret,
     )(re2, im2)
     return out_r.reshape(*lead, n), out_i.reshape(*lead, n)
+
+
+# Autodiff: the transform is linear with a symmetric matrix, so the exact
+# adjoint is the sign-flipped kernel (see pallas_fft.py's AD section).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fft_big_ad(re, im, sign, scale, interpret):
+    return _fft_big_core(re, im, sign, scale, interpret=interpret)
+
+
+def _fft_big_fwd(re, im, sign, scale, interpret):
+    return _fft_big_ad(re, im, sign, scale, interpret), None
+
+
+def _fft_big_bwd(sign, scale, interpret, _, ct):
+    return _fft_big_ad(ct[0], ct[1], -sign, scale, interpret)
+
+
+_fft_big_ad.defvjp(_fft_big_fwd, _fft_big_bwd)
+
+
+def fft_big_split(re, im, sign, scale=None, *, interpret=False):
+    """Whole-row fused FFT over the last axis for 2^15 <= n <= 2^21.
+
+    re/im: float32 [..., n]; returns the transform in natural order with
+    input and output both flat (no HBM relayouts).  Differentiable
+    (exact linear adjoint: the sign-flipped kernel).
+    """
+    return _fft_big_ad(re, im, sign, scale, interpret)

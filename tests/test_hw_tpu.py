@@ -153,3 +153,33 @@ def test_split_donation_truly_aliases(ftt, rng):
         Xr, Xi = p.forward_split(re, im)
     assert re.is_deleted() and im.is_deleted()
     assert np.allclose(np.asarray(Xr[:, 0]), 1024.0, atol=1e-2)
+
+
+def test_grad_through_plan_on_tpu(ftt, rng):
+    """jax.grad through the REAL Pallas kernels (custom VJPs): compare
+    against the analytic adjoint (sign-flipped transform of the
+    cotangent), all on device."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 2048
+    p = ftt.plan(n)
+    re = jnp.asarray(rng.standard_normal((16, n)).astype(np.float32))
+    im = jnp.asarray(rng.standard_normal((16, n)).astype(np.float32))
+    wr = jnp.asarray(rng.standard_normal((16, n)).astype(np.float32))
+    wi = jnp.asarray(rng.standard_normal((16, n)).astype(np.float32))
+
+    @jax.jit
+    def gfn(a, b):
+        def loss(a, b):
+            Xr, Xi = p._execute_split(a, b, -1, None)
+            return jnp.sum(Xr * wr + Xi * wi)
+
+        return jax.grad(loss, argnums=(0, 1))(a, b)
+
+    gr, gi = gfn(re, im)
+    # analytic adjoint: +sign transform of the cotangent (wr, wi)
+    ar, ai = jax.jit(lambda a, b: p._execute_split(a, b, +1, None))(wr, wi)
+    num = float(jnp.sqrt(jnp.sum((gr - ar) ** 2 + (gi - ai) ** 2)))
+    den = float(jnp.sqrt(jnp.sum(ar ** 2 + ai ** 2)))
+    assert num / den < TOL
