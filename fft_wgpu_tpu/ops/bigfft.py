@@ -137,28 +137,21 @@ def _fft_big_core(re, im, sign, scale=None, *, interpret=False):
 
 
 # Autodiff: the transform is linear with a symmetric matrix, so the exact
-# adjoint is the sign-flipped kernel (see pallas_fft.py's AD section).
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fft_big_ad(re, im, sign, scale, interpret):
-    return _fft_big_core(re, im, sign, scale, interpret=interpret)
-
-
-def _fft_big_fwd(re, im, sign, scale, interpret):
-    return _fft_big_ad(re, im, sign, scale, interpret), None
-
-
-def _fft_big_bwd(sign, scale, interpret, _, ct):
-    return _fft_big_ad(ct[0], ct[1], -sign, scale, interpret)
-
-
-_fft_big_ad.defvjp(_fft_big_fwd, _fft_big_bwd)
+# adjoint is the sign-flipped kernel; linear_call provides both jvp and
+# vjp from it (see pallas_fft.py's AD section).
+from jax import custom_derivatives as _cd
 
 
 def fft_big_split(re, im, sign, scale=None, *, interpret=False):
     """Whole-row fused FFT over the last axis for 2^15 <= n <= 2^21.
 
     re/im: float32 [..., n]; returns the transform in natural order with
-    input and output both flat (no HBM relayouts).  Differentiable
-    (exact linear adjoint: the sign-flipped kernel).
+    input and output both flat (no HBM relayouts).  Differentiable both
+    modes (exact linear adjoint: the sign-flipped kernel).
     """
-    return _fft_big_ad(re, im, sign, scale, interpret)
+    return _cd.linear_call(
+        lambda _, lin: _fft_big_core(lin[0], lin[1], sign, scale,
+                                     interpret=interpret),
+        lambda _, ct: _fft_big_core(ct[0], ct[1], -sign, scale,
+                                    interpret=interpret),
+        (), (re, im))

@@ -967,43 +967,34 @@ def fft2_split(re, im, sign, scale=None, *, interpret=False):
 
 
 # --------------------------------------------------------------------- #
-# Autodiff: custom VJPs for every Pallas entry point.
+# Autodiff: exact linear adjoints for every Pallas entry point.
 # --------------------------------------------------------------------- #
 #
 # pallas_call has no automatic differentiation rule, but each transform
-# here is LINEAR, so the adjoints are exact transforms themselves:
+# here is LINEAR, so `jax.custom_derivatives.linear_call(f, f_T, ...)`
+# provides BOTH forward-mode (jvp = the transform of the tangents) and
+# reverse-mode (vjp = the transpose) from one transpose definition:
 #
 #   * C2C with sign s and folded scale k:  M = k*W_s with W_s symmetric,
-#     so M^T = conj-as-real-map = k*W_{-s} — the SAME kernel, sign
-#     flipped, same scale.
-#   * R2C (half spectrum, scale k):  adjoint(ct)[m] =
+#     so M^T = k*W_{-s} — the SAME kernel, sign flipped, same scale.
+#   * R2C (half spectrum, scale k):  transpose(ct)[m] =
 #     k*Re(sum_{bins} ct[b] e^{+2pi i b m/n}) — zero-pad the cotangent
 #     bins to n and take the real part of an UNSYMMETRIZED +sign C2C.
-#   * C2R (x = 2k*Re sum' eps_b X[b] e^{+..}): adjoint(ct) =
+#   * C2R (x = 2k*Re sum' eps_b X[b] e^{+..}): transpose(ct) =
 #     2k*eps_b * (R2C forward of ct), eps = 1/2 at DC/Nyquist.
 #
-# This is what makes `jax.grad` flow through ftt.fft / rfft / the FNO
-# training step ON TPU (the CPU/XLA fallback paths are natively
-# differentiable; the reference has no AD story at all).
+# This is what makes `jax.grad` (and `jax.jvp`) flow through ftt.fft /
+# rfft / the FNO training step ON TPU; the CPU/XLA fallback paths are
+# natively differentiable.  The reference has no AD story at all.
+
+from jax import custom_derivatives as _cd
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _fft_batched_ad(re, im, sign, scale, row_tile, interpret, schedule):
-    return _fft_batched_core(re, im, sign, scale, row_tile=row_tile,
-                             interpret=interpret, schedule=schedule)
-
-
-def _fft_batched_fwd(re, im, sign, scale, row_tile, interpret, schedule):
-    return _fft_batched_ad(re, im, sign, scale, row_tile, interpret,
-                           schedule), None
-
-
-def _fft_batched_bwd(sign, scale, row_tile, interpret, schedule, _, ct):
-    return _fft_batched_ad(ct[0], ct[1], -sign, scale, row_tile, interpret,
-                           schedule)
-
-
-_fft_batched_ad.defvjp(_fft_batched_fwd, _fft_batched_bwd)
+def _linear2(fwd, transpose, re, im):
+    """linear_call over a split (re, im) pair with matching transpose."""
+    return _cd.linear_call(lambda _, lin: fwd(*lin),
+                           lambda _, ct: transpose(*ct),
+                           (), (re, im))
 
 
 def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
@@ -1012,70 +1003,35 @@ def fft_batched_split(re, im, sign, scale=None, *, row_tile=None,
 
     re/im: float32 [..., n] (leading dims flattened to a row batch).
     sign: -1 forward / +1 inverse; scale folded into the last stage.
-    Differentiable (exact linear adjoint: the sign-flipped kernel).
+    Differentiable both modes (exact adjoint: the sign-flipped kernel).
     """
-    return _fft_batched_ad(re, im, sign, scale, row_tile, interpret, schedule)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fft_axis0_ad(re, im, sign, scale, interpret):
-    return _fft_axis0_core(re, im, sign, scale, interpret=interpret)
-
-
-def _fft_axis0_fwd(re, im, sign, scale, interpret):
-    return _fft_axis0_ad(re, im, sign, scale, interpret), None
-
-
-def _fft_axis0_bwd(sign, scale, interpret, _, ct):
-    return _fft_axis0_ad(ct[0], ct[1], -sign, scale, interpret)
-
-
-_fft_axis0_ad.defvjp(_fft_axis0_fwd, _fft_axis0_bwd)
+    kw = dict(row_tile=row_tile, interpret=interpret, schedule=schedule)
+    return _linear2(
+        lambda a, b: _fft_batched_core(a, b, sign, scale, **kw),
+        lambda a, b: _fft_batched_core(a, b, -sign, scale, **kw),
+        re, im)
 
 
 def fft_axis0_split(re, im, sign, scale=None, *, interpret=False):
     """Batched FFT along axis -2 of [..., n, m] via the transpose-free
     sublane-domain kernel (the lane axis m carries the batch).
-    Differentiable (sign-flipped adjoint)."""
-    return _fft_axis0_ad(re, im, sign, scale, interpret)
+    Differentiable both modes (sign-flipped adjoint)."""
+    return _linear2(
+        lambda a, b: _fft_axis0_core(a, b, sign, scale, interpret=interpret),
+        lambda a, b: _fft_axis0_core(a, b, -sign, scale, interpret=interpret),
+        re, im)
 
 
 def _outer_tw_conj(R, n, sign, outer):
     """conj of the rows_t outer twiddle as XLA arrays: exp(-sign*2pi*i*
     r*m/outer_n) with exact f32 index math (products < outer_n <= 2^22)."""
-    outer_n1, outer_n = outer
-    del outer_n1
+    _, outer_n = outer
     r = jnp.arange(R, dtype=jnp.float32)[:, None]
     m = jnp.arange(n, dtype=jnp.float32)[None, :]
     t = r * m
     rr = t - outer_n * jnp.floor(t / outer_n)
     th = (-sign * 2.0 * math.pi / outer_n) * rr
     return jnp.cos(th), jnp.sin(th)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _fft_rows_t_ad(re, im, sign, scale, outer, interpret):
-    return _fft_rows_t_core(re, im, sign, scale, outer=outer,
-                            interpret=interpret)
-
-
-def _fft_rows_t_fwd(re, im, sign, scale, outer, interpret):
-    return _fft_rows_t_ad(re, im, sign, scale, outer, interpret), None
-
-
-def _fft_rows_t_bwd(sign, scale, outer, interpret, _, ct):
-    # primal: x[.., R, n] -> transpose(rowsFFT(tw (.) x)); adjoint:
-    # ct[.., n, R] -> conj(tw) (.) rowsFFT_conj(transpose(ct))
-    ctr = jnp.swapaxes(ct[0], -1, -2)
-    cti = jnp.swapaxes(ct[1], -1, -2)
-    gr, gi = _fft_batched_ad(ctr, cti, -sign, scale, None, interpret, None)
-    if outer is not None:
-        twr, twi = _outer_tw_conj(gr.shape[-2], gr.shape[-1], sign, outer)
-        gr, gi = gr * twr - gi * twi, gr * twi + gi * twr
-    return gr, gi
-
-
-_fft_rows_t_ad.defvjp(_fft_rows_t_fwd, _fft_rows_t_bwd)
 
 
 def fft_rows_transposed_split(re, im, sign, scale=None, *, outer=None,
@@ -1086,28 +1042,22 @@ def fft_rows_transposed_split(re, im, sign, scale=None, *, outer=None,
 
     This is the second pass of the two-HBM-pass four-step (see
     ops/fourstep.py)."""
-    return _fft_rows_t_ad(re, im, sign, scale, outer, interpret)
 
+    def transpose(ctr, cti):
+        # primal: x[.., R, n] -> transpose(rowsFFT(tw (.) x)); adjoint:
+        # ct[.., n, R] -> conj(tw) (.) rowsFFT_conj(transpose(ct))
+        gr = jnp.swapaxes(ctr, -1, -2)
+        gi = jnp.swapaxes(cti, -1, -2)
+        gr, gi = _fft_batched_core(gr, gi, -sign, scale, interpret=interpret)
+        if outer is not None:
+            twr, twi = _outer_tw_conj(gr.shape[-2], gr.shape[-1], sign, outer)
+            gr, gi = gr * twr - gi * twi, gr * twi + gi * twr
+        return gr, gi
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _rfft_rows_ad(xr, scale, interpret):
-    return _rfft_rows_core(xr, scale, interpret=interpret)
-
-
-def _rfft_rows_fwd(xr, scale, interpret):
-    return _rfft_rows_ad(xr, scale, interpret), xr.shape[-1]
-
-
-def _rfft_rows_bwd(scale, interpret, n, ct):
-    # adjoint: zero-pad the m+1 cotangent bins to n, +sign C2C, real part
-    ctr, cti = ct
-    pad = [(0, 0)] * (ctr.ndim - 1) + [(0, n - ctr.shape[-1])]
-    gr, _ = _fft_batched_ad(jnp.pad(ctr, pad), jnp.pad(cti, pad), +1, scale,
-                            None, interpret, None)
-    return (gr,)
-
-
-_rfft_rows_ad.defvjp(_rfft_rows_fwd, _rfft_rows_bwd)
+    return _linear2(
+        lambda a, b: _fft_rows_t_core(a, b, sign, scale, outer=outer,
+                                      interpret=interpret),
+        transpose, re, im)
 
 
 def rfft_rows_split(xr, scale=None, *, interpret=False):
@@ -1115,29 +1065,18 @@ def rfft_rows_split(xr, scale=None, *, interpret=False):
     split complex [..., n//2+1], one HBM round trip (fused kernel
     envelope; callers fall back to the packed XLA path outside it).
     Differentiable (adjoint: zero-padded +sign C2C, real part)."""
-    return _rfft_rows_ad(xr, scale, interpret)
+    n = xr.shape[-1]
 
+    def transpose(_, ct):
+        ctr, cti = ct
+        pad = [(0, 0)] * (ctr.ndim - 1) + [(0, n - ctr.shape[-1])]
+        gr, _gi = _fft_batched_core(jnp.pad(ctr, pad), jnp.pad(cti, pad),
+                                    +1, scale, interpret=interpret)
+        return (gr,)
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _irfft_rows_ad(Xr, Xi, n, scale, interpret):
-    return _irfft_rows_core(Xr, Xi, n, scale, interpret=interpret)
-
-
-def _irfft_rows_fwd(Xr, Xi, n, scale, interpret):
-    return _irfft_rows_ad(Xr, Xi, n, scale, interpret), None
-
-
-def _irfft_rows_bwd(n, scale, interpret, _, ct):
-    # adjoint of x = 2k * Re sum' eps_b X[b] w^{+jb}:
-    # g[b] = 2k * eps_b * (forward R2C of ct)[b], eps = 1/2 at DC/Nyquist
-    gr, gi = _rfft_rows_ad(ct, None, interpret)
-    k = 2.0 * (1.0 if scale is None else float(scale))
-    m = n // 2
-    eps = jnp.ones((m + 1,), jnp.float32).at[0].set(0.5).at[m].set(0.5)
-    return k * eps * gr, k * eps * gi
-
-
-_irfft_rows_ad.defvjp(_irfft_rows_fwd, _irfft_rows_bwd)
+    return _cd.linear_call(
+        lambda _, lin: _rfft_rows_core(lin[0], scale, interpret=interpret),
+        transpose, (), (xr,))
 
 
 def irfft_rows_split(Xr, Xi, n, scale=None, *, interpret=False):
@@ -1147,4 +1086,17 @@ def irfft_rows_split(Xr, Xi, n, scale=None, *, interpret=False):
     `scale` multiplies the result; numpy's backward norm is scale=1/n.
     Requires power-of-two n with n/128 even (n >= 256) in the fused
     envelope; callers fall back to the packed XLA path otherwise."""
-    return _irfft_rows_ad(Xr, Xi, n, scale, interpret)
+
+    def transpose(_, ct):
+        # adjoint of x = 2k * Re sum' eps_b X[b] w^{+jb}:
+        # g[b] = 2k * eps_b * (forward R2C of ct)[b], eps=1/2 at DC/Nyquist
+        gr, gi = _rfft_rows_core(ct, None, interpret=interpret)
+        k = 2.0 * (1.0 if scale is None else float(scale))
+        m = n // 2
+        eps = jnp.ones((m + 1,), jnp.float32).at[0].set(0.5).at[m].set(0.5)
+        return k * eps * gr, k * eps * gi
+
+    return _cd.linear_call(
+        lambda _, lin: _irfft_rows_core(lin[0], lin[1], n, scale,
+                                        interpret=interpret),
+        transpose, (), (Xr, Xi))

@@ -137,3 +137,22 @@ def test_grad_bigfft(rng):
     g1 = jax.grad(f, argnums=(0, 1))(re, im)
     g2 = jax.grad(fr, argnums=(0, 1))(re, im)
     assert _relg(g1[0], g2[0]) < 1e-5 and _relg(g1[1], g2[1]) < 1e-5
+
+
+def test_jvp_forward_mode(data):
+    """linear_call gives forward-mode too: jvp(tangent) == fft(tangent)."""
+    n, mk = data
+    re, im, tr, ti = mk(2, n), mk(2, n), mk(2, n), mk(2, n)
+    _, (dr, di) = jax.jvp(
+        lambda a, b: pf.fft_batched_split(a, b, -1, interpret=True),
+        (re, im), (tr, ti))
+    ref = jnp.fft.fft(jax.lax.complex(tr, ti), axis=-1)
+    assert _relg(dr, jnp.real(ref)) < 1e-5
+    assert _relg(di, jnp.imag(ref)) < 1e-5
+
+    x, tx = mk(2, n), mk(2, n)
+    _, (dR, dI) = jax.jvp(
+        lambda a: pf.rfft_rows_split(a, None, interpret=True), (x,), (tx,))
+    refr = jnp.fft.rfft(tx, axis=-1)
+    assert _relg(dR, jnp.real(refr)) < 1e-5
+    assert _relg(dI, jnp.imag(refr)) < 1e-5
