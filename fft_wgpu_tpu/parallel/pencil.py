@@ -312,14 +312,18 @@ def fft1d_distributed(x, mesh: Mesh | None = None, *, inverse=False, norm=None):
 # --------------------------------------------------------------------- #
 # 3-D R2C / C2R pencil transforms (real simulation data)
 # --------------------------------------------------------------------- #
-def rfft3d(x, mesh: Mesh | None = None, norm=None):
+def rfft3d(x, mesh: Mesh | None = None, norm=None,
+           overlap_chunks: int | None = None):
     """Distributed 3-D R2C: rfft over Z locally, then complex pencil FFTs
     over Y and X. Input real [X, Y, Z] sharded (px, py, -); output complex
-    [X, Y, Z//2+1] with the same (px, py, -) distribution."""
+    [X, Y, Z//2+1] with the same (px, py, -) distribution.
+    `overlap_chunks` pipelines the Y/X FFT->a2a pairs (as in fft3d)."""
     mesh = mesh or make_pencil_mesh()
     ax, ay = mesh.axis_names
     X, Y, Z = jnp.shape(x)
     scale = _nd_scale((X, Y, Z), norm, FORWARD)
+    chunks = (4 if mesh.devices.size > 1 else 1) \
+        if overlap_chunks is None else overlap_chunks
 
     def local(xr):
         from ..ops.rfft import rfft_last_split
@@ -337,8 +341,8 @@ def rfft3d(x, mesh: Mesh | None = None, norm=None):
             re = jnp.pad(re, ((0, 0), (0, 0), (0, pad)))
             im = jnp.pad(im, ((0, 0), (0, 0), (0, pad)))
         re, im = _a2a((re, im), ay, 2, 1)                 # [Xl, Y, Kz/py]
-        re, im = _fft_axis_local(re, im, 1, FORWARD, None)
-        re, im = _a2a((re, im), ax, 1, 0)                 # [X, Y/px, Kz/py]
+        re, im = _fft_then_a2a_chunked(                   # Y-FFT (pipelined)
+            re, im, 1, FORWARD, None, ax, 1, 0, 2, chunks)
         re, im = _fft_axis_local(re, im, 0, FORWARD, scale)
         re, im = _a2a((re, im), ax, 0, 1)                 # [X/px, Y, Kz/py]
         re, im = _a2a((re, im), ay, 1, 2)                 # [X/px, Y/py, Kz]
@@ -384,8 +388,10 @@ def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None):
         else:
             re2, im2 = re, im
         re2, im2 = _a2a((re2, im2), ay, 2, 1)             # [Xl, Y, K/py]
-        re2, im2 = _fft_axis_local(re2, im2, 1, INVERSE, None)
-        re2, im2 = _a2a((re2, im2), ax, 1, 0)             # [X, Y/px, K/py]
+        re2, im2 = _fft_then_a2a_chunked(                 # Y-FFT (pipelined)
+            re2, im2, 1, INVERSE, None, ax, 1, 0, 2,
+            4 if mesh.devices.size > 1 else 1)
+        # -> [X, Y/px, K/py]
         re2, im2 = _fft_axis_local(re2, im2, 0, INVERSE, scale)
         re2, im2 = _a2a((re2, im2), ax, 0, 1)
         re2, im2 = _a2a((re2, im2), ay, 1, 2)             # [X/px, Y/py, K]
