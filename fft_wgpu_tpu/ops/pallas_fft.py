@@ -986,6 +986,11 @@ def fft2_split(re, im, sign, scale=None, *, interpret=False):
 # This is what makes `jax.grad` (and `jax.jvp`) flow through ftt.fft /
 # rfft / the FNO training step ON TPU; the CPU/XLA fallback paths are
 # natively differentiable.  The reference has no AD story at all.
+#
+# Known limitation: linear_call has no jax.vmap batching rule.  This is
+# deliberate: every kernel here already accepts ARBITRARY leading batch
+# dims natively (inputs are flattened to a row batch), so mapping over
+# leading axes needs no vmap — reshape/stack instead.
 
 from jax import custom_derivatives as _cd
 
