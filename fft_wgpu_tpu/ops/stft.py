@@ -29,7 +29,11 @@ def hamming_window(n: int, *, periodic: bool = True):
 
 
 def _frame(x, frame_len: int, hop: int):
-    """[..., t] -> [..., num_frames, frame_len] by strided windowing."""
+    """[..., t] -> [..., num_frames, frame_len] by strided windowing.
+
+    When hop divides frame_len (the common case) framing is K = frame_len
+    / hop shifted slices of a hop-chunked view — no gather at all (TPU
+    gathers of this shape compile for minutes).  Otherwise a gather."""
     t = x.shape[-1]
     if t < frame_len:
         raise ValueError(
@@ -37,6 +41,14 @@ def _frame(x, frame_len: int, hop: int):
             "pad the input or pass center=True"
         )
     num = 1 + (t - frame_len) // hop
+    if frame_len % hop == 0:
+        K = frame_len // hop
+        chunks = (num + K - 1) * hop  # samples consumed by the frames
+        v = x[..., :chunks].reshape(*x.shape[:-1], num + K - 1, hop)
+        parts = [v[..., k : k + num, :] for k in range(K)]
+        return jnp.concatenate(
+            [p[..., None, :] for p in parts], axis=-2
+        ).reshape(*x.shape[:-1], num, frame_len)
     idx = (np.arange(num)[:, None] * hop + np.arange(frame_len)[None, :])
     return x[..., idx]
 
@@ -79,16 +91,30 @@ def istft(Z, n_fft: int = 512, hop_length: int | None = None, window=None,
         t = n_fft + hop * (num - 1)
         lead = frames.shape[:-2]
 
-        idx = (
-            np.arange(num)[:, None] * hop + np.arange(n_fft)[None, :]
-        ).ravel()
-        flat = frames.reshape(*lead, num * n_fft)
-        out = jnp.zeros((*lead, t), jnp.float32).at[..., idx].add(flat)
-
         wsq = (np.asarray(window) ** 2).astype(np.float32)
         norm = np.zeros(t, np.float32)
-        np.add.at(norm, idx, np.tile(wsq, num))
+        np.add.at(norm,
+                  (np.arange(num)[:, None] * hop
+                   + np.arange(n_fft)[None, :]).ravel(),
+                  np.tile(wsq, num))
         norm = np.where(norm > 1e-8, norm, 1.0)
+
+        if n_fft % hop == 0:
+            # scatter-free overlap-add: chunk frames into K hop-slices and
+            # accumulate K contiguous shifted slabs (TPU scatters of the
+            # flat-index form compile for minutes)
+            K = n_fft // hop
+            ch = frames.reshape(*lead, num, K, hop)
+            out = jnp.zeros((*lead, num + K - 1, hop), jnp.float32)
+            for k in range(K):
+                out = out.at[..., k : k + num, :].add(ch[..., :, k, :])
+            out = out.reshape(*lead, (num + K - 1) * hop)
+        else:
+            idx = (
+                np.arange(num)[:, None] * hop + np.arange(n_fft)[None, :]
+            ).ravel()
+            flat = frames.reshape(*lead, num * n_fft)
+            out = jnp.zeros((*lead, t), jnp.float32).at[..., idx].add(flat)
         return out / jnp.asarray(norm)
 
     from ..core.complex_utils import promote_to_split
