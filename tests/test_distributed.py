@@ -157,3 +157,16 @@ def test_fft3d_overlap_chunks(rng, assert_close):
         pencil.ifft3d(pencil.fft3d(x, m, overlap_chunks=4), m,
                       overlap_chunks=4),
         x, what="pipelined roundtrip")
+
+
+def test_rfft3d_irfft3d_all_norms(rng, assert_close):
+    """ortho/forward norms for the distributed real transforms (the
+    backward-only coverage previously masked a wrong ortho scale)."""
+    m = pencil.make_pencil_mesh()
+    x = rng.standard_normal((8, 8, 16)).astype(np.float32)
+    for norm in (None, "ortho", "forward"):
+        got = pencil.rfft3d(x, m, norm=norm)
+        assert_close(got, np.fft.rfftn(x, norm=norm or "backward"),
+                     what=f"rfft3d norm={norm}")
+        back = pencil.irfft3d(got, n_last=16, mesh=m, norm=norm)
+        assert_close(back, x, what=f"rfft3d/irfft3d roundtrip norm={norm}")
