@@ -28,7 +28,7 @@ import numpy as np
 
 from ..ops.rfft import irfft_last_split, rfft_last_split
 
-__all__ = ["ns2d_init", "ns2d_step", "ns2d_rollout", "taylor_green_vorticity"]
+__all__ = ["NS2DPlan", "ns2d_init", "ns2d_step", "ns2d_rollout", "taylor_green_vorticity"]
 
 
 def _wavenumbers(n: int):
@@ -63,15 +63,29 @@ def _irfft2_split(Xr, Xi, n):
     return irfft_last_split(Xr, Xi, n, 1.0 / n)
 
 
+class NS2DPlan:
+    """Immutable stepper config (plan-object semantics: build once with
+    ns2d_init, replay many times).  Compiled rollouts are cached on a
+    PRIVATE attribute, never inside the user-visible constants — and the
+    config must not be mutated after construction (rebuild instead)."""
+
+    def __init__(self, consts):
+        self._consts = consts
+        self._jit_cache = {}
+
+    def __getitem__(self, key):
+        return self._consts[key]
+
+
 def ns2d_init(n: int, nu: float, dt: float):
     """Precompute the stepper's spectral constants (a plan-like object)."""
     kx, ky, ksq, mask = _wavenumbers(n)
     ksq_safe = jnp.where(ksq == 0.0, 1.0, ksq)
     visc = jnp.exp(-nu * ksq * dt)  # exact viscous integrating factor
-    return {
+    return NS2DPlan({
         "n": n, "dt": dt, "kx": kx, "ky": ky, "ksq_safe": ksq_safe,
         "mask": mask, "visc": visc,
-    }
+    })
 
 
 def _nonlinear(c, wr, wi):
@@ -113,10 +127,10 @@ def ns2d_rollout(c, w0, steps: int):
     """Integrate real vorticity w0 [n, n] for `steps` steps inside one
     jitted lax.scan; returns the final real vorticity field.
 
-    The jitted program is cached on `c` per step count, so repeated
+    The jitted program is cached on the plan per step count, so repeated
     rollouts with the same config replay without retracing/recompiling
     (the plan layer's _jit_cache pattern)."""
-    cache = c.setdefault("_jit_cache", {})
+    cache = c._jit_cache
     run = cache.get(steps)
     if run is None:
 

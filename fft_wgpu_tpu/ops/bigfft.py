@@ -29,7 +29,6 @@ split-table outer twiddle) measured 1.17x slower (scripts/probe_bigv2.py).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -56,24 +55,22 @@ def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, sign, scale):
     and needs no transpose and no q/l twiddle split (k_s*m_l < n <= 2^21
     is f32-exact directly).  The lane-stage dot's result order [k_l, k_s]
     IS the natural output order, so the final reshape is free."""
-    from . import pallas_fft as _pf
-
     S = n // 128
     ar = xr_ref[0].reshape(S, 128)
     ai = xi_ref[0].reshape(S, 128)
 
     # stage 1: DFT_S down the sublane axis, natural order out
-    br, bi = _pf._dft_sublane_chain(ar, ai, S, sign)
+    br, bi = pf._dft_sublane_chain(ar, ai, S, sign)
 
     # inter-factor twiddle w_n^{k_s * m_l} (direct 2-D generation)
-    twr, twi = _pf._gen_twiddle(S, 128, n, sign)
+    twr, twi = pf._gen_twiddle(S, 128, n, sign)
     cr = br * twr - bi * twi
     ci = br * twi + bi * twr
 
     # stage 2: contract the 128 lanes; [k_l, k_s] flattens to the natural
     # index X[k_s + S*k_l]; output scale folded into the stage matrix
-    w2r, w2i = _pf._gen_dft(128, 128, 128, sign, scale)
-    dr, di = _pf._cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
+    w2r, w2i = pf._gen_dft(128, 128, 128, sign, scale)
+    dr, di = pf._cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
 
     or_ref[0] = dr.reshape(n)
     oi_ref[0] = di.reshape(n)
@@ -85,7 +82,7 @@ def _supported(n: int) -> bool:
     from . import pallas_fft as _pf
 
     try:
-        _pf._dit_schedule(n // 128)
+        pf._dit_schedule(n // 128)
     except Unsupported:
         return False
     return True

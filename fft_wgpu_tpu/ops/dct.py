@@ -286,22 +286,30 @@ def idst(x, type: int = 2, axis: int = -1, norm=None):
 
 def _apply_nd(fn1d, x, type, s, axes, norm):
     """Separable N-D transform: the 1-D transform applied per axis
-    (scipy.fft.dctn semantics; `s` trims/zero-pads each axis first)."""
+    (scipy.fft.dctn semantics: `s` trims/zero-pads each axis first, and
+    with axes=None it selects the LAST len(s) axes).  The whole chain —
+    resizes and every per-axis pass — traces into ONE jitted program
+    (CLAUDE.md: no eager op chains on remote runtimes)."""
     nd = jnp.ndim(x)
     if axes is None:
-        axes = tuple(range(nd))
+        axes = tuple(range(nd - len(s), nd)) if s is not None \
+            else tuple(range(nd))
     axes = tuple(a % nd for a in axes)
-    if s is not None:
-        if len(s) != len(axes):
-            raise ValueError("s and axes must have the same length")
-        from .rfft import _resize_axis
+    if s is not None and len(s) != len(axes):
+        raise ValueError("s and axes must have the same length")
 
-        for sz, ax in zip(s, axes):
-            if sz is not None and jnp.shape(x)[ax] != sz:
-                x = _resize_axis(jnp.asarray(x), sz, ax)
-    for ax in axes:
-        x = fn1d(x, type=type, axis=ax, norm=norm)
-    return x
+    def impl(v):
+        if s is not None:
+            from .rfft import _resize_axis
+
+            for sz, ax in zip(s, axes):
+                if sz is not None and v.shape[ax] != sz:
+                    v = _resize_axis(v, sz, ax)
+        for ax in axes:
+            v = fn1d(v, type=type, axis=ax, norm=norm)
+        return v
+
+    return jax.jit(impl)(jnp.asarray(x))
 
 
 def dctn(x, type: int = 2, s=None, axes=None, norm=None):

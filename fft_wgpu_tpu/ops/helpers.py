@@ -201,20 +201,19 @@ def next_fast_len(target: int, real: bool = False) -> int:
 
     On this framework powers of two are fastest (fused Pallas kernels);
     5-smooth sizes run the mixed-radix XLA path; anything else pays
-    Bluestein.  `real` is accepted for scipy API parity (the R2C kernels
-    here want even n, which every 5-smooth n >= 2 satisfies).
+    Bluestein.  With `real=True` the result is additionally forced EVEN,
+    so R2C/C2R callers land on the packed even-n fast paths.
     """
-    del real
     if target <= 1:
-        return 1
-    best = 1 << (target - 1).bit_length()  # pow2 upper bound
+        return 2 if real else 1
+    best = 1 << (target - 1).bit_length()  # pow2 upper bound (even)
     p5 = 1
     while p5 < best:
         p35 = p5
         while p35 < best:
-            # smallest power of two lifting p35 over target
+            # smallest power of two lifting p35 over target (even if real)
             q = p35
-            while q < target:
+            while q < target or (real and q % 2):
                 q *= 2
             if q < best:
                 best = q

@@ -312,7 +312,7 @@ def fft1d_distributed(x, mesh: Mesh | None = None, *, inverse=False, norm=None):
 # --------------------------------------------------------------------- #
 # 3-D R2C / C2R pencil transforms (real simulation data)
 # --------------------------------------------------------------------- #
-def rfft3d(x, mesh: Mesh | None = None, norm=None,
+def rfft3d(x, mesh: Mesh | None = None, norm=None, *,
            overlap_chunks: int | None = None):
     """Distributed 3-D R2C: rfft over Z locally, then complex pencil FFTs
     over Y and X. Input real [X, Y, Z] sharded (px, py, -); output complex
@@ -357,11 +357,15 @@ def rfft3d(x, mesh: Mesh | None = None, norm=None,
     return merge(re[..., :nb], im[..., :nb])
 
 
-def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None):
+def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None, *,
+            overlap_chunks: int | None = None):
     """Distributed 3-D C2R inverse of :func:`rfft3d`.
 
-    `n_last` is the real length of the Z axis (numpy irfft `n`)."""
+    `n_last` is the real length of the Z axis (numpy irfft `n`);
+    `overlap_chunks` pipelines the Y-pass FFT->a2a as in rfft3d."""
     mesh = mesh or make_pencil_mesh()
+    chunks = (4 if mesh.devices.size > 1 else 1) \
+        if overlap_chunks is None else overlap_chunks
     ax, ay = mesh.axis_names
     re, im = promote_to_split(X)
     Xn, Yn, nb = re.shape
@@ -389,8 +393,7 @@ def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None):
             re2, im2 = re, im
         re2, im2 = _a2a((re2, im2), ay, 2, 1)             # [Xl, Y, K/py]
         re2, im2 = _fft_then_a2a_chunked(                 # Y-FFT (pipelined)
-            re2, im2, 1, INVERSE, None, ax, 1, 0, 2,
-            4 if mesh.devices.size > 1 else 1)
+            re2, im2, 1, INVERSE, None, ax, 1, 0, 2, chunks)
         # -> [X, Y/px, K/py]
         re2, im2 = _fft_axis_local(re2, im2, 0, INVERSE, scale)
         re2, im2 = _a2a((re2, im2), ax, 0, 1)

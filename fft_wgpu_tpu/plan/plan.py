@@ -324,6 +324,12 @@ class Plan:
             re = jnp.zeros(shape, jnp.float32)
             im = jnp.zeros(shape, jnp.float32)
             jax.block_until_ready(self._jitted(axis, sign, scale)(re, im))
+            # the split-domain executors are the zero-copy serving form —
+            # warm them too (they are distinct compiled programs)
+            re = jnp.zeros(shape, jnp.float32)
+            im = jnp.zeros(shape, jnp.float32)
+            jax.block_until_ready(
+                self._jitted_split(axis, sign, scale)(re, im))
         return self
 
     def __repr__(self):
