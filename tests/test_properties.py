@@ -57,3 +57,35 @@ def test_linearity_under_jit(rng, assert_close):
     x, y = crand(rng, n), crand(rng, n)
     f = jax.jit(lambda a, b: ftt.fft(a) + 2.0 * ftt.fft(b))
     assert_close(f(x, y), np.fft.fft(x) + 2.0 * np.fft.fft(y))
+
+
+def test_bigfft_properties(rng, assert_close):
+    """Linearity + Parseval + shift theorem for the whole-row big kernel
+    (interpret mode)."""
+    import jax.numpy as jnp
+
+    from fft_wgpu_tpu.ops import bigfft
+
+    n = 1 << 15
+    x = (rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n))
+         ).astype(np.complex64)
+    y = (rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n))
+         ).astype(np.complex64)
+
+    def F(z):
+        rr, ri = bigfft.fft_big_split(jnp.asarray(z.real), jnp.asarray(z.imag),
+                                      -1, interpret=True)
+        return np.asarray(rr) + 1j * np.asarray(ri)
+
+    # linearity
+    assert_close(F(2 * x + 3 * y), 2 * F(x) + 3 * F(y), what="bigfft linear")
+    # Parseval
+    X = F(x)
+    assert abs(np.sum(np.abs(X) ** 2) / n - np.sum(np.abs(x) ** 2)) \
+        / np.sum(np.abs(x) ** 2) < 1e-5
+    # shift theorem: x[m - s] <-> X[k] * exp(-2pi i k s / n)
+    s = 12345
+    xs = np.roll(x, s, axis=-1)
+    k = np.arange(n)
+    assert_close(F(xs), X * np.exp(-2j * np.pi * k * s / n),
+                 what="bigfft shift thm")
