@@ -12,6 +12,7 @@ from .ops.czt import czt, zoom_fft
 from .ops.dct import dct, dctn, dst, dstn, idct, idctn, idst, idstn
 from .ops.helpers import (
     fft_convolve,
+    fftconvolve,
     fftfreq,
     fftshift,
     ifftshift,
@@ -50,6 +51,7 @@ __all__ = [
     "fftfreq",
     "rfftfreq",
     "fft_convolve",
+    "fftconvolve",
     "next_fast_len",
     "oaconvolve",
     "dct",

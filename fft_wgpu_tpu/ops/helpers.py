@@ -15,6 +15,7 @@ import numpy as np
 
 __all__ = [
     "next_fast_len",
+    "fftconvolve",
     "fftshift",
     "ifftshift",
     "fftfreq",
@@ -220,3 +221,55 @@ def next_fast_len(target: int, real: bool = False) -> int:
             p35 *= 3
         p5 *= 5
     return best
+
+
+def fftconvolve(a, b, mode: str = "full", axes=None):
+    """N-D linear convolution via FFTs (scipy.signal.fftconvolve).
+
+    `axes=None` convolves over all axes (shapes must match on the rest);
+    real inputs ride the R2C pipeline on the last convolved axis and the
+    C2C pallas kernels elsewhere; each transform length pads to the next
+    fast (5-smooth, even) size.
+    """
+    from .nd import fftn, ifftn
+    from .rfft import irfftn, rfftn
+
+    a = _as_host_or_device(a)
+    b = _as_host_or_device(b)
+    if jnp.ndim(a) != jnp.ndim(b):
+        raise ValueError("fftconvolve inputs must have equal rank")
+    nd = jnp.ndim(a)
+    if axes is None:
+        axes = tuple(range(nd))
+    axes = tuple(ax % nd for ax in axes)
+    for ax in range(nd):
+        if ax not in axes and a.shape[ax] != b.shape[ax]:
+            raise ValueError(
+                f"non-convolved axis {ax} must match: {a.shape} vs {b.shape}")
+    lfull = [a.shape[ax] + b.shape[ax] - 1 for ax in axes]
+    shape = [next_fast_len(l, real=True) for l in lfull]
+
+    if _iscomplex(a) or _iscomplex(b):
+        fa = fftn(a, s=shape, axes=axes)
+        fb = fftn(b, s=shape, axes=axes)
+        full = ifftn(fa * fb, axes=axes)
+    else:
+        fa = rfftn(jnp.asarray(a, jnp.float32), s=shape, axes=axes)
+        fb = rfftn(jnp.asarray(b, jnp.float32), s=shape, axes=axes)
+        full = irfftn(fa * fb, s=shape, axes=axes)
+
+    sl = [slice(None)] * nd
+    for ax, lf in zip(axes, lfull):
+        la, lb = a.shape[ax], b.shape[ax]
+        if mode == "full":
+            sl[ax] = slice(0, lf)
+        elif mode == "same":
+            start = (lb - 1) // 2
+            sl[ax] = slice(start, start + la)
+        elif mode == "valid":
+            lv = max(la, lb) - min(la, lb) + 1
+            start = min(la, lb) - 1
+            sl[ax] = slice(start, start + lv)
+        else:
+            raise ValueError(f"invalid mode {mode!r}")
+    return full[tuple(sl)]

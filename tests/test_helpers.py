@@ -92,3 +92,22 @@ def test_next_fast_len_is_min_5smooth():
         while not is_5smooth(brute):
             brute += 1
         assert got == brute, f"t={t}: got {got}, minimal is {brute}"
+
+
+def test_fftconvolve_nd_vs_scipy(rng, assert_close):
+    from scipy import signal as ssig
+
+    a = rng.standard_normal((12, 15)).astype(np.float32)
+    b = rng.standard_normal((4, 5)).astype(np.float32)
+    for mode in ("full", "same", "valid"):
+        got = np.asarray(ftt.fftconvolve(a, b, mode=mode))
+        assert_close(got, ssig.fftconvolve(a, b, mode=mode),
+                     what=f"fftconvolve 2d {mode}")
+    # complex + axes subset (batched convolution over the last axis pair)
+    a3 = (rng.standard_normal((3, 8, 9)) + 1j * rng.standard_normal((3, 8, 9))
+          ).astype(np.complex64)
+    b3 = (rng.standard_normal((3, 2, 3)) + 1j * rng.standard_normal((3, 2, 3))
+          ).astype(np.complex64)
+    got = np.asarray(ftt.fftconvolve(a3, b3, mode="full", axes=(1, 2)))
+    assert_close(got, ssig.fftconvolve(a3, b3, mode="full", axes=(1, 2)),
+                 what="fftconvolve axes=")
