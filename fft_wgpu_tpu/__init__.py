@@ -13,6 +13,7 @@ from .ops.dct import dct, dctn, dst, dstn, idct, idctn, idst, idstn
 from .ops.helpers import (
     fft_convolve,
     fftconvolve,
+    fftcorrelate,
     fftfreq,
     fftshift,
     ifftshift,
@@ -52,6 +53,7 @@ __all__ = [
     "rfftfreq",
     "fft_convolve",
     "fftconvolve",
+    "fftcorrelate",
     "next_fast_len",
     "oaconvolve",
     "dct",

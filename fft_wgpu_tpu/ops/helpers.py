@@ -16,6 +16,7 @@ import numpy as np
 __all__ = [
     "next_fast_len",
     "fftconvolve",
+    "fftcorrelate",
     "fftshift",
     "ifftshift",
     "fftfreq",
@@ -273,3 +274,28 @@ def fftconvolve(a, b, mode: str = "full", axes=None):
         else:
             raise ValueError(f"invalid mode {mode!r}")
     return full[tuple(sl)]
+
+
+def fftcorrelate(a, b, mode: str = "full", axes=None):
+    """N-D cross-correlation via FFTs (scipy.signal.correlate with
+    method='fft'): correlate(a, b) == fftconvolve(a, conj(b reversed))."""
+    b = _as_host_or_device(b)
+    if axes is None:
+        rev = tuple(slice(None, None, -1) for _ in range(jnp.ndim(b)))
+    else:
+        nd = jnp.ndim(b)
+        axset = {ax % nd for ax in axes}
+        rev = tuple(slice(None, None, -1) if ax in axset else slice(None)
+                    for ax in range(nd))
+    if _iscomplex(b):
+        import numpy as _np
+
+        if isinstance(b, _np.ndarray):
+            # host complex stays on the host (no complex H2D — CLAUDE.md);
+            # fftconvolve splits it at its own boundary
+            br = _np.conj(b[rev])
+        else:
+            br = jnp.conj(b[rev])  # already device-resident
+    else:
+        br = b[rev]
+    return fftconvolve(a, br, mode=mode, axes=axes)

@@ -111,3 +111,21 @@ def test_fftconvolve_nd_vs_scipy(rng, assert_close):
     got = np.asarray(ftt.fftconvolve(a3, b3, mode="full", axes=(1, 2)))
     assert_close(got, ssig.fftconvolve(a3, b3, mode="full", axes=(1, 2)),
                  what="fftconvolve axes=")
+
+
+def test_fftcorrelate_vs_scipy(rng, assert_close):
+    from scipy import signal as ssig
+
+    a = rng.standard_normal((20, 16)).astype(np.float32)
+    b = rng.standard_normal((5, 4)).astype(np.float32)
+    for mode in ("full", "same", "valid"):
+        got = np.asarray(ftt.fftcorrelate(a, b, mode=mode))
+        assert_close(got, ssig.correlate(a, b, mode=mode, method="fft"),
+                     what=f"fftcorrelate {mode}")
+    ac = (rng.standard_normal(64) + 1j * rng.standard_normal(64)
+          ).astype(np.complex64)
+    bc = (rng.standard_normal(16) + 1j * rng.standard_normal(16)
+          ).astype(np.complex64)
+    got = np.asarray(ftt.fftcorrelate(ac, bc, mode="full"))
+    assert_close(got, ssig.correlate(ac, bc, mode="full", method="fft"),
+                 what="fftcorrelate complex")
