@@ -14,6 +14,7 @@ from .ops.helpers import (
     fft_convolve,
     fftconvolve,
     fftcorrelate,
+    hilbert,
     fftfreq,
     fftshift,
     ifftshift,
@@ -24,7 +25,7 @@ from .ops.helpers import (
 from .ops.nd import fft2, fftn, ifft2, ifftn
 from .ops.rfft import hfft, ihfft, irfft, irfft2, irfftn, rfft, rfft2, rfftn
 from .ops.spectral import spectral_derivative, spectral_gradient, spectral_laplacian
-from .ops.stft import hamming_window, hann_window, istft, stft
+from .ops.stft import bartlett_window, blackman_window, hamming_window, hann_window, istft, stft
 from .ops.transforms import fft, ifft, ifft_unnormalized, normalize
 from .plan.parity import Forward, Inverse, Normalize, Onlyinverse
 from .plan.plan import Plan, plan
@@ -54,6 +55,7 @@ __all__ = [
     "fft_convolve",
     "fftconvolve",
     "fftcorrelate",
+    "hilbert",
     "next_fast_len",
     "oaconvolve",
     "dct",
@@ -73,6 +75,8 @@ __all__ = [
     "istft",
     "hann_window",
     "hamming_window",
+    "blackman_window",
+    "bartlett_window",
     "ifft_unnormalized",
     "normalize",
     "plan",

@@ -17,6 +17,7 @@ __all__ = [
     "next_fast_len",
     "fftconvolve",
     "fftcorrelate",
+    "hilbert",
     "fftshift",
     "ifftshift",
     "fftfreq",
@@ -299,3 +300,28 @@ def fftcorrelate(a, b, mode: str = "full", axes=None):
     else:
         br = b[rev]
     return fftconvolve(a, br, mode=mode, axes=axes)
+
+
+def hilbert(x, n: int = None, axis: int = -1):
+    """Analytic signal via the FFT (scipy.signal.hilbert): real input ->
+    complex x + i*H(x).  One jitted program; the spectrum weighting
+    h = [1, 2, .., 2, (1), 0, ..] zeroes negative frequencies."""
+    from .transforms import fft, ifft
+
+    xr = jnp.asarray(x)
+    if _iscomplex(xr):
+        raise ValueError("hilbert requires a real input")
+    xr = xr.astype(jnp.float32)
+    length = n if n is not None else xr.shape[axis]
+
+    h = np.zeros(length, np.float32)
+    if length % 2 == 0:
+        h[0] = h[length // 2] = 1.0
+        h[1 : length // 2] = 2.0
+    else:
+        h[0] = 1.0
+        h[1 : (length + 1) // 2] = 2.0
+    shape = [1] * xr.ndim
+    shape[axis] = length
+    X = fft(xr, n=length, axis=axis)
+    return ifft(X * jnp.asarray(h).reshape(shape), axis=axis)

@@ -13,7 +13,7 @@ import numpy as np
 
 from .rfft import irfft, rfft
 
-__all__ = ["hann_window", "hamming_window", "stft", "istft"]
+__all__ = ["hann_window", "hamming_window", "blackman_window", "bartlett_window", "stft", "istft"]
 
 
 def hann_window(n: int, *, periodic: bool = True):
@@ -26,6 +26,19 @@ def hamming_window(n: int, *, periodic: bool = True):
     m = n if periodic else n - 1
     k = np.arange(n, dtype=np.float64)
     return jnp.asarray((0.54 - 0.46 * np.cos(2 * np.pi * k / m)).astype(np.float32))
+
+
+def blackman_window(n: int, *, periodic: bool = True):
+    m = n if periodic else n - 1
+    k = np.arange(n, dtype=np.float64)
+    w = 0.42 - 0.5 * np.cos(2 * np.pi * k / m) + 0.08 * np.cos(4 * np.pi * k / m)
+    return jnp.asarray(w.astype(np.float32))
+
+
+def bartlett_window(n: int, *, periodic: bool = True):
+    m = n if periodic else n - 1
+    k = np.arange(n, dtype=np.float64)
+    return jnp.asarray((1.0 - np.abs(2.0 * k / m - 1.0)).astype(np.float32))
 
 
 def _frame(x, frame_len: int, hop: int):

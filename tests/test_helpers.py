@@ -129,3 +129,24 @@ def test_fftcorrelate_vs_scipy(rng, assert_close):
     got = np.asarray(ftt.fftcorrelate(ac, bc, mode="full"))
     assert_close(got, ssig.correlate(ac, bc, mode="full", method="fft"),
                  what="fftcorrelate complex")
+
+
+def test_hilbert_vs_scipy(rng, assert_close):
+    from scipy import signal as ssig
+
+    for n in (64, 65):
+        x = rng.standard_normal((4, n)).astype(np.float32)
+        got = np.asarray(ftt.hilbert(x, axis=-1))
+        assert_close(got, ssig.hilbert(x, axis=-1), what=f"hilbert n={n}")
+    with pytest.raises(ValueError):
+        ftt.hilbert(np.zeros(8, np.complex64))
+
+
+def test_extra_windows_vs_numpy():
+    import fft_wgpu_tpu as f
+
+    for n in (64, 65):
+        got = np.asarray(f.blackman_window(n, periodic=False))
+        assert np.allclose(got, np.blackman(n), atol=1e-6)
+        got = np.asarray(f.bartlett_window(n, periodic=False))
+        assert np.allclose(got, np.bartlett(n), atol=1e-6)
