@@ -15,6 +15,7 @@ from .ops.helpers import (
     fftconvolve,
     fftcorrelate,
     hilbert,
+    resample,
     fftfreq,
     fftshift,
     ifftshift,
@@ -56,6 +57,7 @@ __all__ = [
     "fftconvolve",
     "fftcorrelate",
     "hilbert",
+    "resample",
     "next_fast_len",
     "oaconvolve",
     "dct",

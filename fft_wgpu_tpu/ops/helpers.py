@@ -18,6 +18,7 @@ __all__ = [
     "fftconvolve",
     "fftcorrelate",
     "hilbert",
+    "resample",
     "fftshift",
     "ifftshift",
     "fftfreq",
@@ -325,3 +326,48 @@ def hilbert(x, n: int = None, axis: int = -1):
     shape[axis] = length
     X = fft(xr, n=length, axis=axis)
     return ifft(X * jnp.asarray(h).reshape(shape), axis=axis)
+
+
+def resample(x, num: int, axis: int = -1):
+    """FFT-domain resampling of a real signal (scipy.signal.resample):
+    transform, truncate or zero-pad the spectrum to `num` bins, inverse
+    transform, rescale by num/n.  Assumes a periodic signal."""
+    from .rfft import irfft, rfft
+
+    xr = jnp.asarray(x)
+    if _iscomplex(xr):
+        raise ValueError("resample supports real input (use fft directly "
+                         "for complex)")
+    xr = xr.astype(jnp.float32)
+    n = xr.shape[axis]
+    X = rfft(xr, axis=axis)
+    Xr, Xi = jnp.real(X), jnp.imag(X)
+
+    old_bins = n // 2 + 1
+    new_bins = num // 2 + 1
+    sl = [slice(None)] * xr.ndim
+    if new_bins <= old_bins:
+        sl[axis] = slice(0, new_bins)
+        Xr, Xi = Xr[tuple(sl)], Xi[tuple(sl)]
+        if num % 2 == 0 and num < n:
+            # the kept +num/2 and -num/2 bins fold into the new (real)
+            # Nyquist: X[num/2] + conj(X[num/2]) = 2*Re(X[num/2])
+            nyq = [slice(None)] * xr.ndim
+            nyq[axis] = slice(new_bins - 1, new_bins)
+            Xr = Xr.at[tuple(nyq)].mul(2.0)
+            Xi = Xi.at[tuple(nyq)].mul(0.0)
+    else:
+        pad = [(0, 0)] * xr.ndim
+        pad[axis] = (0, new_bins - old_bins)
+        if n % 2 == 0:
+            # old Nyquist bin splits across +/- frequencies: halve it
+            nyq = [slice(None)] * xr.ndim
+            nyq[axis] = slice(old_bins - 1, old_bins)
+            Xr = Xr.at[tuple(nyq)].mul(0.5)
+            Xi = Xi.at[tuple(nyq)].mul(0.5)
+        Xr, Xi = jnp.pad(Xr, pad), jnp.pad(Xi, pad)
+
+    from ..core.complex_utils import merge
+
+    y = irfft(merge(Xr, Xi), n=num, axis=axis)
+    return y * jnp.float32(num / n)

@@ -150,3 +150,16 @@ def test_extra_windows_vs_numpy():
         assert np.allclose(got, np.blackman(n), atol=1e-6)
         got = np.asarray(f.bartlett_window(n, periodic=False))
         assert np.allclose(got, np.bartlett(n), atol=1e-6)
+
+
+def test_resample_vs_scipy(rng, assert_close):
+    from scipy import signal as ssig
+
+    for n in (64, 65):
+        x = rng.standard_normal((3, n)).astype(np.float32)
+        for num in (32, 31, 33, 128, 130, n):
+            got = np.asarray(ftt.resample(x, num, axis=-1))
+            assert_close(got, ssig.resample(x, num, axis=-1),
+                         what=f"resample {n}->{num}")
+    with pytest.raises(ValueError):
+        ftt.resample(np.zeros(8, np.complex64), 4)
