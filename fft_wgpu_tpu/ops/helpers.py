@@ -234,6 +234,7 @@ def fftconvolve(a, b, mode: str = "full", axes=None):
     C2C pallas kernels elsewhere; each transform length pads to the next
     fast (5-smooth, even) size.
     """
+    from ..core.complex_utils import merge, promote_to_split
     from .nd import fftn, ifftn
     from .rfft import irfftn, rfftn
 
@@ -244,22 +245,24 @@ def fftconvolve(a, b, mode: str = "full", axes=None):
     nd = jnp.ndim(a)
     if axes is None:
         axes = tuple(range(nd))
+    elif np.isscalar(axes):
+        axes = (int(axes),)
     axes = tuple(ax % nd for ax in axes)
     for ax in range(nd):
-        if ax not in axes and a.shape[ax] != b.shape[ax]:
-            raise ValueError(
-                f"non-convolved axis {ax} must match: {a.shape} vs {b.shape}")
+        if (ax not in axes and a.shape[ax] != b.shape[ax]
+                and 1 not in (a.shape[ax], b.shape[ax])):
+            raise ValueError(  # scipy broadcasts size-1 non-convolved axes
+                f"non-convolved axis {ax} must match or be broadcastable: "
+                f"{a.shape} vs {b.shape}")
+    if mode == "valid" and not (
+        all(a.shape[ax] >= b.shape[ax] for ax in axes)
+        or all(b.shape[ax] >= a.shape[ax] for ax in axes)
+    ):
+        raise ValueError(
+            "for mode='valid' one input must be at least as large as the "
+            "other in every convolved dimension")  # scipy parity
     lfull = [a.shape[ax] + b.shape[ax] - 1 for ax in axes]
     shape = [next_fast_len(l, real=True) for l in lfull]
-
-    if _iscomplex(a) or _iscomplex(b):
-        fa = fftn(a, s=shape, axes=axes)
-        fb = fftn(b, s=shape, axes=axes)
-        full = ifftn(fa * fb, axes=axes)
-    else:
-        fa = rfftn(jnp.asarray(a, jnp.float32), s=shape, axes=axes)
-        fb = rfftn(jnp.asarray(b, jnp.float32), s=shape, axes=axes)
-        full = irfftn(fa * fb, s=shape, axes=axes)
 
     sl = [slice(None)] * nd
     for ax, lf in zip(axes, lfull):
@@ -275,13 +278,37 @@ def fftconvolve(a, b, mode: str = "full", axes=None):
             sl[ax] = slice(start, start + lv)
         else:
             raise ValueError(f"invalid mode {mode!r}")
-    return full[tuple(sl)]
+    sl = tuple(sl)
+
+    # the whole pipeline traces into ONE jitted program (CLAUDE.md rule);
+    # complex hosts are split OUTSIDE it (no complex H2D) and re-merged
+    # under trace
+    if _iscomplex(a) or _iscomplex(b):
+        ar, ai = promote_to_split(a)
+        br_, bi_ = promote_to_split(b)
+
+        def impl(ar, ai, br_, bi_):
+            fa = fftn(merge(ar, ai), s=shape, axes=axes)
+            fb = fftn(merge(br_, bi_), s=shape, axes=axes)
+            return ifftn(fa * fb, axes=axes)[sl]
+
+        return jax.jit(impl)(ar, ai, br_, bi_)
+
+    def impl(av, bv):
+        fa = rfftn(av, s=shape, axes=axes)
+        fb = rfftn(bv, s=shape, axes=axes)
+        return irfftn(fa * fb, s=shape, axes=axes)[sl]
+
+    return jax.jit(impl)(jnp.asarray(a, jnp.float32),
+                         jnp.asarray(b, jnp.float32))
 
 
 def fftcorrelate(a, b, mode: str = "full", axes=None):
     """N-D cross-correlation via FFTs (scipy.signal.correlate with
     method='fft'): correlate(a, b) == fftconvolve(a, conj(b reversed))."""
     b = _as_host_or_device(b)
+    if axes is not None and np.isscalar(axes):
+        axes = (int(axes),)
     if axes is None:
         rev = tuple(slice(None, None, -1) for _ in range(jnp.ndim(b)))
     else:
@@ -290,12 +317,10 @@ def fftcorrelate(a, b, mode: str = "full", axes=None):
         rev = tuple(slice(None, None, -1) if ax in axset else slice(None)
                     for ax in range(nd))
     if _iscomplex(b):
-        import numpy as _np
-
-        if isinstance(b, _np.ndarray):
+        if isinstance(b, np.ndarray):
             # host complex stays on the host (no complex H2D — CLAUDE.md);
             # fftconvolve splits it at its own boundary
-            br = _np.conj(b[rev])
+            br = np.conj(b[rev])
         else:
             br = jnp.conj(b[rev])  # already device-resident
     else:
@@ -305,15 +330,15 @@ def fftcorrelate(a, b, mode: str = "full", axes=None):
 
 def hilbert(x, n: int = None, axis: int = -1):
     """Analytic signal via the FFT (scipy.signal.hilbert): real input ->
-    complex x + i*H(x).  One jitted program; the spectrum weighting
+    complex x + i*H(x) — one jitted program; the spectrum weighting
     h = [1, 2, .., 2, (1), 0, ..] zeroes negative frequencies."""
-    from .transforms import fft, ifft
+    from ..core.complex_utils import merge
+    from ..plan.plan import get_plan
 
-    xr = jnp.asarray(x)
-    if _iscomplex(xr):
+    x0 = _as_host_or_device(x)
+    if _iscomplex(x0):  # checked BEFORE any device transfer
         raise ValueError("hilbert requires a real input")
-    xr = xr.astype(jnp.float32)
-    length = n if n is not None else xr.shape[axis]
+    length = n if n is not None else x0.shape[axis]
 
     h = np.zeros(length, np.float32)
     if length % 2 == 0:
@@ -322,52 +347,71 @@ def hilbert(x, n: int = None, axis: int = -1):
     else:
         h[0] = 1.0
         h[1 : (length + 1) // 2] = 2.0
-    shape = [1] * xr.ndim
-    shape[axis] = length
-    X = fft(xr, n=length, axis=axis)
-    return ifft(X * jnp.asarray(h).reshape(shape), axis=axis)
+    p = get_plan(length)
+
+    def impl(v):
+        v = jnp.moveaxis(v, axis, -1)
+        if v.shape[-1] != length:
+            from .rfft import _resize_axis
+
+            v = _resize_axis(v, length, -1)
+        re, im = p._execute_split(v, jnp.zeros_like(v), -1, None)
+        hh = jnp.asarray(h)
+        re, im = p._execute_split(re * hh, im * hh, +1, 1.0 / length)
+        return merge(jnp.moveaxis(re, -1, axis), jnp.moveaxis(im, -1, axis))
+
+    return jax.jit(impl)(jnp.asarray(x0, jnp.float32))
 
 
 def resample(x, num: int, axis: int = -1):
     """FFT-domain resampling of a real signal (scipy.signal.resample):
     transform, truncate or zero-pad the spectrum to `num` bins, inverse
-    transform, rescale by num/n.  Assumes a periodic signal."""
-    from .rfft import irfft, rfft
+    transform, rescale by num/n — one jitted split-domain program."""
+    from .rfft import irfft_last_split, rfft_last_split
 
-    xr = jnp.asarray(x)
-    if _iscomplex(xr):
+    x0 = _as_host_or_device(x)
+    if _iscomplex(x0):  # checked BEFORE any device transfer
         raise ValueError("resample supports real input (use fft directly "
                          "for complex)")
-    xr = xr.astype(jnp.float32)
-    n = xr.shape[axis]
-    X = rfft(xr, axis=axis)
-    Xr, Xi = jnp.real(X), jnp.imag(X)
-
+    n = x0.shape[axis]
     old_bins = n // 2 + 1
     new_bins = num // 2 + 1
-    sl = [slice(None)] * xr.ndim
-    if new_bins <= old_bins:
-        sl[axis] = slice(0, new_bins)
-        Xr, Xi = Xr[tuple(sl)], Xi[tuple(sl)]
-        if num % 2 == 0 and num < n:
-            # the kept +num/2 and -num/2 bins fold into the new (real)
-            # Nyquist: X[num/2] + conj(X[num/2]) = 2*Re(X[num/2])
-            nyq = [slice(None)] * xr.ndim
-            nyq[axis] = slice(new_bins - 1, new_bins)
-            Xr = Xr.at[tuple(nyq)].mul(2.0)
-            Xi = Xi.at[tuple(nyq)].mul(0.0)
-    else:
-        pad = [(0, 0)] * xr.ndim
-        pad[axis] = (0, new_bins - old_bins)
+
+    def impl(v):
+        v = jnp.moveaxis(v, axis, -1)
         if n % 2 == 0:
-            # old Nyquist bin splits across +/- frequencies: halve it
-            nyq = [slice(None)] * xr.ndim
-            nyq[axis] = slice(old_bins - 1, old_bins)
-            Xr = Xr.at[tuple(nyq)].mul(0.5)
-            Xi = Xi.at[tuple(nyq)].mul(0.5)
-        Xr, Xi = jnp.pad(Xr, pad), jnp.pad(Xi, pad)
+            Xr, Xi = rfft_last_split(v, None)
+        else:  # odd input length: zero-imag C2C, keep the half spectrum
+            from .nd import fftn_split
 
-    from ..core.complex_utils import merge
+            re_, im_ = fftn_split(v, jnp.zeros_like(v), (v.ndim - 1,), -1,
+                                  None)
+            Xr, Xi = re_[..., :old_bins], im_[..., :old_bins]
+        if new_bins <= old_bins:
+            Xr = Xr[..., :new_bins]
+            Xi = Xi[..., :new_bins]
+            if num % 2 == 0 and num < n:
+                # the kept +num/2 and -num/2 bins fold into the new (real)
+                # Nyquist: X[num/2] + conj(X[num/2]) = 2*Re(X[num/2])
+                Xr = Xr.at[..., -1].mul(2.0)
+                Xi = Xi.at[..., -1].mul(0.0)
+        else:
+            if n % 2 == 0:
+                # old Nyquist bin splits across +/- frequencies: halve it
+                Xr = Xr.at[..., -1].mul(0.5)
+                Xi = Xi.at[..., -1].mul(0.5)
+            pad = [(0, 0)] * (Xr.ndim - 1) + [(0, new_bins - old_bins)]
+            Xr = jnp.pad(Xr, pad)
+            Xi = jnp.pad(Xi, pad)
+        # total scale num/n with the inverse's 1/num folded in => 1/n
+        if num % 2 == 0:
+            y = irfft_last_split(Xr, Xi, num, 1.0 / n)
+        else:  # odd target length: hermitian-extend + C2C inverse
+            from .nd import fftn_split
+            from .rfft import _hermitian_extend
 
-    y = irfft(merge(Xr, Xi), n=num, axis=axis)
-    return y * jnp.float32(num / n)
+            fr, fi = _hermitian_extend(Xr, Xi, num)
+            y, _ = fftn_split(fr, fi, (fr.ndim - 1,), 1, 1.0 / n)
+        return jnp.moveaxis(y, -1, axis)
+
+    return jax.jit(impl)(jnp.asarray(x0, jnp.float32))

@@ -17,18 +17,24 @@ __all__ = ["hann_window", "hamming_window", "blackman_window", "bartlett_window"
 
 
 def hann_window(n: int, *, periodic: bool = True):
+    if n == 1:
+        return jnp.ones((1,), jnp.float32)  # numpy parity; avoids m == 0
     m = n if periodic else n - 1
     k = np.arange(n, dtype=np.float64)
     return jnp.asarray((0.5 - 0.5 * np.cos(2 * np.pi * k / m)).astype(np.float32))
 
 
 def hamming_window(n: int, *, periodic: bool = True):
+    if n == 1:
+        return jnp.ones((1,), jnp.float32)  # numpy parity; avoids m == 0
     m = n if periodic else n - 1
     k = np.arange(n, dtype=np.float64)
     return jnp.asarray((0.54 - 0.46 * np.cos(2 * np.pi * k / m)).astype(np.float32))
 
 
 def blackman_window(n: int, *, periodic: bool = True):
+    if n == 1:
+        return jnp.ones((1,), jnp.float32)  # numpy parity; avoids m == 0
     m = n if periodic else n - 1
     k = np.arange(n, dtype=np.float64)
     w = 0.42 - 0.5 * np.cos(2 * np.pi * k / m) + 0.08 * np.cos(4 * np.pi * k / m)
@@ -36,6 +42,8 @@ def blackman_window(n: int, *, periodic: bool = True):
 
 
 def bartlett_window(n: int, *, periodic: bool = True):
+    if n == 1:
+        return jnp.ones((1,), jnp.float32)  # numpy parity; avoids m == 0
     m = n if periodic else n - 1
     k = np.arange(n, dtype=np.float64)
     return jnp.asarray((1.0 - np.abs(2.0 * k / m - 1.0)).astype(np.float32))

@@ -163,3 +163,31 @@ def test_resample_vs_scipy(rng, assert_close):
                          what=f"resample {n}->{num}")
     with pytest.raises(ValueError):
         ftt.resample(np.zeros(8, np.complex64), 4)
+
+
+def test_fftconvolve_scalar_axes_broadcast_and_valid_guard(rng, assert_close):
+    from scipy import signal as ssig
+
+    a = rng.standard_normal((12, 15)).astype(np.float32)
+    b = rng.standard_normal((1, 5)).astype(np.float32)
+    got = np.asarray(ftt.fftconvolve(a, b, axes=1))  # int axes + broadcast
+    assert_close(got, ssig.fftconvolve(a, b, axes=1), what="conv axes=int")
+    with pytest.raises(ValueError):  # scipy parity: mixed-dominance valid
+        ftt.fftconvolve(np.zeros((10, 3), np.float32),
+                        np.zeros((4, 7), np.float32), mode="valid")
+
+
+def test_resample_odd_input_length(rng, assert_close):
+    from scipy import signal as ssig
+
+    x = rng.standard_normal((3, 65)).astype(np.float32)
+    for num in (32, 31, 130):
+        assert_close(np.asarray(ftt.resample(x, num)),
+                     ssig.resample(x, num, axis=-1), what=f"resample 65->{num}")
+
+
+def test_length_one_windows():
+    for w in (ftt.hann_window, ftt.hamming_window, ftt.blackman_window,
+              ftt.bartlett_window):
+        assert np.allclose(np.asarray(w(1, periodic=False)), [1.0])
+        assert np.isfinite(np.asarray(w(1))).all()
