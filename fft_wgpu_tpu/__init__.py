@@ -26,6 +26,15 @@ from .ops.helpers import (
 from .ops.nd import fft2, fftn, ifft2, ifftn
 from .ops.rfft import hfft, ihfft, irfft, irfft2, irfftn, rfft, rfft2, rfftn
 from .ops.spectral import spectral_derivative, spectral_gradient, spectral_laplacian
+from .ops.spectral_est import (
+    coherence,
+    csd,
+    get_window,
+    periodogram,
+    spectrogram,
+    tukey_window,
+    welch,
+)
 from .ops.stft import bartlett_window, blackman_window, hamming_window, hann_window, istft, stft
 from .ops.transforms import fft, ifft, ifft_unnormalized, normalize
 from .plan.parity import Forward, Inverse, Normalize, Onlyinverse
@@ -75,6 +84,13 @@ __all__ = [
     "spectral_laplacian",
     "stft",
     "istft",
+    "periodogram",
+    "welch",
+    "csd",
+    "coherence",
+    "spectrogram",
+    "get_window",
+    "tukey_window",
     "hann_window",
     "hamming_window",
     "blackman_window",

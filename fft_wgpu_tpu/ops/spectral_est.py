@@ -1,0 +1,382 @@
+"""Spectral estimation: periodogram / Welch / CSD / coherence / spectrogram.
+
+scipy.signal-parity surface built on the framework's batched R2C/C2C
+pipeline: segmentation is the scatter-free framing used by stft
+(ops/stft.py), the hot loop is the fused Pallas rfft on TPU, and each
+entry point traces into ONE jitted program (CLAUDE.md invariant — eager
+chains are pathological on remote runtimes).
+
+The reference library has no signal-analysis layer at all (it is a bare
+batched FFT, SURVEY §2); this module is part of the framework-completeness
+superset, like ops/stft.py and ops/helpers.py.
+
+Conventions (matching scipy.signal):
+  * `scaling="density"`: Pxx in V**2/Hz, normalized by fs * sum(w**2).
+  * `scaling="spectrum"`: Pxx in V**2, normalized by sum(w)**2.
+  * one-sided spectra double every bin except DC (and Nyquist for even
+    nfft); complex inputs always return the two-sided spectrum.
+  * Welch's `average="median"` divides by the median bias correction
+    (scipy.signal._spectral_py._median_bias).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.complex_utils import merge, promote_to_split
+from .helpers import fftfreq, rfftfreq
+from .stft import (
+    _frame,
+    bartlett_window,
+    blackman_window,
+    hamming_window,
+    hann_window,
+)
+
+__all__ = [
+    "get_window",
+    "tukey_window",
+    "periodogram",
+    "welch",
+    "csd",
+    "coherence",
+    "spectrogram",
+]
+
+
+def tukey_window(n: int, alpha: float = 0.5, *, periodic: bool = False):
+    """Tukey (tapered cosine) window, scipy.signal.windows.tukey parity."""
+    if n == 1:
+        return jnp.ones((1,), jnp.float32)
+    if alpha <= 0:
+        return jnp.ones((n,), jnp.float32)
+    m = n + 1 if periodic else n
+    if alpha >= 1.0:
+        return hann_window(n, periodic=periodic)
+    k = np.arange(m, dtype=np.float64)
+    width = int(np.floor(alpha * (m - 1) / 2.0))
+    w = np.ones(m, np.float64)
+    edge = k[: width + 1]
+    w[: width + 1] = 0.5 * (1 + np.cos(np.pi * (-1 + 2.0 * edge / alpha / (m - 1))))
+    w[-(width + 1):] = w[: width + 1][::-1]
+    return jnp.asarray(w[:n].astype(np.float32))
+
+
+_WINDOWS = {
+    "hann": hann_window,
+    "hanning": hann_window,
+    "hamming": hamming_window,
+    "blackman": blackman_window,
+    "bartlett": bartlett_window,
+}
+
+
+def get_window(window, nperseg: int, *, periodic: bool = True):
+    """Resolve a window spec (name, (name, param), or array) to a float32
+    array of length nperseg (scipy.signal.get_window-style; scipy's
+    fftbins=True corresponds to periodic=True)."""
+    if isinstance(window, str):
+        if window in ("boxcar", "rectangular", "ones"):
+            return jnp.ones((nperseg,), jnp.float32)
+        try:
+            return _WINDOWS[window](nperseg, periodic=periodic)
+        except KeyError:
+            raise ValueError(f"unknown window {window!r}") from None
+    if isinstance(window, tuple):
+        name, *params = window
+        if name == "tukey":
+            return tukey_window(nperseg, *params, periodic=periodic)
+        raise ValueError(f"unknown window {window!r}")
+    w = jnp.asarray(window, jnp.float32)
+    if w.ndim != 1:
+        raise ValueError("window must be 1-D")
+    if w.shape[0] != nperseg:
+        raise ValueError(f"window length {w.shape[0]} != nperseg {nperseg}")
+    return w
+
+
+def _detrend_seg(fr, detrend):
+    """Per-segment detrend over the last axis ('constant'|'linear'|False)."""
+    if detrend is False or detrend is None:
+        return fr
+    if detrend == "constant":
+        return fr - jnp.mean(fr, axis=-1, keepdims=True)
+    if detrend == "linear":
+        n = fr.shape[-1]
+        t = jnp.arange(n, dtype=jnp.float32)
+        tbar = (n - 1) / 2.0
+        tc = t - tbar
+        denom = jnp.sum(tc * tc)
+        ybar = jnp.mean(fr, axis=-1, keepdims=True)
+        slope = jnp.sum(fr * tc, axis=-1, keepdims=True) / denom
+        return fr - ybar - slope * tc
+    raise ValueError(f"invalid detrend {detrend!r}")
+
+
+def _median_bias(n: int) -> float:
+    """Bias of the median of n periodogram samples (scipy parity)."""
+    ii_2 = 2 * np.arange(1.0, (n - 1) // 2 + 1)
+    return float(1 + np.sum(1.0 / (ii_2 + 1) - 1.0 / ii_2))
+
+
+def _spec_segments_split(xr, xi, win, nperseg, hop, nfft, detrend):
+    """Frame, detrend, window, transform: returns split [.., num, bins]
+    (full two-sided bins for complex input, half spectrum for real)."""
+    from .nd import fftn_split
+    from ..core.twiddle import FORWARD
+    from .rfft import rfft_last_split
+
+    frames_r = _detrend_seg(_frame(xr, nperseg, hop), detrend) * win
+    if xi is None:
+        if nfft > nperseg:
+            pad = [(0, 0)] * (frames_r.ndim - 1) + [(0, nfft - nperseg)]
+            frames_r = jnp.pad(frames_r, pad)
+        if nfft % 2 == 0:
+            return rfft_last_split(frames_r, None)
+        re, im = fftn_split(frames_r, jnp.zeros_like(frames_r),
+                            (frames_r.ndim - 1,), FORWARD, None)
+        return re[..., : nfft // 2 + 1], im[..., : nfft // 2 + 1]
+    frames_i = _detrend_seg(_frame(xi, nperseg, hop), detrend) * win
+    if nfft > nperseg:
+        pad = [(0, 0)] * (frames_r.ndim - 1) + [(0, nfft - nperseg)]
+        frames_r = jnp.pad(frames_r, pad)
+        frames_i = jnp.pad(frames_i, pad)
+    return fftn_split(frames_r, frames_i, (frames_r.ndim - 1,), FORWARD, None)
+
+
+def _is_complex(x) -> bool:
+    """True for complex arrays and explicit (re, im) split pairs;
+    promote_to_split returns a ZERO imag for real input, so complexness
+    must be decided before promotion."""
+    if isinstance(x, (tuple, list)) and len(x) == 2:
+        return True
+    if isinstance(x, np.ndarray):
+        return bool(np.iscomplexobj(x))
+    return bool(jnp.iscomplexobj(jnp.asarray(x) if not hasattr(x, "dtype") else x))
+
+
+def _resolve_args(x, y, nperseg, noverlap, nfft, window, axis):
+    xr, xi = promote_to_split(x)
+    if not _is_complex(x):
+        xi = None
+    if y is not None:
+        yr, yi = promote_to_split(y)
+        if not _is_complex(y):
+            yi = None
+        # scipy broadcasts x and y; support the common equal-shape case
+        if yr.shape[axis] != xr.shape[axis]:
+            raise ValueError("x and y must have the same length along axis")
+    else:
+        yr = yi = None
+    n = xr.shape[axis]
+    if nperseg is None:
+        nperseg = min(256, n)
+    if nperseg > n:
+        warnings.warn(
+            f"nperseg = {nperseg} is greater than signal length = {n}, "
+            f"using nperseg = {n}"
+        )
+        nperseg = n
+    if nfft is None:
+        nfft = nperseg
+    elif nfft < nperseg:
+        raise ValueError("nfft must be >= nperseg")
+    if noverlap is None:
+        noverlap = nperseg // 2
+    if noverlap >= nperseg:
+        raise ValueError("noverlap must be less than nperseg")
+    win = get_window(window, nperseg)
+    complex_input = xi is not None or (y is not None and yi is not None)
+    return xr, xi, yr, yi, nperseg, int(noverlap), nfft, win, complex_input
+
+
+def _csd_impl(x, y, fs, window, nperseg, noverlap, nfft, detrend,
+              return_onesided, scaling, axis, average):
+    (xr, xi, yr, yi, nperseg, noverlap, nfft, win,
+     complex_input) = _resolve_args(x, y, nperseg, noverlap, nfft, window,
+                                    axis)
+    onesided = return_onesided and not complex_input
+    hop = nperseg - noverlap
+
+    if scaling == "density":
+        norm = 1.0 / (fs * float(jnp.sum(win * win)))
+    elif scaling == "spectrum":
+        norm = 1.0 / float(jnp.sum(win)) ** 2
+    else:
+        raise ValueError(f"invalid scaling {scaling!r}")
+
+    same = y is None
+
+    def impl(xr, xi, yr, yi):
+        def mv(a):
+            return jnp.moveaxis(a, axis, -1) if a is not None else None
+
+        xr_, xi_, yr_, yi_ = mv(xr), mv(xi), mv(yr), mv(yi)
+        # two-sided output needs the full C2C path even for real input
+        if not onesided and xi_ is None:
+            xi_ = jnp.zeros_like(xr_)
+        if not onesided and yr_ is not None and yi_ is None:
+            yi_ = jnp.zeros_like(yr_)
+
+        Xr, Xi = _spec_segments_split(xr_, xi_, win, nperseg, hop, nfft,
+                                      detrend)
+        if same:
+            Pr = Xr * Xr + Xi * Xi          # X * conj(X)
+            Pi = jnp.zeros_like(Pr)
+        else:
+            Yr, Yi = _spec_segments_split(yr_, yi_, win, nperseg, hop, nfft,
+                                          detrend)
+            # scipy: Pxy = conj(X) * Y
+            Pr = Xr * Yr + Xi * Yi
+            Pi = Xr * Yi - Xi * Yr
+        num = Pr.shape[-2]
+        if average == "mean":
+            Pr = jnp.mean(Pr, axis=-2)
+            Pi = jnp.mean(Pi, axis=-2)
+        elif average == "median":
+            bias = _median_bias(num)
+            Pr = jnp.median(Pr, axis=-2) / bias
+            Pi = jnp.median(Pi, axis=-2) / bias
+        else:
+            raise ValueError(f"invalid average {average!r}")
+        Pr = Pr * norm
+        Pi = Pi * norm
+        if onesided:
+            mult = np.full(nfft // 2 + 1, 2.0, np.float32)
+            mult[0] = 1.0
+            if nfft % 2 == 0:
+                mult[-1] = 1.0
+            Pr = Pr * mult
+            Pi = Pi * mult
+        return jnp.moveaxis(Pr, -1, axis), jnp.moveaxis(Pi, -1, axis)
+
+    Pr, Pi = jax.jit(impl)(xr, xi, yr, yi)
+    if onesided:
+        f = rfftfreq(nfft, 1.0 / fs)
+    else:
+        f = fftfreq(nfft, 1.0 / fs)
+    return f, Pr, Pi, onesided
+
+
+def periodogram(x, fs: float = 1.0, window="boxcar", nfft: int | None = None,
+                detrend="constant", return_onesided: bool = True,
+                scaling: str = "density", axis: int = -1):
+    """Power spectral density with a single segment (scipy.signal parity).
+
+    Returns (f, Pxx); Pxx is real float32.
+    """
+    xr, _ = promote_to_split(x)
+    n = xr.shape[axis]
+    f, Pr, _Pi, _onesided = _csd_impl(
+        x, None, fs, window, n, 0, nfft, detrend, return_onesided, scaling,
+        axis, "mean")
+    return f, Pr
+
+
+def welch(x, fs: float = 1.0, window="hann", nperseg: int | None = None,
+          noverlap: int | None = None, nfft: int | None = None,
+          detrend="constant", return_onesided: bool = True,
+          scaling: str = "density", axis: int = -1, average: str = "mean"):
+    """Welch averaged-periodogram PSD (scipy.signal.welch parity).
+
+    Returns (f, Pxx); Pxx is real float32.
+    """
+    f, Pr, _Pi, _onesided = _csd_impl(
+        x, None, fs, window, nperseg, noverlap, nfft, detrend,
+        return_onesided, scaling, axis, average)
+    return f, Pr
+
+
+def csd(x, y, fs: float = 1.0, window="hann", nperseg: int | None = None,
+        noverlap: int | None = None, nfft: int | None = None,
+        detrend="constant", return_onesided: bool = True,
+        scaling: str = "density", axis: int = -1, average: str = "mean"):
+    """Cross power spectral density Pxy = E[conj(X) Y] (scipy parity).
+
+    Returns (f, Pxy) with complex64 Pxy.
+    """
+    f, Pr, Pi, _onesided = _csd_impl(
+        x, y, fs, window, nperseg, noverlap, nfft, detrend,
+        return_onesided, scaling, axis, average)
+    return f, merge(Pr, Pi)
+
+
+def coherence(x, y, fs: float = 1.0, window="hann",
+              nperseg: int | None = None, noverlap: int | None = None,
+              nfft: int | None = None, detrend="constant", axis: int = -1):
+    """Magnitude-squared coherence Cxy = |Pxy|^2 / (Pxx Pyy) (scipy parity)."""
+    f, Pxyr, Pxyi, _ = _csd_impl(x, y, fs, window, nperseg, noverlap, nfft,
+                                 detrend, True, "density", axis, "mean")
+    _, Pxx, _, _ = _csd_impl(x, None, fs, window, nperseg, noverlap, nfft,
+                             detrend, True, "density", axis, "mean")
+    _, Pyy, _, _ = _csd_impl(y, None, fs, window, nperseg, noverlap, nfft,
+                             detrend, True, "density", axis, "mean")
+    return f, jax.jit(
+        lambda pr, pi, a, b: (pr * pr + pi * pi) / (a * b)
+    )(Pxyr, Pxyi, Pxx, Pyy)
+
+
+def spectrogram(x, fs: float = 1.0, window=("tukey", 0.25),
+                nperseg: int | None = None, noverlap: int | None = None,
+                nfft: int | None = None, detrend="constant",
+                return_onesided: bool = True, scaling: str = "density",
+                axis: int = -1, mode: str = "psd"):
+    """Spectrogram over sliding segments (scipy.signal.spectrogram parity).
+
+    Returns (f, t, Sxx) with segment times t and Sxx [..., bins, num]
+    (frequency axis where `axis` was, time last — scipy layout).
+    mode: 'psd' (default), 'magnitude', or 'complex'.
+    """
+    (xr, xi, _yr, _yi, nperseg, noverlap_d, nfft, win,
+     complex_input) = _resolve_args(x, None, nperseg, noverlap, nfft,
+                                    window, axis)
+    # scipy's spectrogram default overlap is nperseg // 8, not // 2
+    if noverlap is None:
+        noverlap_d = nperseg // 8
+    hop = nperseg - noverlap_d
+    onesided = return_onesided and not complex_input
+
+    if scaling == "density":
+        norm = 1.0 / (fs * float(jnp.sum(win * win)))
+    elif scaling == "spectrum":
+        norm = 1.0 / float(jnp.sum(win)) ** 2
+    else:
+        raise ValueError(f"invalid scaling {scaling!r}")
+
+    def impl(xr_, xi_):
+        v_r = jnp.moveaxis(xr_, axis, -1)
+        v_i = jnp.moveaxis(xi_, axis, -1) if xi_ is not None else None
+        if not onesided and v_i is None:
+            v_i = jnp.zeros_like(v_r)  # two-sided needs the full C2C path
+        Xr, Xi = _spec_segments_split(v_r, v_i, win, nperseg, hop, nfft,
+                                      detrend)
+        if mode == "psd":
+            S = (Xr * Xr + Xi * Xi) * norm
+            if onesided:
+                mult = np.full(S.shape[-1], 2.0, np.float32)
+                mult[0] = 1.0
+                if nfft % 2 == 0:
+                    mult[-1] = 1.0
+                S = S * mult
+            return (jnp.swapaxes(S, -1, -2),)
+        if mode == "magnitude":
+            S = jnp.sqrt(Xr * Xr + Xi * Xi) * float(np.sqrt(norm))
+            return (jnp.swapaxes(S, -1, -2),)
+        if mode == "complex":
+            s = float(np.sqrt(norm))
+            return (jnp.swapaxes(Xr, -1, -2) * s,
+                    jnp.swapaxes(Xi, -1, -2) * s)
+        raise ValueError(f"invalid mode {mode!r}")
+
+    out = jax.jit(impl)(xr, xi)
+    n = xr.shape[axis]
+    num = 1 + (n - nperseg) // hop
+    t = (np.arange(num) * hop + nperseg / 2.0) / fs
+    f = rfftfreq(nfft, 1.0 / fs) if onesided else fftfreq(nfft, 1.0 / fs)
+    if mode == "complex":
+        return f, t, merge(out[0], out[1])
+    return f, t, out[0]
