@@ -53,7 +53,7 @@ class Plan:
     """
 
     def __init__(self, n: int, *, executor: str = "auto", dtype=jnp.complex64,
-                 donate: bool = False):
+                 donate: bool = False, autotune: bool = False):
         if n < 1:
             raise ValueError(f"fft length must be >= 1, got {n}")
         self.n = int(n)
@@ -66,9 +66,13 @@ class Plan:
             )
         self.dtype = jnp.complex64
         if executor not in ("auto", "xla", "pallas", "fourstep", "bigfft",
-                            "direct"):
+                            "direct", "pallas:classic", "pallas:dit"):
             raise ValueError(f"unknown executor {executor!r}")
         self.executor = executor
+        # autotune=True (FFTW_MEASURE analogue): measure the executor
+        # candidates on-device once per (n, batch-rows, axis) and use the
+        # winner; executor="auto" heuristics otherwise (plan/autotune.py).
+        self.autotune = bool(autotune)
         # donate=True donates the (re, im) input buffers to XLA so replaying
         # the plan allocates nothing new — the TPU analogue of the
         # reference's caller-owned in-place ping-pong buffers
@@ -109,13 +113,15 @@ class Plan:
     # ------------------------------------------------------------------ #
     # split-domain executors (re/im pairs, transform along last axis)
     # ------------------------------------------------------------------ #
-    def _execute_split(self, re, im, sign: int, scale):
+    def _execute_split(self, re, im, sign: int, scale, ex: str | None = None):
         if re.shape[-1] != self.n:
             raise ValueError(
                 f"plan built for n={self.n}, input last axis is {re.shape[-1]}"
             )
-        ex = self._resolve_executor()
-        auto = self.executor == "auto"
+        tuned = ex is not None
+        if not tuned:
+            ex = self._resolve_executor()
+        auto = self.executor == "auto" and not tuned
         if ex == "pallas" and auto:
             rows = 1
             for d in re.shape[:-1]:
@@ -123,18 +129,21 @@ class Plan:
             if 0 < rows < 16:
                 # 128-row kernel tiles would be mostly padding
                 ex = "xla"
-        if ex == "pallas":
+        if ex in ("pallas", "pallas:classic", "pallas:dit"):
+            schedule = {"pallas:classic": "classic",
+                        "pallas:dit": "dit"}.get(ex)
             try:
                 from ..ops import pallas_fft
             except ImportError:
-                if not auto:
+                if not (auto or tuned):
                     raise
                 ex = "xla"
             else:
                 try:
-                    return pallas_fft.fft_batched_split(re, im, sign, scale)
+                    return pallas_fft.fft_batched_split(re, im, sign, scale,
+                                                        schedule=schedule)
                 except pallas_fft.Unsupported:
-                    if not auto:
+                    if not (auto or tuned):
                         raise
                     ex = "xla"
         if ex == "bigfft":
@@ -158,7 +167,8 @@ class Plan:
         re, im = stockham.fft_last_axis(re, im, sign)
         return stockham.apply_scale(re, im, scale)
 
-    def _execute_split_axis(self, re, im, sign: int, scale, axis: int):
+    def _execute_split_axis(self, re, im, sign: int, scale, axis: int,
+                            ex: str | None = None):
         """Transform along `axis`.
 
         axis == -1 uses the row kernel; axis == -2 uses the transpose-free
@@ -168,8 +178,10 @@ class Plan:
         nd = re.ndim
         ax = axis % nd
         if ax == nd - 1:
-            return self._execute_split(re, im, sign, scale)
-        if self.executor in ("auto", "pallas") and _backend() == "tpu":
+            return self._execute_split(re, im, sign, scale, ex)
+        exa = ex if ex is not None else self.executor
+        if exa in ("auto", "pallas", "pallas:classic", "pallas:dit") \
+                and _backend() == "tpu":
             # Any non-minor axis: flatten the trailing dims into one "lane
             # batch" and run the transpose-free sublane-domain kernel — no
             # moveaxis (= no HBM transpose) for ANY axis of an ND transform.
@@ -193,13 +205,24 @@ class Plan:
                     pass
         re = jnp.moveaxis(re, ax, -1)
         im = jnp.moveaxis(im, ax, -1)
-        re, im = self._execute_split(re, im, sign, scale)
+        re, im = self._execute_split(re, im, sign, scale, ex)
         return jnp.moveaxis(re, -1, ax), jnp.moveaxis(im, -1, ax)
 
     # ------------------------------------------------------------------ #
     # public complex-facade methods
     # ------------------------------------------------------------------ #
-    def _jitted(self, axis: int, sign: int, scale):
+    def _tuned_for(self, shape, axis: int):
+        """Measured executor for this shape (autotune=True, TPU, executor
+        'auto'); None = use the static heuristics."""
+        if not self.autotune or self.executor != "auto":
+            return None
+        if _backend() != "tpu" or shape[axis] != self.n:
+            return None
+        from . import autotune
+
+        return autotune.measure_executor(self, tuple(shape), axis)
+
+    def _jitted(self, axis: int, sign: int, scale, ex: str | None = None):
         """Cached jitted executor: (re, im) real arrays -> complex64.
 
         The whole transform — axis moves, all stages, scaling, and the
@@ -208,7 +231,7 @@ class Plan:
         cross host->device (unsupported on some TPU runtimes), while the
         returned device-resident complex64 composes freely under jit.
         """
-        key = (axis, sign, scale)
+        key = (axis, sign, scale, ex)
         fn = self._jit_cache.get(key)
         if fn is None:
 
@@ -217,7 +240,7 @@ class Plan:
                 if moved:
                     re = jnp.moveaxis(re, axis, -1)
                     im = jnp.moveaxis(im, axis, -1)
-                re, im = self._execute_split(re, im, sign, scale)
+                re, im = self._execute_split(re, im, sign, scale, ex)
                 if moved:
                     re = jnp.moveaxis(re, -1, axis)
                     im = jnp.moveaxis(im, -1, axis)
@@ -237,21 +260,23 @@ class Plan:
                 f"plan built for n={self.n}, input axis {axis} has length "
                 f"{re.shape[axis]}"
             )
-        return self._jitted(axis, sign, scale)(re, im)
+        ex = self._tuned_for(re.shape, axis)
+        return self._jitted(axis, sign, scale, ex)(re, im)
 
-    def _jitted_split(self, axis: int, sign: int, scale):
+    def _jitted_split(self, axis: int, sign: int, scale,
+                      ex: str | None = None):
         """Cached jitted executor in the SPLIT domain: (re, im) -> (re, im).
 
         This is the form where donate=True achieves true in-place replay —
         the f32 outputs alias the donated f32 inputs (the complex-facade
         methods cannot alias: their complex64 output has a different
         dtype, so XLA declines the donation with a warning)."""
-        key = ("split", axis, sign, scale)
+        key = ("split", axis, sign, scale, ex)
         fn = self._jit_cache.get(key)
         if fn is None:
 
             def impl(re, im):
-                return self._execute_split_axis(re, im, sign, scale, axis)
+                return self._execute_split_axis(re, im, sign, scale, axis, ex)
 
             if self.donate:
                 fn = jax.jit(impl, donate_argnums=(0, 1))
@@ -266,15 +291,18 @@ class Plan:
         The zero-copy serving form: with donate=True the outputs reuse the
         input buffers (the reference's caller-owned ping-pong buffers,
         processor.rs:580-586); the inputs are INVALIDATED."""
-        return self._jitted_split(axis, FORWARD, None)(re, im)
+        ex = self._tuned_for(jnp.shape(re), axis)
+        return self._jitted_split(axis, FORWARD, None, ex)(re, im)
 
     def inverse_split(self, re, im, axis: int = -1):
         """Inverse FFT with fused 1/N on a split pair -> split pair."""
-        return self._jitted_split(axis, INVERSE, 1.0 / self.n)(re, im)
+        ex = self._tuned_for(jnp.shape(re), axis)
+        return self._jitted_split(axis, INVERSE, 1.0 / self.n, ex)(re, im)
 
     def inverse_unnormalized_split(self, re, im, axis: int = -1):
         """Unnormalized inverse on a split pair -> split pair."""
-        return self._jitted_split(axis, INVERSE, None)(re, im)
+        ex = self._tuned_for(jnp.shape(re), axis)
+        return self._jitted_split(axis, INVERSE, None, ex)(re, im)
 
     def forward(self, x, axis: int = -1):
         """Forward FFT, unscaled (reference Forward, processor.rs:7-159)."""

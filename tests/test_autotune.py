@@ -1,0 +1,107 @@
+"""Autotuned executor selection (plan(n, autotune=True) — FFTW_MEASURE
+analogue).  CPU tier: candidate enumeration, caching, and the no-op path
+off-TPU; the measurement itself is exercised by the hardware tier."""
+
+import numpy as np
+import pytest
+
+import fft_wgpu_tpu as ftt
+from fft_wgpu_tpu.plan import autotune
+from fft_wgpu_tpu.plan.plan import Plan
+
+
+class TestCandidates:
+    def test_tpu_fused_envelope(self):
+        c = autotune.candidates_for(4096, 4096, "tpu")
+        assert "pallas:classic" in c and "pallas:dit" in c
+        assert "xla" not in c  # big batches never want XLA on TPU
+
+    def test_tpu_small_batch_includes_xla(self):
+        assert "xla" in autotune.candidates_for(4096, 8, "tpu")
+
+    def test_tpu_beyond_vmem(self):
+        c = autotune.candidates_for(1 << 20, 1, "tpu")
+        assert c == ["bigfft", "fourstep"]
+        # batched large-N: bigfft is single-row only
+        assert autotune.candidates_for(1 << 20, 4, "tpu") == ["fourstep"]
+
+    def test_cpu_and_non_pow2(self):
+        assert autotune.candidates_for(4096, 64, "cpu") == ["xla"]
+        assert autotune.candidates_for(4095, 64, "tpu") == ["xla"]
+
+
+class TestMeasureCaching:
+    def test_single_candidate_skips_measurement(self, monkeypatch):
+        autotune.TUNE_CACHE.clear()
+        monkeypatch.setattr(autotune, "_wisdom_loaded", True)
+        monkeypatch.setattr(autotune, "save_wisdom", lambda *a, **k: None)
+        calls = []
+        monkeypatch.setattr(autotune, "_slope_time",
+                            lambda *a, **k: calls.append(1) or 1.0)
+        p = Plan(4095, autotune=True)
+        monkeypatch.setattr(autotune.jax, "default_backend", lambda: "tpu")
+        ex = autotune.measure_executor(p, (4, 4095), -1)
+        assert ex == "xla"
+        assert not calls  # one candidate: nothing to measure
+
+    def test_picks_fastest_and_caches(self, monkeypatch):
+        autotune.TUNE_CACHE.clear()
+        monkeypatch.setattr(autotune, "_wisdom_loaded", True)
+        monkeypatch.setattr(autotune, "save_wisdom", lambda *a, **k: None)
+        times = {"pallas:classic": 3.0, "pallas:dit": 1.0}
+        measured = []
+
+        def fake_slope(fn, shape, **kw):
+            # identify the candidate through the closure default
+            ex = fn.__defaults__[0]
+            measured.append(ex)
+            return times[ex]
+
+        monkeypatch.setattr(autotune, "_slope_time", fake_slope)
+        monkeypatch.setattr(autotune.jax, "default_backend", lambda: "tpu")
+        p = Plan(16384, autotune=True)
+        ex = autotune.measure_executor(p, (256, 16384), -1)
+        assert ex == "pallas:dit"
+        assert set(measured) == {"pallas:classic", "pallas:dit"}
+        measured.clear()
+        assert autotune.measure_executor(p, (256, 16384), -1) == "pallas:dit"
+        assert not measured  # cached
+        autotune.TUNE_CACHE.clear()
+
+    def test_failed_candidate_skipped(self, monkeypatch):
+        autotune.TUNE_CACHE.clear()
+        monkeypatch.setattr(autotune, "_wisdom_loaded", True)
+        monkeypatch.setattr(autotune, "save_wisdom", lambda *a, **k: None)
+
+        def fake_slope(fn, shape, **kw):
+            ex = fn.__defaults__[0]
+            if ex == "pallas:dit":
+                raise RuntimeError("does not compile")
+            return 2.0
+
+        monkeypatch.setattr(autotune, "_slope_time", fake_slope)
+        monkeypatch.setattr(autotune.jax, "default_backend", lambda: "tpu")
+        p = Plan(4096, autotune=True)
+        ex = autotune.measure_executor(p, (512, 4096), -1)
+        assert ex == "pallas:classic"
+        autotune.TUNE_CACHE.clear()
+
+
+class TestPlanIntegration:
+    def test_autotune_plan_correct_on_cpu(self, rng):
+        x = (rng.standard_normal((8, 512))
+             + 1j * rng.standard_normal((8, 512))).astype(np.complex64)
+        p = ftt.plan(512, autotune=True)
+        got = np.asarray(ftt.device_get_complex(p.forward(x)))
+        np.testing.assert_allclose(got, np.fft.fft(x, axis=-1), rtol=2e-5,
+                                   atol=2e-4)
+        # off-TPU the tuner is a no-op: nothing cached for this n
+        assert not any(k[1] == 512 for k in autotune.TUNE_CACHE)
+
+    def test_schedule_executor_names_accepted(self):
+        for ex in ("pallas:classic", "pallas:dit"):
+            assert ftt.plan(1024, executor=ex).executor == ex
+
+    def test_invalid_executor_rejected(self):
+        with pytest.raises(ValueError):
+            ftt.plan(512, executor="pallas:bogus")
