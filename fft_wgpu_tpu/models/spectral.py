@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from ..ops.rfft import irfft, rfft
 
-__all__ = ["init_fno1d", "fno1d_apply", "init_fno2d", "fno2d_apply", "mse_loss", "train_step"]
+__all__ = ["init_fno1d", "fno1d_apply", "init_fno2d", "fno2d_apply",
+           "init_fno3d", "fno3d_apply", "mse_loss", "train_step"]
 
 
 def _glorot(key, shape, scale):
@@ -136,4 +137,62 @@ def fno2d_apply(params, x):
     modes = params["blocks"][0]["wr"].shape[:2]
     for blk in params["blocks"]:
         h = jax.nn.gelu(_spectral_conv2d(blk, h, modes) + h @ blk["pw"] + blk["b"])
+    return h @ params["proj"]
+
+
+# --------------------------------------------------------------------- #
+# 3-D spectral operator (FNO3d) — volumetric fields [batch, X, Y, Z, ch];
+# under a mesh, GSPMD shards the batched fftn (and parallel/pencil.fft3d
+# provides the explicit pencil-decomposed path for solver workloads).
+# --------------------------------------------------------------------- #
+def init_fno3d(key, *, modes=(8, 8, 8), width=16, depth=2, in_ch=1,
+               out_ch=1):
+    """Parameter pytree for a 3-D FNO over [batch, X, Y, Z, ch] fields."""
+    keys = jax.random.split(key, 2 + 4 * depth)
+    params = {
+        "lift": _glorot(keys[0], (in_ch, width), (2.0 / (in_ch + width)) ** 0.5),
+        "proj": _glorot(keys[1], (width, out_ch), (2.0 / (width + out_ch)) ** 0.5),
+        "blocks": [],
+    }
+    m1, m2, m3 = modes
+    s = 1.0 / (width * m1 * m2 * m3) ** 0.5
+    for d in range(depth):
+        k = keys[2 + 4 * d : 6 + 4 * d]
+        params["blocks"].append(
+            {
+                "wr": _glorot(k[0], (m1, m2, m3, width, width), s),
+                "wi": _glorot(k[1], (m1, m2, m3, width, width), s),
+                "pw": _glorot(k[2], (width, width), (1.0 / width) ** 0.5),
+                "b": jnp.zeros((width,), jnp.float32),
+            }
+        )
+    return params
+
+
+def _spectral_conv3d(block, x, modes):
+    """x [batch, X, Y, Z, ch]: 3-D spectral multiply on low modes."""
+    from ..ops.nd import fftn, ifftn
+
+    b, nx, ny, nz, c = x.shape
+    m1, m2, m3 = modes
+    X = fftn(jnp.moveaxis(x, -1, 1), axes=(-3, -2, -1))  # [b, c, X, Y, Z]
+    Xr = jnp.real(X)[:, :, :m1, :m2, :m3]
+    Xi = jnp.imag(X)[:, :, :m1, :m2, :m3]
+    wr, wi = block["wr"], block["wi"]
+    Yr = (jnp.einsum("bcijk,ijkco->boijk", Xr, wr)
+          - jnp.einsum("bcijk,ijkco->boijk", Xi, wi))
+    Yi = (jnp.einsum("bcijk,ijkco->boijk", Xr, wi)
+          + jnp.einsum("bcijk,ijkco->boijk", Xi, wr))
+    pad = [(0, 0), (0, 0), (0, nx - m1), (0, ny - m2), (0, nz - m3)]
+    Y = jax.lax.complex(jnp.pad(Yr, pad), jnp.pad(Yi, pad))
+    y = jnp.real(ifftn(Y, axes=(-3, -2, -1)))
+    return jnp.moveaxis(y, 1, -1)
+
+
+def fno3d_apply(params, x):
+    """Forward pass. x: [batch, X, Y, Z, in_ch] float32."""
+    h = x @ params["lift"]
+    modes = params["blocks"][0]["wr"].shape[:3]
+    for blk in params["blocks"]:
+        h = jax.nn.gelu(_spectral_conv3d(blk, h, modes) + h @ blk["pw"] + blk["b"])
     return h @ params["proj"]

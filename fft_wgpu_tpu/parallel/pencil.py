@@ -101,23 +101,31 @@ def _fft3d_impl(x, mesh, sign, scale, transposed_output, overlap_chunks=None):
     if overlap_chunks is None:
         # pipeline by default on real meshes; 1 device has no ICI to hide
         overlap_chunks = 4 if mesh.devices.size > 1 else 1
+    lead = len(jnp.shape(x)) - 3  # leading batch dims (replicated)
+    if lead < 0:
+        raise ValueError("fft3d expects at least 3 dimensions")
 
     def local(re, im):
-        # in: [X/px, Y/py, Z].  Each FFT->a2a pair is chunk-pipelined along
-        # a spectator axis so the ICI transfer of one chunk overlaps the
-        # next chunk's pencil FFTs (see _fft_then_a2a_chunked).
+        # in: [.., X/px, Y/py, Z].  Each FFT->a2a pair is chunk-pipelined
+        # along a spectator axis so the ICI transfer of one chunk overlaps
+        # the next chunk's pencil FFTs (see _fft_then_a2a_chunked).
+        o = re.ndim - 3
         re, im = _fft_then_a2a_chunked(                          # Z-FFT
-            re, im, 2, sign, None, ay, 2, 1, 0, overlap_chunks)  # -> [X/px, Y, Z/py]
+            re, im, o + 2, sign, None, ay, o + 2, o + 1, o,
+            overlap_chunks)                                      # -> [.., X/px, Y, Z/py]
         re, im = _fft_then_a2a_chunked(                          # Y-FFT
-            re, im, 1, sign, None, ax, 1, 0, 2, overlap_chunks)  # -> [X, Y/px, Z/py]
-        re, im = _fft_axis_local(re, im, 0, sign, scale)         # X-FFT
+            re, im, o + 1, sign, None, ax, o + 1, o, o + 2,
+            overlap_chunks)                                      # -> [.., X, Y/px, Z/py]
+        re, im = _fft_axis_local(re, im, o, sign, scale)         # X-FFT
         if not transposed_output:
-            re, im = _a2a((re, im), ax, 0, 1)                    # -> [X/px, Y, Z/py]
-            re, im = _a2a((re, im), ay, 1, 2)                    # -> [X/px, Y/py, Z]
+            re, im = _a2a((re, im), ax, o, o + 1)                # -> [.., X/px, Y, Z/py]
+            re, im = _a2a((re, im), ay, o + 1, o + 2)            # -> [.., X/px, Y/py, Z]
         return re, im
 
-    in_spec = P(ax, ay, None)
-    out_spec = P(ax, ay, None) if not transposed_output else P(None, ax, ay)
+    b = (None,) * lead
+    in_spec = P(*b, ax, ay, None)
+    out_spec = P(*b, ax, ay, None) if not transposed_output \
+        else P(*b, None, ax, ay)
     re, im = promote_to_split(x)
 
     fn = shard_map(
@@ -132,13 +140,14 @@ def _fft3d_impl(x, mesh, sign, scale, transposed_output, overlap_chunks=None):
 
 def fft3d(x, mesh: Mesh | None = None, norm=None, *, transposed_output=False,
           overlap_chunks: int | None = None):
-    """Distributed 3-D forward FFT, pencil-decomposed over a 2-D mesh.
+    """Distributed 3-D forward FFT over the LAST three axes, pencil-
+    decomposed over a 2-D mesh (leading axes are replicated batch dims).
 
     `overlap_chunks` pipelines each FFT->all-to-all pair in that many
     chunks so ICI transfers overlap pencil compute (default: 4 on real
     meshes, 1 single-device)."""
     mesh = mesh or make_pencil_mesh()
-    scale = _nd_scale(jnp.shape(x), norm, FORWARD)
+    scale = _nd_scale(jnp.shape(x)[-3:], norm, FORWARD)
     return _fft3d_impl(x, mesh, FORWARD, scale, transposed_output,
                        overlap_chunks)
 
@@ -148,13 +157,13 @@ def ifft3d(x, mesh: Mesh | None = None, norm=None, *, transposed_output=False,
     """Distributed 3-D inverse FFT (1/N total scale folded into the last
     axis pass, mirroring the reference's fused normalize — ifft.wgsl:65-74)."""
     mesh = mesh or make_pencil_mesh()
-    scale = _nd_scale(jnp.shape(x), norm, INVERSE)
+    scale = _nd_scale(jnp.shape(x)[-3:], norm, INVERSE)
     return _fft3d_impl(x, mesh, INVERSE, scale, transposed_output,
                        overlap_chunks)
 
 
 def _nd_scale(shape, norm, sign):
-    total = math.prod(shape)  # fft3d/fft2d transform every axis
+    total = math.prod(shape)  # the transformed axes only
     if norm in (None, "backward"):
         return None if sign == FORWARD else 1.0 / total
     if norm == "ortho":
@@ -169,33 +178,41 @@ def _nd_scale(shape, norm, sign):
 # --------------------------------------------------------------------- #
 def _fft2d_impl(x, mesh, sign, scale):
     (ax,) = mesh.axis_names
+    lead = len(jnp.shape(x)) - 2  # leading batch dims (replicated)
+    if lead < 0:
+        raise ValueError("fft2d expects at least 2 dimensions")
 
     def local(re, im):
-        # in: [X/p, Y]
-        re, im = _fft_axis_local(re, im, 1, sign, None)  # Y-FFT
-        re, im = _a2a((re, im), ax, 1, 0)                # -> [X, Y/p]
-        re, im = _fft_axis_local(re, im, 0, sign, scale) # X-FFT
-        re, im = _a2a((re, im), ax, 0, 1)                # -> [X/p, Y]
+        # in: [.., X/p, Y]
+        o = re.ndim - 2
+        re, im = _fft_axis_local(re, im, o + 1, sign, None)  # Y-FFT
+        re, im = _a2a((re, im), ax, o + 1, o)                # -> [.., X, Y/p]
+        re, im = _fft_axis_local(re, im, o, sign, scale)     # X-FFT
+        re, im = _a2a((re, im), ax, o, o + 1)                # -> [.., X/p, Y]
         return re, im
 
+    spec = P(*(None,) * lead, ax, None)
     re, im = promote_to_split(x)
     fn = shard_map(
-        local, mesh=mesh, in_specs=(P(ax, None),) * 2, out_specs=(P(ax, None),) * 2
+        local, mesh=mesh, in_specs=(spec,) * 2, out_specs=(spec,) * 2
     )
     re, im = jax.jit(fn)(re, im)
     return merge(re, im)
 
 
 def fft2d(x, mesh: Mesh | None = None, norm=None):
-    """Distributed 2-D forward FFT, slab-decomposed over a 1-D mesh."""
+    """Distributed 2-D forward FFT over the LAST two axes, slab-decomposed
+    over a 1-D mesh (leading axes are replicated batch dims)."""
     mesh = mesh or make_mesh()
-    return _fft2d_impl(x, mesh, FORWARD, _nd_scale(jnp.shape(x), norm, FORWARD))
+    return _fft2d_impl(x, mesh, FORWARD,
+                       _nd_scale(jnp.shape(x)[-2:], norm, FORWARD))
 
 
 def ifft2d(x, mesh: Mesh | None = None, norm=None):
     """Distributed 2-D inverse FFT (slab)."""
     mesh = mesh or make_mesh()
-    return _fft2d_impl(x, mesh, INVERSE, _nd_scale(jnp.shape(x), norm, INVERSE))
+    return _fft2d_impl(x, mesh, INVERSE,
+                       _nd_scale(jnp.shape(x)[-2:], norm, INVERSE))
 
 
 # --------------------------------------------------------------------- #
@@ -320,7 +337,11 @@ def rfft3d(x, mesh: Mesh | None = None, norm=None, *,
     `overlap_chunks` pipelines the Y/X FFT->a2a pairs (as in fft3d)."""
     mesh = mesh or make_pencil_mesh()
     ax, ay = mesh.axis_names
-    X, Y, Z = jnp.shape(x)
+    shape = jnp.shape(x)
+    if len(shape) < 3:
+        raise ValueError("rfft3d expects at least 3 dimensions")
+    X, Y, Z = shape[-3:]
+    lead = len(shape) - 3
     scale = _nd_scale((X, Y, Z), norm, FORWARD)
     chunks = (4 if mesh.devices.size > 1 else 1) \
         if overlap_chunks is None else overlap_chunks
@@ -329,26 +350,29 @@ def rfft3d(x, mesh: Mesh | None = None, norm=None, *,
         from ..ops.rfft import rfft_last_split
         from ..ops.nd import fftn_split
 
+        o = xr.ndim - 3
         if Z % 2 == 0 and Z >= 2:
-            re, im = rfft_last_split(xr, None)            # [Xl, Yl, Z/2+1]
+            re, im = rfft_last_split(xr, None)            # [.., Xl, Yl, Z/2+1]
         else:
-            re, im = fftn_split(xr, jnp.zeros_like(xr), (2,), FORWARD, None)
+            re, im = fftn_split(xr, jnp.zeros_like(xr), (xr.ndim - 1,),
+                                FORWARD, None)
             re, im = re[..., : Z // 2 + 1], im[..., : Z // 2 + 1]
         # pad the half-spectrum axis to a multiple of the mesh for a2a
         nb = re.shape[-1]
         pad = (-nb) % mesh.devices.shape[1]
         if pad:
-            re = jnp.pad(re, ((0, 0), (0, 0), (0, pad)))
-            im = jnp.pad(im, ((0, 0), (0, 0), (0, pad)))
-        re, im = _a2a((re, im), ay, 2, 1)                 # [Xl, Y, Kz/py]
+            pads = [(0, 0)] * (re.ndim - 1) + [(0, pad)]
+            re = jnp.pad(re, pads)
+            im = jnp.pad(im, pads)
+        re, im = _a2a((re, im), ay, o + 2, o + 1)         # [.., Xl, Y, Kz/py]
         re, im = _fft_then_a2a_chunked(                   # Y-FFT (pipelined)
-            re, im, 1, FORWARD, None, ax, 1, 0, 2, chunks)
-        re, im = _fft_axis_local(re, im, 0, FORWARD, scale)
-        re, im = _a2a((re, im), ax, 0, 1)                 # [X/px, Y, Kz/py]
-        re, im = _a2a((re, im), ay, 1, 2)                 # [X/px, Y/py, Kz]
+            re, im, o + 1, FORWARD, None, ax, o + 1, o, o + 2, chunks)
+        re, im = _fft_axis_local(re, im, o, FORWARD, scale)
+        re, im = _a2a((re, im), ax, o, o + 1)             # [.., X/px, Y, Kz/py]
+        re, im = _a2a((re, im), ay, o + 1, o + 2)         # [.., X/px, Y/py, Kz]
         return re, im
 
-    in_spec = P(ax, ay, None)
+    in_spec = P(*(None,) * lead, ax, ay, None)
     xr = jnp.asarray(x, jnp.float32)
     fn = shard_map(local, mesh=mesh, in_specs=(in_spec,),
                    out_specs=(in_spec, in_spec))
@@ -368,7 +392,10 @@ def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None, *,
         if overlap_chunks is None else overlap_chunks
     ax, ay = mesh.axis_names
     re, im = promote_to_split(X)
-    Xn, Yn, nb = re.shape
+    if re.ndim < 3:
+        raise ValueError("irfft3d expects at least 3 dimensions")
+    Xn, Yn, nb = re.shape[-3:]
+    lead = re.ndim - 3
     total = Xn * Yn * n_last
     # The C2R step always contributes 1/n_last, so the complex-stage scale
     # must bring the NET inverse scaling to 1/total (backward), total**-0.5
@@ -385,19 +412,21 @@ def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None, *,
     def local(re, im):
         from ..ops.rfft import irfft_last_split
 
+        o = re.ndim - 3
         pad = (-re.shape[-1]) % mesh.devices.shape[1]
         if pad:
-            re2 = jnp.pad(re, ((0, 0), (0, 0), (0, pad)))
-            im2 = jnp.pad(im, ((0, 0), (0, 0), (0, pad)))
+            pads = [(0, 0)] * (re.ndim - 1) + [(0, pad)]
+            re2 = jnp.pad(re, pads)
+            im2 = jnp.pad(im, pads)
         else:
             re2, im2 = re, im
-        re2, im2 = _a2a((re2, im2), ay, 2, 1)             # [Xl, Y, K/py]
+        re2, im2 = _a2a((re2, im2), ay, o + 2, o + 1)     # [.., Xl, Y, K/py]
         re2, im2 = _fft_then_a2a_chunked(                 # Y-FFT (pipelined)
-            re2, im2, 1, INVERSE, None, ax, 1, 0, 2, chunks)
-        # -> [X, Y/px, K/py]
-        re2, im2 = _fft_axis_local(re2, im2, 0, INVERSE, scale)
-        re2, im2 = _a2a((re2, im2), ax, 0, 1)
-        re2, im2 = _a2a((re2, im2), ay, 1, 2)             # [X/px, Y/py, K]
+            re2, im2, o + 1, INVERSE, None, ax, o + 1, o, o + 2, chunks)
+        # -> [.., X, Y/px, K/py]
+        re2, im2 = _fft_axis_local(re2, im2, o, INVERSE, scale)
+        re2, im2 = _a2a((re2, im2), ax, o, o + 1)
+        re2, im2 = _a2a((re2, im2), ay, o + 1, o + 2)     # [.., X/px, Y/py, K]
         re2 = re2[..., :nb]
         im2 = im2[..., :nb]
         if n_last % 2 == 0 and n_last >= 2:
@@ -407,10 +436,11 @@ def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None, *,
             from ..ops.nd import fftn_split
 
             fr, fi = _hermitian_extend(re2, im2, n_last)
-            out, _ = fftn_split(fr, fi, (2,), INVERSE, 1.0 / n_last)
+            out, _ = fftn_split(fr, fi, (fr.ndim - 1,), INVERSE,
+                                1.0 / n_last)
         return out
 
-    in_spec = P(ax, ay, None)
+    in_spec = P(*(None,) * lead, ax, ay, None)
     fn = shard_map(local, mesh=mesh, in_specs=(in_spec, in_spec),
                    out_specs=in_spec)
     return jax.jit(fn)(re, im)

@@ -170,3 +170,31 @@ def test_rfft3d_irfft3d_all_norms(rng, assert_close):
                      what=f"rfft3d norm={norm}")
         back = pencil.irfft3d(got, n_last=16, mesh=m, norm=norm)
         assert_close(back, x, what=f"rfft3d/irfft3d roundtrip norm={norm}")
+
+
+def test_fft3d_batched_leading_dims(rng, assert_close):
+    m = meshlib.make_pencil_mesh()
+    x = crand(rng, 3, 8, 16, 32)
+    assert_close(pencil.fft3d(x, m), np.fft.fftn(x, axes=(-3, -2, -1)),
+                 what="batched pencil 3D")
+    assert_close(pencil.ifft3d(x, m, norm="ortho"),
+                 np.fft.ifftn(x, axes=(-3, -2, -1), norm="ortho"),
+                 what="batched pencil 3D inv ortho")
+
+
+def test_fft2d_batched_leading_dims(rng, assert_close):
+    m = meshlib.make_mesh()
+    x = crand(rng, 2, 5, 16, 32)
+    assert_close(pencil.fft2d(x, m), np.fft.fftn(x, axes=(-2, -1)),
+                 what="batched slab 2D")
+
+
+def test_rfft3d_batched_roundtrip(rng, assert_close):
+    m = meshlib.make_pencil_mesh()
+    x = rng.standard_normal((2, 8, 16, 32)).astype(np.float32)
+    X = pencil.rfft3d(x, m)
+    assert X.shape == (2, 8, 16, 17)
+    assert_close(X, np.fft.rfftn(x, axes=(-3, -2, -1)),
+                 what="batched pencil rfft3d")
+    y = pencil.irfft3d(X, 32, m)
+    assert_close(y, x, what="batched pencil irfft3d roundtrip")

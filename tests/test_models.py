@@ -58,3 +58,42 @@ def test_fno2d_forward_and_grad():
     g = jax.grad(loss)(params)
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_fno3d_forward_and_grad():
+    from fft_wgpu_tpu.models.spectral import fno3d_apply, init_fno3d
+
+    params = init_fno3d(jax.random.PRNGKey(0), modes=(4, 4, 4), width=6,
+                        depth=1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16, 1),
+                          jnp.float32)
+    y = fno3d_apply(params, x)
+    assert y.shape == (2, 8, 8, 16, 1)
+    loss = lambda p: jnp.mean(fno3d_apply(p, x) ** 2)
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_fno3d_training_reduces_loss():
+    import jax.numpy as jnp
+    from fft_wgpu_tpu.models.spectral import fno3d_apply, init_fno3d
+
+    params = init_fno3d(jax.random.PRNGKey(0), modes=(4, 4, 4), width=6,
+                        depth=1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 8, 1), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 8, 1), jnp.float32)
+
+    def loss_fn(p):
+        return jnp.mean((fno3d_apply(p, x) - y) ** 2)
+
+    @jax.jit
+    def step(p):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        return jax.tree.map(lambda a, b: a - 5e-3 * b, p, g), l
+
+    losses = []
+    for _ in range(5):
+        params, l = step(params)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
