@@ -352,6 +352,51 @@ def _kernel_rows_dit(xr_ref, xi_ref, or_ref, oi_ref, *, n, sign, scale,
     oi_ref[:] = di.T
 
 
+# Stage-1 VPU schedules: n1 -> DIT factors, all in the unrolled-butterfly
+# set {2,4,8}.  For these sizes the stage-1 dot badly under-fills the MXU
+# (K = 2*n1 of 128), and pure-VPU butterflies beat it outright (probe_r11/
+# r12 on v5e: n=512 0.075->0.061, 1024 0.119->0.089, 2048 0.116->0.084,
+# 4096 0.885->0.764 ms).  Two-stage chains MUST apply the inter-stage
+# twiddle as trace-time scalar multiplies per (k, m) slice — an array
+# constant reshaped to (f, B, 1, 1) crashes this Mosaic (HTTP 500).
+_VPU_S1_FACTORS = {2: (2,), 4: (4,), 8: (8,), 16: (4, 4), 32: (4, 8)}
+
+
+def _vpu_dft_leading(xr, xi, S, sign, factors):
+    """DFT of size S over the LEADING axis of [S, ...], natural output
+    order, via 1-2 unrolled VPU butterfly stages (factors in {2,4,8}).
+    MXU-free stage 1 for the row kernel (see _VPU_S1_FACTORS)."""
+    if len(factors) == 1:
+        return _stage_dft(xr, xi, S, 0, sign, 1.0)
+    f1, f2 = factors
+    rest = xr.shape[1:]
+    B = f2
+    # stage 1: contract the major factor; input index s = j1*B + m
+    xr = xr.reshape(f1, B, *rest)
+    xi = xi.reshape(f1, B, *rest)
+    br, bi = _stage_dft(xr, xi, f1, 0, sign, 1.0)  # [k1, m, ...]
+    # inter-stage twiddle w_S^(k1*m), folded as per-slice scalar constants
+    rows_r, rows_i = [], []
+    for k1 in range(f1):
+        cols_r, cols_i = [], []
+        for m in range(B):
+            vr, vi = br[k1, m], bi[k1, m]
+            if k1 * m:
+                c = math.cos(sign * 2.0 * math.pi * k1 * m / S)
+                s = math.sin(sign * 2.0 * math.pi * k1 * m / S)
+                vr, vi = c * vr - s * vi, c * vi + s * vr
+            cols_r.append(vr[None])
+            cols_i.append(vi[None])
+        rows_r.append(jnp.concatenate(cols_r, 0)[None])
+        rows_i.append(jnp.concatenate(cols_i, 0)[None])
+    cr = jnp.concatenate(rows_r, 0)  # [k1, m, ...]
+    ci = jnp.concatenate(rows_i, 0)
+    # stage 2: contract m (dim 1) -> [k2, k1, ...]; flatten = k2*f1 + k1,
+    # the natural order (k1 is the minor output digit)
+    dr, di = _stage_dft(cr, ci, f2, 1, sign, 1.0)
+    return dr.reshape(S, *rest), di.reshape(S, *rest)
+
+
 def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
     bt = xr_ref.shape[0]
 
@@ -364,7 +409,12 @@ def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
         ci = jnp.swapaxes(ai, 0, 1)
     else:
         # ---- stage 1 (+ fused corner turn): [k1, bt, n2] = W1 . A ----
-        if 2 * n1 <= 128:
+        if n1 in _VPU_S1_FACTORS:
+            # MXU-free: in-kernel transpose (~free) + VPU butterflies
+            br, bi = _vpu_dft_leading(
+                jnp.swapaxes(ar, 0, 1), jnp.swapaxes(ai, 0, 1),
+                n1, sign, _VPU_S1_FACTORS[n1])
+        elif 2 * n1 <= 128:
             br, bi = _cdot_realcat(n1, sign, ar, ai, 1, ((1,), (1,)))
         else:
             w1r, w1i = _gen_dft(n1, n1, n1, sign)
