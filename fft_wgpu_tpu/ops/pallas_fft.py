@@ -158,7 +158,7 @@ def _cdot(w_r, w_s, w_d, xr, xi, dims):
 
 
 
-def _cdot_realcat(n1, sign, xr, xi, cat_axis, dims):
+def _cdot_realcat(n1, sign, xr, xi, cat_axis, dims, scale=1.0):
     """Stage-1 complex DFT as ONE real matmul.
 
     For small factors (2*n1 <= 128) three Gauss dots at K=n1 badly
@@ -169,8 +169,9 @@ def _cdot_realcat(n1, sign, xr, xi, cat_axis, dims):
 
     contracts K = 2*n1 in a single dot — measured ~3x faster at n1=32.
     Returns (br, bi) sliced from the stacked result's leading axis.
+    `scale` is folded into the constants (zero runtime cost).
     """
-    wr, wi = _gen_dft(n1, n1, n1, sign)
+    wr, wi = _gen_dft(n1, n1, n1, sign, scale)
     wbig = jnp.concatenate(
         [jnp.concatenate([wr, -wi], axis=1),
          jnp.concatenate([wi, wr], axis=1)], axis=0)
@@ -364,37 +365,116 @@ _VPU_S1_FACTORS = {2: (2,), 4: (4,), 8: (8,), 16: (4, 4), 32: (4, 8)}
 
 def _vpu_dft_leading(xr, xi, S, sign, factors):
     """DFT of size S over the LEADING axis of [S, ...], natural output
-    order, via 1-2 unrolled VPU butterfly stages (factors in {2,4,8}).
-    MXU-free stage 1 for the row kernel (see _VPU_S1_FACTORS)."""
+    order, via an L-stage unrolled VPU butterfly chain (factors in
+    {2,4,8}: pure adds for 2/4, adds + sqrt(1/2) rotations for 8).
+    MXU-free stage 1 for the row kernels (see _VPU_S1_FACTORS /
+    _BALANCED).
+
+    Every inter-stage twiddle is applied as TRACE-TIME SCALAR constants
+    per (k, m) slice — an array twiddle constant reshaped to
+    (f, B, 1, 1) crashes this Mosaic toolchain (HTTP 500, probe_r12/r14).
+    State between stages stays flat [K*B, ...] with leading digit order
+    (k_j, .., k_1, m_B); each stage contracts the current major digit and
+    the dot lands the new k at dim 0, so the final flatten IS the natural
+    output order (Stockham autosort, no bit reversal)."""
     if len(factors) == 1:
         return _stage_dft(xr, xi, S, 0, sign, 1.0)
-    f1, f2 = factors
     rest = xr.shape[1:]
-    B = f2
-    # stage 1: contract the major factor; input index s = j1*B + m
-    xr = xr.reshape(f1, B, *rest)
-    xi = xi.reshape(f1, B, *rest)
-    br, bi = _stage_dft(xr, xi, f1, 0, sign, 1.0)  # [k1, m, ...]
-    # inter-stage twiddle w_S^(k1*m), folded as per-slice scalar constants
-    rows_r, rows_i = [], []
-    for k1 in range(f1):
-        cols_r, cols_i = [], []
-        for m in range(B):
-            vr, vi = br[k1, m], bi[k1, m]
-            if k1 * m:
-                c = math.cos(sign * 2.0 * math.pi * k1 * m / S)
-                s = math.sin(sign * 2.0 * math.pi * k1 * m / S)
-                vr, vi = c * vr - s * vi, c * vi + s * vr
-            cols_r.append(vr[None])
-            cols_i.append(vi[None])
-        rows_r.append(jnp.concatenate(cols_r, 0)[None])
-        rows_i.append(jnp.concatenate(cols_i, 0)[None])
-    cr = jnp.concatenate(rows_r, 0)  # [k1, m, ...]
-    ci = jnp.concatenate(rows_i, 0)
-    # stage 2: contract m (dim 1) -> [k2, k1, ...]; flatten = k2*f1 + k1,
-    # the natural order (k1 is the minor output digit)
-    dr, di = _stage_dft(cr, ci, f2, 1, sign, 1.0)
-    return dr.reshape(S, *rest), di.reshape(S, *rest)
+    K, B = 1, S
+    for f in factors:
+        B //= f
+        block = f * B  # this level's DFT block size
+        if K == 1:
+            xr = xr.reshape(f, B, *rest) if B > 1 else xr.reshape(f, *rest)
+            xi = xi.reshape(f, B, *rest) if B > 1 else xi.reshape(f, *rest)
+            br, bi = _stage_dft(xr, xi, f, 0, sign, 1.0)  # [k_f, (B,) rest]
+            if B > 1:
+                rows_r, rows_i = [], []
+                for k in range(f):
+                    cols_r, cols_i = [], []
+                    for m in range(B):
+                        vr, vi = br[k, m], bi[k, m]
+                        if k * m % block:
+                            c = math.cos(sign * 2.0 * math.pi * k * m / block)
+                            s = math.sin(sign * 2.0 * math.pi * k * m / block)
+                            vr, vi = c * vr - s * vi, c * vi + s * vr
+                        cols_r.append(vr[None])
+                        cols_i.append(vi[None])
+                    rows_r.append(jnp.concatenate(cols_r, 0)[None])
+                    rows_i.append(jnp.concatenate(cols_i, 0)[None])
+                br = jnp.concatenate(rows_r, 0)
+                bi = jnp.concatenate(rows_i, 0)
+        elif B > 1:
+            # state [K, f*B, rest]: K accumulated minor output digits are
+            # twiddle spectators; contract this block's major digit f.
+            xr = xr.reshape(K, f, B, *rest)
+            xi = xi.reshape(K, f, B, *rest)
+            br, bi = _stage_dft(xr, xi, f, 1, sign, 1.0)  # [k_f, K, B, rest]
+            rows_r, rows_i = [], []
+            for k in range(f):
+                cols_r, cols_i = [], []
+                for m in range(B):
+                    vr, vi = br[k, :, m], bi[k, :, m]
+                    if k * m % block:
+                        c = math.cos(sign * 2.0 * math.pi * k * m / block)
+                        s = math.sin(sign * 2.0 * math.pi * k * m / block)
+                        vr, vi = c * vr - s * vi, c * vi + s * vr
+                    cols_r.append(vr[:, None])
+                    cols_i.append(vi[:, None])
+                rows_r.append(jnp.concatenate(cols_r, 1)[None])
+                rows_i.append(jnp.concatenate(cols_i, 1)[None])
+            br = jnp.concatenate(rows_r, 0)  # [k_f, K, B, rest]
+            bi = jnp.concatenate(rows_i, 0)
+        else:  # final stage: no twiddle
+            xr = xr.reshape(K, f, *rest)
+            xi = xi.reshape(K, f, *rest)
+            br, bi = _stage_dft(xr, xi, f, 1, sign, 1.0)  # [k_f, K, rest]
+        K *= f
+        xr = br.reshape(K * B, *rest)
+        xi = bi.reshape(K * B, *rest)
+    return xr, xi
+
+
+# Balanced-split row schedule (probe_r13/r14 on v5e): transpose the tile
+# in-kernel ([bt,n] -> [n,bt], ~free) so the WHOLE row lives on the sublane
+# axis where the factor split is unconstrained — n1 goes to a pure-VPU
+# butterfly chain (MXU-free) and n2 stays in the single-dot realcat/Gauss
+# form.  MXU cost drops from the lane-pinned (n/128 + 128) MACs/pt to just
+# n2: n=4096 (64,64)+(4,4,4) measured 0.771 -> 0.655 ms, 8192 (64,128)+
+# (4,4,4) 0.549 -> 0.500, 512 (16,32) 0.061 -> 0.056.  n=2048 ties the
+# classic kernel (0.162) and n<=256 is already at the copy floor — both
+# stay classic.  Values: n -> (n1, n2, stage-1 VPU factors).
+_BALANCED = {
+    512: (16, 32, (4, 4)),
+    1024: (32, 32, (4, 8)),
+    4096: (64, 64, (4, 4, 4)),
+    8192: (64, 128, (4, 4, 4)),
+}
+
+
+def _kernel_rows_bal(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
+                     scale, factors):
+    """Balanced-split rows kernel: in-kernel transpose, VPU-chain stage 1
+    over the major factor, realcat/Gauss stage 2 over the minor.  Output
+    digit order [k2, k1] flattens to natural order (one transpose out)."""
+    bt = xr_ref.shape[0]
+    ar = xr_ref[:].T.reshape(n1, n2, bt)
+    ai = xi_ref[:].T.reshape(n1, n2, bt)
+
+    br, bi = _vpu_dft_leading(ar, ai, n1, sign, factors)
+
+    twr, twi = _gen_twiddle(n1, n2, n, sign)
+    cr = br * twr[:, :, None] - bi * twi[:, :, None]
+    ci = br * twi[:, :, None] + bi * twr[:, :, None]
+
+    # stage 2: contract m2 (dim 1) -> [k2, k1, bt]
+    if 2 * n2 <= 128:
+        dr, di = _cdot_realcat(n2, sign, cr, ci, 1, ((1,), (1,)), scale)
+    else:
+        w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
+        dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
+    or_ref[:] = dr.reshape(n, bt).T
+    oi_ref[:] = di.reshape(n, bt).T
 
 
 def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
@@ -469,7 +549,12 @@ def _fft_batched_core(re, im, sign, scale=None, *, row_tile=None,
         raise Unsupported(f"n={n} outside fused kernel envelope")
     schedule = schedule or ROW_SCHEDULE
     if schedule is None:
-        schedule = "dit" if n >= _DIT_AUTO_MIN_N else "classic"
+        if n in _BALANCED:
+            schedule = "balanced"
+        else:
+            schedule = "dit" if n >= _DIT_AUTO_MIN_N else "classic"
+    if schedule == "balanced" and n not in _BALANCED:
+        raise Unsupported(f"no balanced split for n={n}")
     use_dit = schedule == "dit" and n >= _DIT_MIN_N
 
     lead = re.shape[:-1]
@@ -479,7 +564,10 @@ def _fft_batched_core(re, im, sign, scale=None, *, row_tile=None,
     re2 = re.reshape(rows, n)
     im2 = im.reshape(rows, n)
 
-    bt = min(row_tile or _row_tile(n), _round_up(rows, 128))
+    # balanced tiles were measured at 128 rows (the in-kernel transpose
+    # wants square-ish vreg blocks); classic keeps its per-n tile choice
+    tile = 128 if schedule == "balanced" else (row_tile or _row_tile(n))
+    bt = min(row_tile or tile, _round_up(rows, 128))
     short = rows < bt
     if short:
         # Mosaic faults when a block exceeds the whole dim; pad the (small)
@@ -488,17 +576,23 @@ def _fft_batched_core(re, im, sign, scale=None, *, row_tile=None,
         im2 = jnp.pad(im2, ((0, bt - rows), (0, 0)))
     grid_rows = bt if short else rows
 
-    n1, n2 = _choose_split(n)
-    if use_dit:
+    sc = float(scale) if scale is not None else 1.0
+    if schedule == "balanced":
+        n1, n2, s1_factors = _BALANCED[n]
         kern = functools.partial(
-            _kernel_rows_dit, n=n, sign=sign,
-            scale=float(scale) if scale is not None else 1.0,
+            _kernel_rows_bal, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
+            factors=s1_factors,
+        )
+    elif use_dit:
+        n1, n2 = _choose_split(n)
+        kern = functools.partial(
+            _kernel_rows_dit, n=n, sign=sign, scale=sc,
             factors=_dit_schedule(n),
         )
     else:
+        n1, n2 = _choose_split(n)
         kern = functools.partial(
-            _kernel, n=n, n1=n1, n2=n2, sign=sign,
-            scale=float(scale) if scale is not None else 1.0,
+            _kernel, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
         )
     # non-divisible batches ride Pallas's native ragged-grid masking —
     # no pad/slice copies (they cost more than the FFT at small n)

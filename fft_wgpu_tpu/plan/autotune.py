@@ -88,6 +88,8 @@ def candidates_for(n: int, rows: int, backend: str) -> list[str]:
     cands: list[str] = []
     if pf.FUSED_MIN_N <= n <= pf.FUSED_MAX_N and n % 128 == 0:
         cands.append("pallas:classic")
+        if n in pf._BALANCED:
+            cands.append("pallas:balanced")
         if n >= pf._DIT_MIN_N:
             cands.append("pallas:dit")
         if rows < 128:

@@ -66,7 +66,8 @@ class Plan:
             )
         self.dtype = jnp.complex64
         if executor not in ("auto", "xla", "pallas", "fourstep", "bigfft",
-                            "direct", "pallas:classic", "pallas:dit"):
+                            "direct", "pallas:classic", "pallas:dit",
+                            "pallas:balanced"):
             raise ValueError(f"unknown executor {executor!r}")
         self.executor = executor
         # autotune=True (FFTW_MEASURE analogue): measure the executor
@@ -129,9 +130,11 @@ class Plan:
             if 0 < rows < 16:
                 # 128-row kernel tiles would be mostly padding
                 ex = "xla"
-        if ex in ("pallas", "pallas:classic", "pallas:dit"):
+        if ex in ("pallas", "pallas:classic", "pallas:dit",
+                  "pallas:balanced"):
             schedule = {"pallas:classic": "classic",
-                        "pallas:dit": "dit"}.get(ex)
+                        "pallas:dit": "dit",
+                        "pallas:balanced": "balanced"}.get(ex)
             try:
                 from ..ops import pallas_fft
             except ImportError:

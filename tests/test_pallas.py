@@ -134,6 +134,47 @@ def test_fft2_two_pass(rng, assert_close):
                  np.fft.ifft2(x, axes=(-2, -1)))
 
 
+@pytest.mark.parametrize("schedule", ["classic", "balanced", "dit"])
+@pytest.mark.parametrize("n", [512, 1024, 4096])
+def test_explicit_row_schedules(n, schedule, rng, assert_close):
+    """All three row schedules (lane-split classic, transpose-in balanced,
+    sublane DIT chain) agree with numpy, forward and folded-scale inverse."""
+    x = crand(rng, 3, n)
+    assert_close(run(x, -1, schedule=schedule), np.fft.fft(x, axis=-1),
+                 what=f"(n={n},{schedule})")
+    assert_close(run(x, +1, 1.0 / n, schedule=schedule),
+                 np.fft.ifft(x, axis=-1), what=f"(n={n},{schedule})")
+
+
+def test_balanced_unsupported_n():
+    rng = np.random.default_rng(0)
+    x = crand(rng, 2, 2048)  # 2048 has no balanced split (classic ties)
+    with pytest.raises(pallas_fft.Unsupported):
+        run(x, -1, schedule="balanced")
+
+
+def test_vpu_dft_leading_chains(rng, assert_close):
+    """The MXU-free VPU butterfly chains (_vpu_dft_leading) for every
+    stage-1 factor table entry, incl. the 3-stage (4,4,4) — pure jnp."""
+    import jax.numpy as jnp
+
+    from fft_wgpu_tpu.ops import pallas_fft as pf
+
+    cases = list(pf._VPU_S1_FACTORS.items())
+    cases += [(n1, f) for (n1, _, f) in pf._BALANCED.values()]
+    cases += [(64, (8, 8)), (64, (2, 4, 8)), (32, (2, 4, 4))]
+    for S, factors in cases:
+        x = (rng.standard_normal((S, 3)) + 1j * rng.standard_normal((S, 3))
+             ).astype(np.complex64)
+        for sign in (-1, +1):
+            rr, ri = pf._vpu_dft_leading(
+                jnp.asarray(x.real), jnp.asarray(x.imag), S, sign, factors)
+            got = np.asarray(rr) + 1j * np.asarray(ri)
+            want = np.fft.fft(x, axis=0) if sign == -1 else \
+                np.fft.ifft(x, axis=0) * S
+            assert_close(got, want, what=f"vpu chain S={S} {factors} {sign}")
+
+
 def test_dft_sublane_chain_all_schedules(rng, assert_close):
     """Every _dit_schedule entry (incl. the f=2 and f=8 VPU butterflies
     used only by the big kernel's S=2048/8192 chains) vs numpy — plain
