@@ -36,8 +36,13 @@ __all__ = ["fft_last_axis", "choose_factors"]
 def choose_factors(n: int) -> tuple[int, int]:
     """Split n = n1 * n2, both factors as close to sqrt(n) as possible and
     (for powers of two) within the fused Pallas kernel envelope."""
-    if n & (n - 1) == 0:  # power of two: split exponent evenly
+    if n & (n - 1) == 0:  # power of two
         e = n.bit_length() - 1
+        if e >= 22:
+            # pin the rows pass to n2=4096, the balanced row kernel's
+            # sweet spot (probe_r17: 2^22x4 (1024,4096) 2.479 ms vs even
+            # split (2048,2048) 2.814 and (512,8192) 2.792)
+            return n >> 12, 4096
         e1 = e // 2
         return 1 << e1, 1 << (e - e1)
     return _factor.balanced_split(n)

@@ -647,6 +647,12 @@ def _choose_split_sublane(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
+# Stage-1 VPU chains by major-factor size, shared by the balanced rows
+# kernels and the axis(-2) kernel.  (4,4,4) measured best for 64
+# (probe_r14: pure-add radix-4s beat (8,8)'s sqrt2 rotations).
+_S1_CHAINS = {4: (4,), 8: (8,), 16: (4, 4), 32: (4, 8), 64: (4, 4, 4)}
+
+
 def _kernel_ax0(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
     """Columns-FFT tile: block [1, n, 128] transforms each of the 128 lane
     columns along the sublane axis.
@@ -663,8 +669,12 @@ def _kernel_ax0(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
     if n1 == 1:  # single-stage DFT
         cr, ci = ar, ai
     else:
-        # stage 1: contract m1 (dim 0) -> [k1, n2, b]
-        if 2 * n1 <= 128:
+        # stage 1: contract m1 (dim 0) -> [k1, n2, b]; MXU-free VPU
+        # butterfly chains for small major factors (same win as the row
+        # kernels: the under-filled stage-1 dot is pure overhead)
+        if n1 in _S1_CHAINS:
+            br, bi = _vpu_dft_leading(ar, ai, n1, sign, _S1_CHAINS[n1])
+        elif 2 * n1 <= 128:
             br, bi = _cdot_realcat(n1, sign, ar, ai, 0, ((1,), (0,)))
         else:
             w1r, w1i = _gen_dft(n1, n1, n1, sign)
@@ -808,6 +818,44 @@ def _kernel_rows_t(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
     oi_ref[0] = di.reshape(n, bt)
 
 
+def _kernel_rows_t_bal(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
+                       scale, bt, outer, factors):
+    """Balanced-split variant of `_kernel_rows_t`: transpose-in, VPU-chain
+    stage 1, realcat stage 2.  The transposed-output contract means the
+    balanced design's natural [n, bt] result order needs NO output
+    transpose at all here; the outer four-step twiddle is applied in the
+    transposed layout (rows on lanes, m on sublanes)."""
+    ar = xr_ref[0].T  # [n, bt]
+    ai = xi_ref[0].T
+
+    if outer is not None:
+        _, outer_n = outer
+        i = pl.program_id(1)
+        m2 = jax.lax.broadcasted_iota(jnp.int32, (n, bt), 0).astype(jnp.float32)
+        r = (i * bt + jax.lax.broadcasted_iota(jnp.int32, (n, bt), 1)
+             ).astype(jnp.float32)
+        t = r * m2
+        rr = t - outer_n * jnp.floor(t / outer_n)
+        theta = (sign * 2.0 * math.pi / outer_n) * rr
+        twr = jnp.cos(theta)
+        twi = jnp.sin(theta)
+        ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
+
+    ar = ar.reshape(n1, n2, bt)
+    ai = ai.reshape(n1, n2, bt)
+    br, bi = _vpu_dft_leading(ar, ai, n1, sign, factors)
+    itwr, itwi = _gen_twiddle(n1, n2, n, sign)
+    cr = br * itwr[:, :, None] - bi * itwi[:, :, None]
+    ci = br * itwi[:, :, None] + bi * itwr[:, :, None]
+    if 2 * n2 <= 128:
+        dr, di = _cdot_realcat(n2, sign, cr, ci, 1, ((1,), (1,)), scale)
+    else:
+        w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
+        dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
+    or_ref[0] = dr.reshape(n, bt)
+    oi_ref[0] = di.reshape(n, bt)
+
+
 def _fft_rows_t_core(re, im, sign, scale=None, *, outer=None,
                      interpret=False):
     """FFT each length-n row of [..., R, n]; returns [..., n, R] (the
@@ -833,11 +881,19 @@ def _fft_rows_t_core(re, im, sign, scale=None, *, outer=None,
         im3 = jnp.pad(im3, ((0, 0), (0, bt - R), (0, 0)))
     grid_R = bt if short else R
 
-    n1, n2 = _choose_split(n)
-    kern = functools.partial(
-        _kernel_rows_t, n=n, n1=n1, n2=n2, sign=sign,
-        scale=float(scale) if scale is not None else 1.0, bt=bt, outer=outer,
-    )
+    sc = float(scale) if scale is not None else 1.0
+    if n in _BALANCED:
+        n1, n2, s1_factors = _BALANCED[n]
+        kern = functools.partial(
+            _kernel_rows_t_bal, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
+            bt=bt, outer=outer, factors=s1_factors,
+        )
+    else:
+        n1, n2 = _choose_split(n)
+        kern = functools.partial(
+            _kernel_rows_t, n=n, n1=n1, n2=n2, sign=sign, scale=sc, bt=bt,
+            outer=outer,
+        )
     grid = (b, pl.cdiv(grid_R, bt))  # ragged row edges masked natively
     in_spec = pl.BlockSpec((1, bt, n), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM)
