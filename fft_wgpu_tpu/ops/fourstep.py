@@ -38,10 +38,11 @@ def choose_factors(n: int) -> tuple[int, int]:
     (for powers of two) within the fused Pallas kernel envelope."""
     if n & (n - 1) == 0:  # power of two
         e = n.bit_length() - 1
-        if e >= 22:
+        if e >= 21:
             # pin the rows pass to n2=4096, the balanced row kernel's
             # sweet spot (probe_r17: 2^22x4 (1024,4096) 2.479 ms vs even
-            # split (2048,2048) 2.814 and (512,8192) 2.792)
+            # split (2048,2048) 2.814 and (512,8192) 2.792; probe_r18:
+            # 2^21x8 (512,4096) 2.481 vs even (1024,2048) 2.825)
             return n >> 12, 4096
         e1 = e // 2
         return 1 << e1, 1 << (e - e1)

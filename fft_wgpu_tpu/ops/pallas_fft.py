@@ -380,59 +380,34 @@ def _vpu_dft_leading(xr, xi, S, sign, factors):
     if len(factors) == 1:
         return _stage_dft(xr, xi, S, 0, sign, 1.0)
     rest = xr.shape[1:]
-    K, B = 1, S
-    for f in factors:
-        B //= f
-        block = f * B  # this level's DFT block size
-        if K == 1:
-            xr = xr.reshape(f, B, *rest) if B > 1 else xr.reshape(f, *rest)
-            xi = xi.reshape(f, B, *rest) if B > 1 else xi.reshape(f, *rest)
-            br, bi = _stage_dft(xr, xi, f, 0, sign, 1.0)  # [k_f, (B,) rest]
-            if B > 1:
-                rows_r, rows_i = [], []
-                for k in range(f):
-                    cols_r, cols_i = [], []
-                    for m in range(B):
-                        vr, vi = br[k, m], bi[k, m]
-                        if k * m % block:
-                            c = math.cos(sign * 2.0 * math.pi * k * m / block)
-                            s = math.sin(sign * 2.0 * math.pi * k * m / block)
-                            vr, vi = c * vr - s * vi, c * vi + s * vr
-                        cols_r.append(vr[None])
-                        cols_i.append(vi[None])
-                    rows_r.append(jnp.concatenate(cols_r, 0)[None])
-                    rows_i.append(jnp.concatenate(cols_i, 0)[None])
-                br = jnp.concatenate(rows_r, 0)
-                bi = jnp.concatenate(rows_i, 0)
-        elif B > 1:
-            # state [K, f*B, rest]: K accumulated minor output digits are
-            # twiddle spectators; contract this block's major digit f.
-            xr = xr.reshape(K, f, B, *rest)
-            xi = xi.reshape(K, f, B, *rest)
-            br, bi = _stage_dft(xr, xi, f, 1, sign, 1.0)  # [k_f, K, B, rest]
-            rows_r, rows_i = [], []
-            for k in range(f):
-                cols_r, cols_i = [], []
-                for m in range(B):
-                    vr, vi = br[k, :, m], bi[k, :, m]
-                    if k * m % block:
-                        c = math.cos(sign * 2.0 * math.pi * k * m / block)
-                        s = math.sin(sign * 2.0 * math.pi * k * m / block)
-                        vr, vi = c * vr - s * vi, c * vi + s * vr
-                    cols_r.append(vr[:, None])
-                    cols_i.append(vi[:, None])
-                rows_r.append(jnp.concatenate(cols_r, 1)[None])
-                rows_i.append(jnp.concatenate(cols_i, 1)[None])
-            br = jnp.concatenate(rows_r, 0)  # [k_f, K, B, rest]
-            bi = jnp.concatenate(rows_i, 0)
-        else:  # final stage: no twiddle
-            xr = xr.reshape(K, f, *rest)
-            xi = xi.reshape(K, f, *rest)
-            br, bi = _stage_dft(xr, xi, f, 1, sign, 1.0)  # [k_f, K, rest]
-        K *= f
-        xr = br.reshape(K * B, *rest)
-        xi = bi.reshape(K * B, *rest)
-    return xr, xi
+    f = factors[0]
+    B = S // f
+    xr = xr.reshape(f, B, *rest)
+    xi = xi.reshape(f, B, *rest)
+    br, bi = _stage_dft(xr, xi, f, 0, sign, 1.0)  # [k_f, B, rest]
+    cr, ci = _scalar_tw_first(br, bi, f, B, S, sign)
+    return _vpu_chain_tail(cr.reshape(S, *rest), ci.reshape(S, *rest),
+                           S, sign, factors[1:], f)
+
+
+def _scalar_tw_first(br, bi, f, B, block, sign):
+    """Inter-stage twiddle w_block^(k*m) on [k, m, rest] state, folded as
+    trace-time scalar constants per (k, m) slice (rank>=3 array constants
+    crash this Mosaic — see _vpu_dft_leading docstring)."""
+    rows_r, rows_i = [], []
+    for k in range(f):
+        cols_r, cols_i = [], []
+        for m in range(B):
+            vr, vi = br[k, m], bi[k, m]
+            if k * m % block:
+                c = math.cos(sign * 2.0 * math.pi * k * m / block)
+                s = math.sin(sign * 2.0 * math.pi * k * m / block)
+                vr, vi = c * vr - s * vi, c * vi + s * vr
+            cols_r.append(vr[None])
+            cols_i.append(vi[None])
+        rows_r.append(jnp.concatenate(cols_r, 0)[None])
+        rows_i.append(jnp.concatenate(cols_i, 0)[None])
+    return jnp.concatenate(rows_r, 0), jnp.concatenate(rows_i, 0)
 
 
 # Balanced-split row schedule (probe_r13/r14 on v5e): transpose the tile
@@ -925,6 +900,83 @@ def _fft_rows_t_core(re, im, sign, scale=None, *, outer=None,
     return out_r.reshape(*lead, n, R), out_i.reshape(*lead, n, R)
 
 
+def _stage_dft_real(xr, f: int, dim: int, sign: int):
+    """First VPU butterfly stage specialized for REAL input: the imag
+    accumulator only receives the twiddles' sine terms, halving the adds
+    (used by the balanced R2C kernel; k=0's imag row is exactly zero)."""
+    idx = (slice(None),) * dim
+    outs_r, outs_i = [], []
+    for k in range(f):
+        ar = ai = None
+        for j in range(f):
+            c = math.cos(sign * 2.0 * math.pi * k * j / f)
+            s = math.sin(sign * 2.0 * math.pi * k * j / f)
+            vr = xr[idx + (j,)]
+            tr = None if abs(c) < 1e-12 else (vr if c == 1.0 else c * vr)
+            ti = None if abs(s) < 1e-12 else s * vr
+            if tr is not None:
+                ar = tr if ar is None else ar + tr
+            if ti is not None:
+                ai = ti if ai is None else ai + ti
+        if ai is None:
+            ai = jnp.zeros_like(ar)
+        outs_r.append(ar[None])
+        outs_i.append(ai[None])
+    return jnp.concatenate(outs_r, 0), jnp.concatenate(outs_i, 0)
+
+
+def _vpu_dft_leading_real(xr, S, sign, factors):
+    """`_vpu_dft_leading` for REAL input [S, ...]: the first stage runs
+    the real-specialized butterflies, later stages are complex as usual."""
+    if len(factors) == 1:
+        return _stage_dft_real(xr, S, 0, sign)
+    rest = xr.shape[1:]
+    f = factors[0]
+    B = S // f
+    block = S
+    xr = xr.reshape(f, B, *rest)
+    br, bi = _stage_dft_real(xr, f, 0, sign)  # [k_f, B, rest]
+    cr, ci = _scalar_tw_first(br, bi, f, B, block, sign)
+    return _vpu_chain_tail(cr.reshape(S, *rest), ci.reshape(S, *rest),
+                           S, sign, factors[1:], f)
+
+
+def _vpu_chain_tail(xr, xi, S, sign, factors, K0):
+    """Continue a VPU DIT chain from accumulated-digit state K=K0."""
+    rest = xr.shape[1:]
+    K, B = K0, S // K0
+    for f in factors:
+        B //= f
+        block = f * B
+        if B > 1:
+            xr = xr.reshape(K, f, B, *rest)
+            xi = xi.reshape(K, f, B, *rest)
+            br, bi = _stage_dft(xr, xi, f, 1, sign, 1.0)
+            rows_r, rows_i = [], []
+            for k in range(f):
+                cols_r, cols_i = [], []
+                for m in range(B):
+                    vr, vi = br[k, :, m], bi[k, :, m]
+                    if k * m % block:
+                        c = math.cos(sign * 2.0 * math.pi * k * m / block)
+                        s = math.sin(sign * 2.0 * math.pi * k * m / block)
+                        vr, vi = c * vr - s * vi, c * vi + s * vr
+                    cols_r.append(vr[:, None])
+                    cols_i.append(vi[:, None])
+                rows_r.append(jnp.concatenate(cols_r, 1)[None])
+                rows_i.append(jnp.concatenate(cols_i, 1)[None])
+            br = jnp.concatenate(rows_r, 0)
+            bi = jnp.concatenate(rows_i, 0)
+        else:
+            xr = xr.reshape(K, f, *rest)
+            xi = xi.reshape(K, f, *rest)
+            br, bi = _stage_dft(xr, xi, f, 1, sign, 1.0)
+        K *= f
+        xr = br.reshape(K * B, *rest)
+        xi = bi.reshape(K * B, *rest)
+    return xr, xi
+
+
 # --------------------------------------------------------------------- #
 # Single-pass R2C rows kernel.
 # --------------------------------------------------------------------- #
@@ -965,6 +1017,47 @@ def _kernel_r2c(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp):
     oi_ref[:] = di.reshape(k2_rows * n1, bt)[:mp].T
 
 
+def _kernel_r2c_bal(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp,
+                    factors):
+    """Balanced-split R2C rows kernel: transpose-in, REAL-specialized VPU
+    chain stage 1 (no MXU, half the butterfly adds), stage 2 as one
+    realcat dot cut to the half-spectrum output rows k2 <= mp//n1."""
+    bt = xr_ref.shape[0]
+    ar = xr_ref[:].T.reshape(n1, n2, bt)
+
+    br, bi = _vpu_dft_leading_real(ar, n1, sign, factors)
+
+    twr, twi = _gen_twiddle(n1, n2, n, sign)
+    cr = br * twr[:, :, None] - bi * twi[:, :, None]
+    ci = br * twi[:, :, None] + bi * twr[:, :, None]
+
+    k2_rows = _round_up(mp // n1 + 1, 8)
+    w2r, w2i = _gen_dft(k2_rows, n2, n2, sign, scale)
+    wbig = jnp.concatenate(
+        [jnp.concatenate([w2r, -w2i], axis=1),
+         jnp.concatenate([w2i, w2r], axis=1)], axis=0)
+    xcat = jnp.concatenate([cr, ci], axis=1)
+    res = jax.lax.dot_general(
+        wbig, xcat, ((((1,), (1,))), ((), ())), precision=_MM_PREC,
+        preferred_element_type=jnp.float32)
+    dr, di = res[:k2_rows], res[k2_rows:]
+
+    or_ref[:] = dr.reshape(k2_rows * n1, bt)[:mp].T
+    oi_ref[:] = di.reshape(k2_rows * n1, bt)[:mp].T
+
+
+# R2C balanced-split routing: n -> (n1, n2, stage-1 VPU factors).  Only
+# sizes where the balanced kernel measured faster than the classic lane
+# split on v5e (probe_r19: 4096x4096 rows 0.871 -> 0.656 ms, 8192x2048
+# 0.926 -> 0.829, 2048x4096 0.436 -> 0.356); others fall back to
+# _kernel_r2c.  The real-specialized stage 1 halves the butterfly adds.
+_BALANCED_R2C: dict = {
+    2048: (64, 32, (4, 4, 4)),
+    4096: (64, 64, (4, 4, 4)),
+    8192: (64, 128, (4, 4, 4)),
+}
+
+
 def _rfft_rows_core(xr, scale=None, *, interpret=False):
     """Batched R2C FFT over the last axis: real float32 [..., n] ->
     split complex [..., n//2+1], one HBM round trip (fused kernel
@@ -979,7 +1072,8 @@ def _rfft_rows_core(xr, scale=None, *, interpret=False):
         return z, z
     x2 = xr.reshape(rows, n)
 
-    bt = min(_row_tile(n), _round_up(rows, 128))
+    tile = 128 if n in _BALANCED_R2C else _row_tile(n)
+    bt = min(tile, _round_up(rows, 128))
     short = rows < bt
     if short:
         x2 = jnp.pad(x2, ((0, bt - rows), (0, 0)))
@@ -987,11 +1081,18 @@ def _rfft_rows_core(xr, scale=None, *, interpret=False):
 
     m_out = n // 2 + 1
     mp = m_out  # ragged minor is fine when the block spans the whole dim
-    n1, n2 = _choose_split(n)
-    kern = functools.partial(
-        _kernel_r2c, n=n, n1=n1, n2=n2, sign=-1,
-        scale=float(scale) if scale is not None else 1.0, mp=mp,
-    )
+    sc = float(scale) if scale is not None else 1.0
+    if n in _BALANCED_R2C:
+        n1, n2, s1_factors = _BALANCED_R2C[n]
+        kern = functools.partial(
+            _kernel_r2c_bal, n=n, n1=n1, n2=n2, sign=-1, scale=sc, mp=mp,
+            factors=s1_factors,
+        )
+    else:
+        n1, n2 = _choose_split(n)
+        kern = functools.partial(
+            _kernel_r2c, n=n, n1=n1, n2=n2, sign=-1, scale=sc, mp=mp,
+        )
     grid = (pl.cdiv(grid_rows, bt),)
     in_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bt, mp), lambda i: (i, 0),
