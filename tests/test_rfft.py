@@ -102,3 +102,45 @@ def test_irfft_pallas_kernel_interpret(rng, assert_close):
                                   n, 1.0 / n, interpret=True)
         assert_close(np.asarray(out), np.fft.irfft(X, n=n, axis=-1),
                      what=f"pallas c2r n={n}")
+
+
+def test_r2c_balanced_kernel_interpret(rng, assert_close):
+    """Balanced-split R2C kernel (real-specialized VPU stage 1)."""
+    from fft_wgpu_tpu.ops import pallas_fft as pf
+
+    # production entries (2048 is in _BALANCED_R2C) plus an injected small
+    # n to keep interpret-mode cheap while covering the routing machinery
+    x = rng.standard_normal((12, 2048)).astype(np.float32)
+    Xr, Xi = pf.rfft_rows_split(jnp.asarray(x), interpret=True)
+    got = np.asarray(Xr) + 1j * np.asarray(Xi)
+    assert_close(got, np.fft.rfft(x, axis=-1), what="balanced r2c n=2048")
+
+    pf._BALANCED_R2C[512] = (16, 32, (4, 4))
+    try:
+        x = rng.standard_normal((130, 512)).astype(np.float32)
+        Xr, Xi = pf.rfft_rows_split(jnp.asarray(x), 512**-0.5,
+                                    interpret=True)
+        got = np.asarray(Xr) + 1j * np.asarray(Xi)
+        assert_close(got, np.fft.rfft(x, axis=-1, norm="ortho"),
+                     what="balanced r2c n=512 ortho")
+    finally:
+        del pf._BALANCED_R2C[512]
+
+
+def test_c2r_balanced_kernel_interpret(rng, assert_close):
+    """Balanced-split C2R kernel (sublane-flip Hermitian extension)."""
+    from fft_wgpu_tpu.ops import pallas_fft as pf
+
+    for n, spec, rows in [(512, (16, 32), 130), (1024, (32, 32), 4)]:
+        pf._BALANCED_C2R[n] = spec
+        try:
+            X = (rng.standard_normal((rows, n // 2 + 1))
+                 + 1j * rng.standard_normal((rows, n // 2 + 1))
+                 ).astype(np.complex64)
+            out = pf.irfft_rows_split(jnp.asarray(X.real),
+                                      jnp.asarray(X.imag),
+                                      n, 1.0 / n, interpret=True)
+            assert_close(np.asarray(out), np.fft.irfft(X, n=n, axis=-1),
+                         what=f"balanced c2r n={n}")
+        finally:
+            del pf._BALANCED_C2R[n]
