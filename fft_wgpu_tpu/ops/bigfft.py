@@ -46,6 +46,16 @@ BIG_MIN_N = 1 << 15  # below: the fused row kernel handles it in one pass
 BIG_MAX_N = 1 << 21  # above: whole-row VMEM working set exceeds v5e VMEM
 
 
+# Sublane-chain schedule overrides for the big kernel's stage 1 (probe_r21/
+# r22 on v5e: VPU-heavier chains beat the default realcat-heavy
+# _dit_schedule here — the [S, 128] operands pay MXU fill penalties the VPU
+# doesn't): 2^20 (S=8192): (4,4,8,64) 0.116 ms vs (4,4,4,4,32) 0.124,
+# (2,4,4,4,64) 0.121, (8,32,32) default 0.134.
+_CHAIN_SCHEDULE = {
+    8192: (4, 4, 8, 64),
+}
+
+
 def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, sign, scale):
     """Tall layout [n/128, 128]: sublane DIT chain + one lane-stage Gauss.
 
@@ -60,7 +70,8 @@ def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, sign, scale):
     ai = xi_ref[0].reshape(S, 128)
 
     # stage 1: DFT_S down the sublane axis, natural order out
-    br, bi = pf._dft_sublane_chain(ar, ai, S, sign)
+    br, bi = pf._dft_sublane_chain(ar, ai, S, sign,
+                                   factors=_CHAIN_SCHEDULE.get(S))
 
     # inter-factor twiddle w_n^{k_s * m_l} (direct 2-D generation)
     twr, twi = pf._gen_twiddle(S, 128, n, sign)

@@ -298,6 +298,11 @@ def _dft_sublane_chain(xr, xi, S: int, sign: int, scale: float = 1.0,
     contractions touch dim 0 (first stage) or dim 1 (rest).
     """
     factors = tuple(factors) if factors is not None else _dit_schedule(S)
+    if math.prod(factors) != S:
+        # without this guard a bad schedule silently computes a partial
+        # transform (found via probe_r21: (4,4,64) at S=8192 "won" by
+        # doing 1/8th of the work)
+        raise Unsupported(f"factors {factors} do not multiply to S={S}")
     rest = xr.shape[1:]
     ones = (1,) * len(rest)
     K, B = 1, S
@@ -1052,6 +1057,8 @@ def _kernel_r2c_bal(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp,
 # 0.926 -> 0.829, 2048x4096 0.436 -> 0.356); others fall back to
 # _kernel_r2c.  The real-specialized stage 1 halves the butterfly adds.
 _BALANCED_R2C: dict = {
+    512: (16, 32, (4, 4)),      # 0.115 -> 0.099 ms @4096 rows (probe_r22b)
+    1024: (32, 32, (4, 8)),     # 0.218 -> 0.186
     2048: (64, 32, (4, 4, 4)),
     4096: (64, 64, (4, 4, 4)),
     8192: (64, 128, (4, 4, 4)),
@@ -1252,6 +1259,8 @@ def _kernel_c2r_bal(xr_ref, xi_ref, o_ref, *, n, n1, n2, scale):
 # 2048x4096 0.641 -> 0.444).  Requires (n1/2+1)*n2 <= round_up(n/2+1, 128),
 # i.e. n2 <= 128.
 _BALANCED_C2R: dict = {
+    512: (16, 32),              # 0.231 -> 0.129 ms @4096 rows (probe_r22b)
+    1024: (32, 32),             # 0.327 -> 0.237
     2048: (32, 64),
     4096: (64, 64),
     8192: (64, 128),
