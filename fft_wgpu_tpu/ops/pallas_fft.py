@@ -237,16 +237,91 @@ def _dit_schedule(S: int) -> tuple[int, ...]:
         2048: (2, 32, 32),
         4096: (4, 32, 32),
         8192: (8, 32, 32),
-        16384: (4, 4, 32, 32),
+        # probe_r23 (v5e, tall [S,128] operands): VPU-heavy chain beats
+        # realcat32 pairs — 16384 rows 1.133 -> 0.913 ms, bigfft 2^21
+        # 0.268 -> 0.241; (4,4,8,128) crashes the compile service
+        16384: (4, 4, 4, 4, 64),
     }
     if S not in table:
         raise Unsupported(f"no DIT schedule for S={S}")
     return table[S]
 
 
+def _stack0(parts_r, parts_i):
+    return (jnp.concatenate([p[None] for p in parts_r], 0),
+            jnp.concatenate([p[None] for p in parts_i], 0))
+
+
 def _stage_dft(xr, xi, f: int, dim: int, sign: int, scale: float):
     """Complex DFT of size f contracting `dim` (0 or 1) of xr/xi, in the
     fastest measured form for the factor size; the new k lands at dim 0."""
+    idx = (slice(None),) * dim
+    if f == 4:
+        # radix-2^2: 8 complex adds vs the naive k-loop's 12
+        x0r, x1r, x2r, x3r = (xr[idx + (j,)] for j in range(4))
+        x0i, x1i, x2i, x3i = (xi[idx + (j,)] for j in range(4))
+        t0r, t0i = x0r + x2r, x0i + x2i
+        t1r, t1i = x0r - x2r, x0i - x2i
+        t2r, t2i = x1r + x3r, x1i + x3i
+        t3r, t3i = x1r - x3r, x1i - x3i
+        # X1 = t1 + sign*i*t3 ; X3 = t1 - sign*i*t3  (sign=-1: forward)
+        if sign < 0:
+            o1r, o1i = t1r + t3i, t1i - t3r
+            o3r, o3i = t1r - t3i, t1i + t3r
+        else:
+            o1r, o1i = t1r - t3i, t1i + t3r
+            o3r, o3i = t1r + t3i, t1i - t3r
+        outs_r = [t0r + t2r, o1r, t0r - t2r, o3r]
+        outs_i = [t0i + t2i, o1i, t0i - t2i, o3i]
+        if scale != 1.0:
+            outs_r = [scale * v for v in outs_r]
+            outs_i = [scale * v for v in outs_i]
+        return _stack0(outs_r, outs_i)
+    if f == 8:
+        # split into two DFT4 (even/odd j) + twiddle combine:
+        # X[k]   = E[k] + w8^k O[k],  X[k+4] = E[k] - w8^k O[k]
+        # 16 + 8 complex adds + 2 sqrt(1/2) rotations vs ~56 naive
+        er = [xr[idx + (j,)] for j in (0, 2, 4, 6)]
+        ei = [xi[idx + (j,)] for j in (0, 2, 4, 6)]
+        orr = [xr[idx + (j,)] for j in (1, 3, 5, 7)]
+        oi = [xi[idx + (j,)] for j in (1, 3, 5, 7)]
+
+        def dft4(vr, vi):
+            t0r, t0i = vr[0] + vr[2], vi[0] + vi[2]
+            t1r, t1i = vr[0] - vr[2], vi[0] - vi[2]
+            t2r, t2i = vr[1] + vr[3], vi[1] + vi[3]
+            t3r, t3i = vr[1] - vr[3], vi[1] - vi[3]
+            if sign < 0:
+                a1 = (t1r + t3i, t1i - t3r)
+                a3 = (t1r - t3i, t1i + t3r)
+            else:
+                a1 = (t1r - t3i, t1i + t3r)
+                a3 = (t1r + t3i, t1i - t3r)
+            return ([t0r + t2r, a1[0], t0r - t2r, a3[0]],
+                    [t0i + t2i, a1[1], t0i - t2i, a3[1]])
+
+        Er, Ei = dft4(er, ei)
+        Or, Oi = dft4(orr, oi)
+        h = math.sqrt(0.5)
+        # w8^k for sign=-1: 1, h(1-i), -i, -h(1+i); conjugate for sign=+1
+        tw = [None] * 4
+        tw[0] = (Or[0], Oi[0])
+        if sign < 0:
+            tw[1] = (h * (Or[1] + Oi[1]), h * (Oi[1] - Or[1]))
+            tw[2] = (Oi[2], -Or[2])
+            tw[3] = (h * (Oi[3] - Or[3]), -h * (Or[3] + Oi[3]))
+        else:
+            tw[1] = (h * (Or[1] - Oi[1]), h * (Oi[1] + Or[1]))
+            tw[2] = (-Oi[2], Or[2])
+            tw[3] = (-h * (Or[3] + Oi[3]), h * (Or[3] - Oi[3]))
+        outs_r = [Er[k] + tw[k][0] for k in range(4)] \
+            + [Er[k] - tw[k][0] for k in range(4)]
+        outs_i = [Ei[k] + tw[k][1] for k in range(4)] \
+            + [Ei[k] - tw[k][1] for k in range(4)]
+        if scale != 1.0:
+            outs_r = [scale * v for v in outs_r]
+            outs_i = [scale * v for v in outs_i]
+        return _stack0(outs_r, outs_i)
     if f <= 8:
         # unrolled VPU butterflies: trace-time-constant unit roots (pure
         # adds for f in {2,4}; adds + sqrt(1/2) rotations for f=8)
