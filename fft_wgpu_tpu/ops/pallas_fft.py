@@ -985,6 +985,15 @@ def _stage_dft_real(xr, f: int, dim: int, sign: int):
     accumulator only receives the twiddles' sine terms, halving the adds
     (used by the balanced R2C kernel; k=0's imag row is exactly zero)."""
     idx = (slice(None),) * dim
+    if f == 4:
+        # real radix-2^2: 6 real adds; X0/X2 are real, X3 = conj(X1)
+        x0, x1, x2, x3 = (xr[idx + (j,)] for j in range(4))
+        t0, t1 = x0 + x2, x0 - x2
+        t2, t3 = x1 + x3, x1 - x3
+        z = jnp.zeros_like(t0)
+        im1 = -t3 if sign < 0 else t3
+        return _stack0([t0 + t2, t1, t0 - t2, t1],
+                       [z, im1, z, -im1])
     outs_r, outs_i = [], []
     for k in range(f):
         ar = ai = None
