@@ -23,6 +23,7 @@ from .ops.helpers import (
     oaconvolve,
     rfftfreq,
 )
+from .ops.fftlog import fht, fhtoffset, ifht
 from .ops.nd import fft2, fftn, ifft2, ifftn
 from .ops.rfft import hfft, ihfft, irfft, irfft2, irfftn, rfft, rfft2, rfftn
 from .ops.spectral import spectral_derivative, spectral_gradient, spectral_laplacian
@@ -79,6 +80,9 @@ __all__ = [
     "idstn",
     "czt",
     "zoom_fft",
+    "fht",
+    "ifht",
+    "fhtoffset",
     "spectral_derivative",
     "spectral_gradient",
     "spectral_laplacian",
