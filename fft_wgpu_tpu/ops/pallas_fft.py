@@ -496,13 +496,16 @@ def _scalar_tw_first(br, bi, f, B, block, sign):
 # butterfly chain (MXU-free) and n2 stays in the single-dot realcat/Gauss
 # form.  MXU cost drops from the lane-pinned (n/128 + 128) MACs/pt to just
 # n2: n=4096 (64,64)+(4,4,4) measured 0.771 -> 0.655 ms, 8192 (64,128)+
-# (4,4,4) 0.549 -> 0.500, 512 (16,32) 0.061 -> 0.056.  n=2048 ties the
-# classic kernel (0.162) and n<=256 is already at the copy floor — both
-# stay classic.  Values: n -> (n1, n2, stage-1 VPU factors).
+# (4,4,4) 0.549 -> 0.500, 512 (16,32) 0.061 -> 0.056.  With radix-2^2
+# chains 2048 flipped to balanced too (probe_r28) and 4096's chain moved
+# to (4,8,2); n<=256 is at the copy floor and stays classic.
+# Values: n -> (n1, n2, stage-1 VPU factors).
 _BALANCED = {
     512: (16, 32, (4, 4)),
     1024: (32, 32, (4, 8)),
-    4096: (64, 64, (4, 4, 4)),
+    2048: (32, 64, (4, 8)),     # 0.158 vs classic 0.167 (probe_r28,
+                                # radix-2^2 chains tipped the tie)
+    4096: (64, 64, (4, 8, 2)),  # 0.633 vs (4,4,4) 0.640, 3 reps (probe_r28)
     8192: (64, 128, (4, 4, 4)),
 }
 

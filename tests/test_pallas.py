@@ -135,7 +135,7 @@ def test_fft2_two_pass(rng, assert_close):
 
 
 @pytest.mark.parametrize("schedule", ["classic", "balanced", "dit"])
-@pytest.mark.parametrize("n", [512, 1024, 4096])
+@pytest.mark.parametrize("n", [512, 1024, 2048, 4096])
 def test_explicit_row_schedules(n, schedule, rng, assert_close):
     """All three row schedules (lane-split classic, transpose-in balanced,
     sublane DIT chain) agree with numpy, forward and folded-scale inverse."""
@@ -148,7 +148,7 @@ def test_explicit_row_schedules(n, schedule, rng, assert_close):
 
 def test_balanced_unsupported_n():
     rng = np.random.default_rng(0)
-    x = crand(rng, 2, 2048)  # 2048 has no balanced split (classic ties)
+    x = crand(rng, 2, 16384)  # 16384 has no balanced split (DIT regime)
     with pytest.raises(pallas_fft.Unsupported):
         run(x, -1, schedule="balanced")
 
