@@ -14,7 +14,8 @@ import math
 
 import jax
 
-__all__ = ["hbm_bandwidth", "fft_flops", "roofline"]
+__all__ = ["hbm_bandwidth", "fft_flops", "roofline", "ici_bandwidth",
+           "pencil_fft3d_model"]
 
 # Peak HBM bandwidth by device kind (bytes/s).
 _HBM_BW = {
@@ -60,4 +61,81 @@ def roofline(n: int, batch: int, seconds: float, *, passes: int = 1, device=None
         "fraction": achieved / roof,
         "t_min_s": t_min,
         "bandwidth": bw,
+    }
+
+
+# Aggregate inter-chip interconnect bandwidth per chip (bytes/s, both
+# directions summed), from the public TPU spec sheets: v4 2400 Gbps
+# (6 links, 3-D torus), v5e 1600 Gbps (4 links, 2-D torus), v5p
+# 4800 Gbps, v6e 3584 Gbps.  Used only for scaling MODELS (no multi-chip
+# hardware is reachable from this environment); lower bounds assume
+# egress-limited transfers with no topology contention.
+_ICI_BW = {
+    "TPU v4": 3.0e11,
+    "TPU v5 lite": 2.0e11,
+    "TPU v5e": 2.0e11,
+    "TPU v5": 2.0e11,
+    "TPU v5p": 6.0e11,
+    "TPU v6 lite": 4.48e11,
+    "TPU v6e": 4.48e11,
+}
+
+
+def ici_bandwidth(device=None) -> float:
+    """Aggregate per-chip ICI bandwidth in bytes/s (model constant)."""
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "cpu")
+    for key, bw in _ICI_BW.items():
+        if kind.startswith(key):
+            return bw
+    return _ICI_BW["TPU v5e"]
+
+
+def pencil_fft3d_model(n: int, mesh_shape: tuple[int, int], *, device=None,
+                       transposed_output: bool = False,
+                       hbm_bw: float | None = None,
+                       ici_bw: float | None = None) -> dict:
+    """Lower-bound cost model for the pencil-decomposed 3-D C2C FFT of an
+    n^3 cube over a px x py mesh (parallel/pencil.py:_fft3d_impl).
+
+    Floors, per chip, split-complex f32 (8 B/point):
+      - compute: 3 local pencil-FFT passes, each one HBM read + write of
+        the full local slice (the fused row kernels are single-pass);
+      - ICI: each `all_to_all` along a mesh axis of size m sends
+        (m-1)/m of the local slice off-chip; the per-axis egress
+        bandwidth is the chip aggregate split across the torus axes and
+        halved (egress half of bidirectional).  2 corner turns for
+        transposed output, 4 for natural order.
+    With the chunked overlap schedule (`overlap_chunks`) the total floor
+    is max(compute, ici) + one chunk of exposed latency ~= max(...).
+
+    Returns times in seconds plus the modeled per-chip byte counts.
+    """
+    px, py = mesh_shape
+    p = px * py
+    hbm = hbm_bw or hbm_bandwidth(device)
+    ici = ici_bw or ici_bandwidth(device)
+
+    local_bytes = 8.0 * n**3 / p
+    compute_s = 3.0 * 2.0 * local_bytes / hbm
+
+    # per-axis egress bound: aggregate / 2 (bidi) / 2 (two torus axes)
+    axis_egress = ici / 4.0
+    turns = [(py, "Z->Y"), (px, "Y->X")]
+    if not transposed_output:
+        turns += [(px, "X out"), (py, "Y out")]
+    ici_bytes = sum(local_bytes * (m - 1) / m for m, _ in turns)
+    ici_s = sum(local_bytes * (m - 1) / m / axis_egress for m, _ in turns)
+
+    overlapped_s = max(compute_s, ici_s)
+    return {
+        "chips": p,
+        "local_bytes": local_bytes,
+        "compute_s": compute_s,
+        "ici_s": ici_s,
+        "ici_bytes_per_chip": ici_bytes,
+        "overlapped_s": overlapped_s,
+        "serial_s": compute_s + ici_s,
+        # 3 axes x (n^2 rows x 5 n log2 n) = 5 n^3 log2(n^3)
+        "gflops": 15.0 * n**3 * math.log2(n) / overlapped_s / 1e9,
     }
