@@ -20,12 +20,28 @@ from .ops.helpers import (
     fftshift,
     ifftshift,
     next_fast_len,
+    prev_fast_len,
+    get_workers,
+    set_workers,
     oaconvolve,
     rfftfreq,
 )
 from .ops.fftlog import fht, fhtoffset, ifht
 from .ops.nd import fft2, fftn, ifft2, ifftn
-from .ops.rfft import hfft, ihfft, irfft, irfft2, irfftn, rfft, rfft2, rfftn
+from .ops.rfft import (
+    hfft,
+    hfft2,
+    hfftn,
+    ihfft,
+    ihfft2,
+    ihfftn,
+    irfft,
+    irfft2,
+    irfftn,
+    rfft,
+    rfft2,
+    rfftn,
+)
 from .ops.spectral import spectral_derivative, spectral_gradient, spectral_laplacian
 from .ops.spectral_est import (
     coherence,
@@ -58,7 +74,11 @@ __all__ = [
     "rfftn",
     "irfftn",
     "hfft",
+    "hfft2",
+    "hfftn",
     "ihfft",
+    "ihfft2",
+    "ihfftn",
     "fftshift",
     "ifftshift",
     "fftfreq",
@@ -69,6 +89,9 @@ __all__ = [
     "hilbert",
     "resample",
     "next_fast_len",
+    "prev_fast_len",
+    "get_workers",
+    "set_workers",
     "oaconvolve",
     "dct",
     "idct",

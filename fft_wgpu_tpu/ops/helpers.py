@@ -15,6 +15,9 @@ import numpy as np
 
 __all__ = [
     "next_fast_len",
+    "prev_fast_len",
+    "get_workers",
+    "set_workers",
     "fftconvolve",
     "fftcorrelate",
     "hilbert",
@@ -224,6 +227,58 @@ def next_fast_len(target: int, real: bool = False) -> int:
             p35 *= 3
         p5 *= 5
     return best
+
+
+def prev_fast_len(target: int, real: bool = False) -> int:
+    """Largest 5-smooth n <= target (scipy.fft.prev_fast_len semantics);
+    with `real=True` additionally even (matching next_fast_len's packed
+    even-n fast-path preference).  target >= 1."""
+    if target < 1:
+        raise ValueError("target must be a positive integer")
+    best = 1
+    p5 = 1
+    while p5 <= target:
+        p35 = p5
+        while p35 <= target:
+            q = p35  # largest 2^a * p35 <= target
+            while q * 2 <= target:
+                q *= 2
+            if q > best and not (real and q % 2):
+                best = q
+            p35 *= 3
+        p5 *= 5
+    return best
+
+
+# scipy.fft worker-count shims: TPU execution is a single fused XLA
+# program per transform (parallelism comes from the hardware grid, not
+# host threads), so the worker count is advisory-only for API parity.
+_workers = 1
+
+
+def get_workers() -> int:
+    """scipy.fft.get_workers parity (advisory; see set_workers)."""
+    return _workers
+
+
+class set_workers:
+    """scipy.fft.set_workers parity: a context manager recording the
+    requested worker count.  No-op on execution — XLA owns parallelism —
+    but accepted so scipy.fft call sites port unchanged."""
+
+    def __init__(self, workers: int):
+        self.workers = int(workers)
+        self._prev = None
+
+    def __enter__(self):
+        global _workers
+        self._prev, _workers = _workers, self.workers
+        return self
+
+    def __exit__(self, *exc):
+        global _workers
+        _workers = self._prev
+        return False
 
 
 def fftconvolve(a, b, mode: str = "full", axes=None):

@@ -19,7 +19,8 @@ from ..core.complex_utils import merge, promote_to_split
 from ..core.twiddle import FORWARD, INVERSE, halfcomplex_twiddle_np
 from .nd import _norm_axes, fftn_split
 
-__all__ = ["rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn", "hfft", "ihfft"]
+__all__ = ["rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn", "hfft",
+           "ihfft", "hfft2", "ihfft2", "hfftn", "ihfftn"]
 
 
 def _scales(n, norm, inverse):
@@ -301,3 +302,41 @@ def ihfft(x, n=None, axis: int = -1, norm=None):
     else:
         raise ValueError(f"invalid norm {norm!r}")
     return merge(Xr * jnp.float32(s), -Xi * jnp.float32(s))
+
+
+# Hermitian N-D transforms (scipy.fft.hfftn/ihfftn): symmetry lives on the
+# LAST transform axis only; the rest are ordinary C2C passes.  The whole
+# family reduces to the real transforms through the conjugation identity
+# hfftn(x, norm) == irfftn(conj(x), norm'), ihfftn(x, norm) ==
+# conj(rfftn(x, norm')) with backward <-> forward swapped (the Hermitian
+# transforms are normalized as FORWARD transforms while c2r/r2c inverses
+# are normalized as inverses).
+_NORM_SWAP = {None: "forward", "backward": "forward",
+              "forward": "backward", "ortho": "ortho"}
+
+
+def hfftn(x, s=None, axes=None, norm=None):
+    """N-D FFT of a signal Hermitian-symmetric in its last transform axis
+    (real spectrum), real output — scipy.fft.hfftn semantics."""
+    if norm not in _NORM_SWAP:
+        raise ValueError(f"invalid norm {norm!r}")
+    Xr, Xi = promote_to_split(x)
+    return irfftn(merge(Xr, -Xi), s=s, axes=axes, norm=_NORM_SWAP[norm])
+
+
+def ihfftn(x, s=None, axes=None, norm=None):
+    """Inverse of hfftn: real input -> half-spectrum, conjugate-flipped
+    (scipy.fft.ihfftn semantics)."""
+    if norm not in _NORM_SWAP:
+        raise ValueError(f"invalid norm {norm!r}")
+    X = rfftn(x, s=s, axes=axes, norm=_NORM_SWAP[norm])
+    Xr, Xi = promote_to_split(X)
+    return merge(Xr, -Xi)
+
+
+def hfft2(x, s=None, axes=(-2, -1), norm=None):
+    return hfftn(x, s=s, axes=list(axes), norm=norm)
+
+
+def ihfft2(x, s=None, axes=(-2, -1), norm=None):
+    return ihfftn(x, s=s, axes=list(axes), norm=norm)

@@ -191,3 +191,54 @@ def test_length_one_windows():
               ftt.bartlett_window):
         assert np.allclose(np.asarray(w(1, periodic=False)), [1.0])
         assert np.isfinite(np.asarray(w(1))).all()
+
+
+def test_prev_fast_len():
+    # This framework's fast set is 5-smooth (XLA mixed-radix; scipy's
+    # pocketfft also has radix-7/11 so its values differ at e.g. 7, 1023).
+    def brute(t):
+        return max(n for n in range(1, t + 1) if ftt.next_fast_len(n) == n)
+
+    for t in [1, 2, 3, 7, 11, 13, 120, 121, 1000, 1023, 10125, 2**17 + 1]:
+        assert ftt.prev_fast_len(t) == brute(t), t
+    # real=True: this framework forces EVEN (packed even-n fast paths),
+    # documented deviation where scipy would return an odd 5-smooth size.
+    for t in [2, 6, 7, 1000, 4096]:
+        got = ftt.prev_fast_len(t, real=True)
+        assert got <= t and got % 2 == 0, (t, got)
+        assert got == max(
+            n for n in range(2, t + 1, 2)
+            if ftt.next_fast_len(n) == n
+        ), t
+
+
+def test_workers_shims():
+    assert ftt.get_workers() == 1
+    with ftt.set_workers(4):
+        assert ftt.get_workers() == 4
+        with ftt.set_workers(2):
+            assert ftt.get_workers() == 2
+        assert ftt.get_workers() == 4
+    assert ftt.get_workers() == 1
+
+
+def test_scipy_backend_dispatch(rng, assert_close):
+    """scipy.fft.set_backend routes scipy call sites through this
+    framework (uarray protocol), falling back for unsupported kwargs."""
+    import scipy.fft as sf
+
+    import fft_wgpu_tpu.scipy_backend as be
+
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    z = (rng.standard_normal(32) + 1j * rng.standard_normal(32)).astype(np.complex64)
+    with sf.set_backend(be):
+        got = sf.fft(z)
+        assert isinstance(got, np.ndarray)
+        assert_close(got, np.fft.fft(z))
+        assert_close(sf.rfft(x), np.fft.rfft(x, axis=-1))
+        assert_close(sf.dct(x, type=2, norm="ortho"),
+                     sf.dct(np.asarray(x, np.float64), type=2, norm="ortho").astype(np.float32))
+        # unsupported kwarg falls back to pocketfft instead of raising
+        assert_close(sf.dct(x, type=2, norm="ortho", orthogonalize=False),
+                     sf.dct(np.asarray(x, np.float64), type=2, norm="ortho",
+                            orthogonalize=False).astype(np.float32))

@@ -144,3 +144,43 @@ def test_c2r_balanced_kernel_interpret(rng, assert_close):
                          what=f"balanced c2r n={n}")
         finally:
             del pf._BALANCED_C2R[n]
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+@pytest.mark.parametrize("shape,s,axes", [
+    ((3, 9), None, None),        # default: last axis Hermitian, n=2*(9-1)
+    ((4, 5), (4, 11), None),     # odd output length
+    ((6, 3, 5), None, (0, 2)),   # explicit axes, Hermitian on axis 2
+    ((5, 4), (8,), (0,)),        # single Hermitian axis only
+])
+def test_hfftn_matches_scipy(shape, s, axes, norm, rng, assert_close):
+    import scipy.fft as sf
+
+    X = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    want = sf.hfftn(X.copy(), s=s, axes=axes, norm=norm)
+    assert_close(ftt.hfftn(X, s=s, axes=axes, norm=norm), want,
+                 what=f"(shape={shape}, s={s}, axes={axes}, norm={norm})")
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+@pytest.mark.parametrize("shape,s,axes", [
+    ((3, 16), None, None),
+    ((4, 3, 10), None, (0, 2)),
+    ((5, 12), (4, 8), None),
+])
+def test_ihfftn_matches_scipy(shape, s, axes, norm, rng, assert_close):
+    import scipy.fft as sf
+
+    x = rng.standard_normal(shape).astype(np.float32)
+    want = sf.ihfftn(x, s=s, axes=axes, norm=norm).astype(np.complex64)
+    assert_close(ftt.ihfftn(x, s=s, axes=axes, norm=norm), want,
+                 what=f"(shape={shape}, s={s}, axes={axes}, norm={norm})")
+
+
+def test_hfft2_roundtrip(rng, assert_close):
+    import scipy.fft as sf
+
+    x = rng.standard_normal((6, 10)).astype(np.float32)
+    Z = ftt.ihfft2(x)
+    assert_close(Z, sf.ihfft2(x).astype(np.complex64))
+    assert_close(ftt.hfft2(np.asarray(ftt.device_get_complex(Z)), s=x.shape), x)
