@@ -3,8 +3,16 @@
 * spectral — FNO-style 1-D/2-D spectral operators + training steps
 * poisson — spectral Poisson solver (local and distributed pencil)
 * navier_stokes — pseudo-spectral 2-D Navier-Stokes (vorticity form)
+* burgers — pseudo-spectral 1-D viscous Burgers (FNO data generator)
 """
 
+from .burgers import (
+    burgers_init,
+    burgers_rollout,
+    burgers_step,
+    cole_hopf_solution,
+    random_initial_condition,
+)
 from .navier_stokes import ns2d_init, ns2d_rollout, ns2d_step, taylor_green_vorticity
 from .poisson import solve_poisson, solve_poisson_distributed
 from .spectral import (

@@ -1278,7 +1278,8 @@ def _kernel_c2r(xr_ref, xi_ref, o_ref, *, n, Q, K2, nyq, scale):
     o_ref[:] = s2.reshape(n, bt).T
 
 
-def _kernel_c2r_bal(xr_ref, xi_ref, o_ref, *, n, n1, n2, scale):
+def _kernel_c2r_bal(xr_ref, xi_ref, o_ref, *, n, n1, n2, scale,
+                    factors=None):
     """Balanced-split C2R rows kernel: the mirror of _kernel_r2c_bal.
 
     Mosaic has no `rev` anywhere (probe_r20: lowering rejects it even on
@@ -1315,15 +1316,24 @@ def _kernel_c2r_bal(xr_ref, xi_ref, o_ref, *, n, n1, n2, scale):
     xi = ai[:rows_in].reshape(n1 // 2 + 1, n2, bt)
 
     # stage A: Y[m1, k2, bt] = sum_{k1<=n1/2} w_n1^{+m1 k1} X'[k1, k2, bt]
-    war, wai = _gen_dft(n1, n1 // 2 + 1, n1, +1)
-    wbig = jnp.concatenate(
-        [jnp.concatenate([war, -wai], axis=1),
-         jnp.concatenate([wai, war], axis=1)], axis=0)  # [2n1, n1+2]
-    xcat = jnp.concatenate([xr, xi], axis=0)
-    res = jax.lax.dot_general(
-        wbig, xcat, ((((1,), (0,))), ((), ())), precision=_MM_PREC,
-        preferred_element_type=jnp.float32)  # [2n1, k2, bt]
-    yr, yi = res[:n1], res[n1:]
+    if factors is not None:
+        # VPU chain: zero-extend the stored k1 rows to the full n1 digit
+        # (in-kernel concat is free; butterflies don't K-fill like dots)
+        # and run the standard leading-axis chain at sign=+1.
+        z = jnp.zeros((n1 - (n1 // 2 + 1), n2, bt), jnp.float32)
+        yr, yi = _vpu_dft_leading(
+            jnp.concatenate([xr, z], axis=0),
+            jnp.concatenate([xi, z], axis=0), n1, +1, factors)
+    else:
+        war, wai = _gen_dft(n1, n1 // 2 + 1, n1, +1)
+        wbig = jnp.concatenate(
+            [jnp.concatenate([war, -wai], axis=1),
+             jnp.concatenate([wai, war], axis=1)], axis=0)  # [2n1, n1+2]
+        xcat = jnp.concatenate([xr, xi], axis=0)
+        res = jax.lax.dot_general(
+            wbig, xcat, ((((1,), (0,))), ((), ())), precision=_MM_PREC,
+            preferred_element_type=jnp.float32)  # [2n1, k2, bt]
+        yr, yi = res[:n1], res[n1:]
 
     twr, twi = _gen_twiddle(n1, n2, n, +1)
     zr = yr * twr[:, :, None] - yi * twi[:, :, None]
@@ -1392,8 +1402,11 @@ def _irfft_rows_core(Xr, Xi, n, scale=None, *, interpret=False):
 
     sc = float(scale) if scale is not None else 1.0
     if balanced:
-        n1, n2 = _BALANCED_C2R[n]
-        kern = functools.partial(_kernel_c2r_bal, n=n, n1=n1, n2=n2, scale=sc)
+        ent = _BALANCED_C2R[n]
+        n1, n2 = ent[0], ent[1]
+        factors = ent[2] if len(ent) > 2 else None
+        kern = functools.partial(_kernel_c2r_bal, n=n, n1=n1, n2=n2,
+                                 scale=sc, factors=factors)
     else:
         kern = functools.partial(
             _kernel_c2r, n=n, Q=Q, K2=K2, nyq=m // 128, scale=sc,

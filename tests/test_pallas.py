@@ -190,3 +190,23 @@ def test_dft_sublane_chain_all_schedules(rng, assert_close):
             jnp.asarray(x.real), jnp.asarray(x.imag), S, -1)
         got = np.asarray(rr) + 1j * np.asarray(ri)
         assert_close(got, np.fft.fft(x, axis=0), what=f"chain S={S}")
+
+
+@pytest.mark.parametrize("n,split", [
+    (512, (16, 32, (4, 4))),
+    (2048, (32, 64, (4, 8))),
+    (4096, (64, 64, (4, 4, 4))),
+    (8192, (64, 128, (4, 4, 4))),
+])
+def test_c2r_balanced_chain_stage_a(n, split, rng, assert_close, monkeypatch):
+    """C2R stage A as a zero-extended VPU chain (probe_r30) matches the
+    realcat stage A and numpy, in interpret mode."""
+    import jax.numpy as jnp
+
+    monkeypatch.setitem(pallas_fft._BALANCED_C2R, n, split)
+    Z = crand(rng, 3, n // 2 + 1)
+    want = np.fft.irfft(Z, n=n)
+    got = pallas_fft._irfft_rows_core(
+        jnp.asarray(Z.real), jnp.asarray(Z.imag), n, scale=1.0 / n,
+        interpret=True)
+    assert_close(got, want, what=f"(n={n}, split={split})")
