@@ -506,7 +506,11 @@ _BALANCED = {
     2048: (32, 64, (4, 8)),     # 0.158 vs classic 0.167 (probe_r28,
                                 # radix-2^2 chains tipped the tie)
     4096: (64, 64, (4, 8, 2)),  # 0.633 vs (4,4,4) 0.640, 3 reps (probe_r28)
-    8192: (64, 128, (4, 4, 4)),
+                                # ((128,32)+(4,8,4): 0.639 — probe_r31)
+    8192: (256, 32, (4, 8, 8)),   # 0.338; (128,64)+(4,8,4) 0.342,
+                                  # old (64,128)+(4,4,4) 0.489 (probe_r29/31)
+    16384: (256, 64, (4, 8, 8)),  # 0.770 vs DIT chain 0.869 (probe_r31;
+                                  # (128,128) chains still crash Mosaic)
 }
 
 
@@ -1146,9 +1150,9 @@ def _kernel_r2c_bal(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp,
 _BALANCED_R2C: dict = {
     512: (16, 32, (4, 4)),      # 0.115 -> 0.099 ms @4096 rows (probe_r22b)
     1024: (32, 32, (4, 8)),     # 0.218 -> 0.186
-    2048: (64, 32, (4, 4, 4)),
-    4096: (64, 64, (4, 4, 4)),
-    8192: (64, 128, (4, 4, 4)),
+    2048: (64, 32, (4, 4, 4)),  # (128,16)+(4,8,4): 0.388 — keep (probe_r31)
+    4096: (64, 64, (4, 4, 4)),  # (128,32)+(4,8,4): 0.693 — keep (probe_r31)
+    8192: (128, 64, (4, 8, 4)),  # 0.698 vs (64,128)+(4,4,4) 0.813 (probe_r31)
 }
 
 
@@ -1355,12 +1359,16 @@ def _kernel_c2r_bal(xr_ref, xi_ref, o_ref, *, n, n1, n2, scale,
 # (probe_r20b: 4096x4096 rows 1.177 -> 0.885 ms, 8192x2048 1.387 -> 1.161,
 # 2048x4096 0.641 -> 0.444).  Requires (n1/2+1)*n2 <= round_up(n/2+1, 128),
 # i.e. n2 <= 128.
+# (n1, n2) realcat stage A, or (n1, n2, factors) stage A as a
+# zero-extended VPU chain — the chain beat the half-height realcat dot at
+# EVERY size (probe_r31): 512 0.129 -> 0.097, 1024 0.237 -> 0.181,
+# 2048 0.444 -> 0.325, 4096 0.886 -> 0.678, 8192 1.161 -> 0.688 ms.
 _BALANCED_C2R: dict = {
-    512: (16, 32),              # 0.231 -> 0.129 ms @4096 rows (probe_r22b)
-    1024: (32, 32),             # 0.327 -> 0.237
-    2048: (32, 64),
-    4096: (64, 64),
-    8192: (64, 128),
+    512: (16, 32, (4, 4)),
+    1024: (32, 32, (4, 8)),
+    2048: (32, 64, (4, 8)),
+    4096: (64, 64, (4, 8, 2)),   # (4,4,4): 0.681; (128,32)+(4,8,4): 0.696
+    8192: (128, 64, (4, 8, 4)),  # realcat-A (64,128): 0.781
 }
 
 

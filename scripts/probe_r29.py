@@ -43,6 +43,7 @@ def row(tag, fn, args, oracle=None):
 def main():
     from fft_wgpu_tpu.utils.io import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
+    print("probe_r29 start", flush=True)
 
     # ---- (1) 8192 rows balanced splits ----
     k0, k1 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
@@ -57,6 +58,7 @@ def main():
         pf._BALANCED[8192] = split
         fn = jax.jit(lambda a, b, _s=split: pf.fft_batched_split(
             a, b, -1, schedule="balanced"))
+        print(f"compiling 8192 {split}...", flush=True)
         got = fn(re[:2], im[:2])
         g = np.asarray(got[0]) + 1j * np.asarray(got[1])
         rel = np.linalg.norm(g - oracle) / np.linalg.norm(oracle)

@@ -148,7 +148,7 @@ def test_explicit_row_schedules(n, schedule, rng, assert_close):
 
 def test_balanced_unsupported_n():
     rng = np.random.default_rng(0)
-    x = crand(rng, 2, 16384)  # 16384 has no balanced split (DIT regime)
+    x = crand(rng, 2, 256)  # 256 has no balanced split (copy-floor regime)
     with pytest.raises(pallas_fft.Unsupported):
         run(x, -1, schedule="balanced")
 
