@@ -48,7 +48,8 @@ class TestMeasureCaching:
         autotune.TUNE_CACHE.clear()
         monkeypatch.setattr(autotune, "_wisdom_loaded", True)
         monkeypatch.setattr(autotune, "save_wisdom", lambda *a, **k: None)
-        times = {"pallas:classic": 3.0, "pallas:dit": 1.0}
+        times = {"pallas:classic": 3.0, "pallas:dit": 1.0,
+                 "pallas:balanced": 2.0}
         measured = []
 
         def fake_slope(fn, shape, **kw):
@@ -62,7 +63,8 @@ class TestMeasureCaching:
         p = Plan(16384, autotune=True)
         ex = autotune.measure_executor(p, (256, 16384), -1)
         assert ex == "pallas:dit"
-        assert set(measured) == {"pallas:classic", "pallas:dit"}
+        assert set(measured) == {"pallas:classic", "pallas:dit",
+                                 "pallas:balanced"}
         measured.clear()
         assert autotune.measure_executor(p, (256, 16384), -1) == "pallas:dit"
         assert not measured  # cached
