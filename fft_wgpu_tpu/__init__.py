@@ -28,6 +28,7 @@ from .ops.helpers import (
 )
 from .ops.fftlog import fht, fhtoffset, ifht
 from .ops.nd import fft2, fftn, ifft2, ifftn
+from .ops.nufft import nufft1d1, nufft1d2, nufft2d1, nufft2d2
 from .ops.rfft import (
     hfft,
     hfft2,
@@ -102,6 +103,10 @@ __all__ = [
     "dstn",
     "idstn",
     "czt",
+    "nufft1d1",
+    "nufft1d2",
+    "nufft2d1",
+    "nufft2d2",
     "zoom_fft",
     "fht",
     "ifht",

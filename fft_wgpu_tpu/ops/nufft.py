@@ -1,0 +1,251 @@
+"""Non-uniform FFT (NUFFT), types 1 and 2, 1-D and 2-D.
+
+New capability beyond the reference (which is uniform C2C only — SURVEY
+§2) and beyond scipy.fft: the FINUFFT-style algorithm (Dutt-Rokhlin /
+Greengard-Lee) on the TPU stack.
+
+    type 1 ("adjoint"): nonuniform samples  -> uniform Fourier modes
+        f_k = sum_j c_j exp(isign * i k x_j),   k = -n//2 .. n-n//2-1
+    type 2 ("forward"): uniform Fourier modes -> nonuniform samples
+        c_j = sum_k f_k exp(isign * i k x_j)
+
+Mode ordering follows finufft: k ASCENDING (fftshifted), and the default
+signs are isign=+1 for type 1, isign=-1 for type 2 (so the pair is an
+adjoint/forward pair).
+
+Algorithm (each call is ONE jitted program):
+  1. oversampled fine grid of size nf = next_fast_len(2n),
+  2. spread (type 1: one vectorized [M, w] scatter-add) / interpolate
+     (type 2: one [M, w] gather) with a truncated Gaussian window,
+  3. uniform FFT on the fine grid through the framework's kernels,
+  4. deconvolve by the window's exact Fourier transform h/phi_hat(k).
+
+Window math: phi(x) = exp(-x^2 / 4 tau), phi_hat(k) =
+2 sqrt(pi tau) exp(-k^2 tau).  Balancing the truncation error
+exp(-(M_sp h)^2 / 4 tau) against the worst aliasing ratio
+exp(-tau nf^2 (1 - 1/sigma)) gives tau = pi M_sp / (nf^2 sqrt(1-1/sigma))
+with error ~ exp(-pi M_sp sqrt(1-1/sigma)) — M_sp = 7 points per side
+(w = 14) lands at ~2e-7, i.e. the f32 floor.  Tests pin 5e-5 vs the
+direct NUDFT oracle (tests/test_nufft.py).
+
+x_j are float32 radians (any real values are wrapped to [0, 2pi)); all
+complex boundaries are split (re, im) pairs internally.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.complex_utils import merge, promote_to_split
+
+__all__ = ["nufft1d1", "nufft1d2", "nufft2d1", "nufft2d2"]
+
+_SIGMA = 2.0  # oversampling factor
+_WIDTH = 14   # spreading width in fine-grid points (M_sp = 7 per side)
+
+
+def _fine_n(n: int) -> int:
+    from .helpers import next_fast_len
+
+    return next_fast_len(int(_SIGMA * n))
+
+
+def _tau(nf: int) -> float:
+    m_sp = _WIDTH // 2
+    return math.pi * m_sp / (nf * nf * math.sqrt(1.0 - 1.0 / _SIGMA))
+
+
+def _window_weights(x, nf):
+    """For points x [M] (radians), return (i0 [M] int32 base fine-grid
+    index, wts [M, w] Gaussian window weights)."""
+    h = 2.0 * math.pi / nf
+    tau = _tau(nf)
+    xi = x * (1.0 / h)  # fine-grid units
+    i0 = jnp.floor(xi).astype(jnp.int32) - (_WIDTH // 2 - 1)
+    l = jnp.arange(_WIDTH, dtype=jnp.float32)[None, :]
+    d = (xi[:, None] - (i0[:, None].astype(jnp.float32) + l)) * h
+    return i0, jnp.exp(-(d * d) * (1.0 / (4.0 * tau)))
+
+
+def _deconv(n: int, nf: int):
+    """h / phi_hat(k) for the kept modes, in FFT BIN order (f64 host
+    precompute, cast once — framework table discipline)."""
+    tau = _tau(nf)
+    k = np.fft.fftfreq(n, 1.0 / n)  # bin order: 0..ceil-1, -floor..-1
+    ph = 2.0 * math.sqrt(math.pi * tau) * np.exp(-(k * k) * tau)
+    return jnp.asarray((2.0 * math.pi / nf) / ph, jnp.float32)
+
+
+def _wrap(x):
+    two_pi = jnp.float32(2.0 * math.pi)
+    return jnp.mod(jnp.asarray(x, jnp.float32), two_pi)
+
+
+def _gather_idx(i0, nf):
+    return jnp.mod(i0[:, None] + jnp.arange(_WIDTH, dtype=jnp.int32), nf)
+
+
+def nufft1d1(x, c, n: int, *, isign: int = +1):
+    """Type-1 NUFFT: f_k = sum_j c_j e^{isign i k x_j}, k ascending
+    (finufft ordering).  x: [M] radians; c: [..., M] -> [..., n]."""
+    from .transforms import fft as _fft
+
+    cr, ci = promote_to_split(c)
+    x = _wrap(x)
+    nf = _fine_n(n)
+    dec = _deconv(n, nf)
+    pos, neg = n - n // 2, n // 2
+
+    @jax.jit
+    def impl(x, cr, ci):
+        i0, wts = _window_weights(x, nf)
+        idx = _gather_idx(i0, nf)
+        lead = cr.shape[:-1]
+        gr = jnp.zeros((*lead, nf), jnp.float32)
+        gi = jnp.zeros((*lead, nf), jnp.float32)
+        gr = gr.at[..., idx].add(cr[..., :, None] * wts)
+        gi = gi.at[..., idx].add(ci[..., :, None] * wts)
+        # fine-grid FFT is e^{-iku}; isign=+1 runs it on the conjugate
+        if isign >= 0:
+            Fr, Fi = promote_to_split(_fft(merge(gr, -gi)))
+            Fi = -Fi
+        else:
+            Fr, Fi = promote_to_split(_fft(merge(gr, gi)))
+        # central modes in bin order, deconvolve, fftshift (k ascending)
+        br = jnp.concatenate([Fr[..., :pos], Fr[..., nf - neg:]], -1) * dec
+        bi = jnp.concatenate([Fi[..., :pos], Fi[..., nf - neg:]], -1) * dec
+        return jnp.roll(br, neg, -1), jnp.roll(bi, neg, -1)
+
+    return merge(*impl(x, cr, ci))
+
+
+def nufft1d2(x, f, *, isign: int = -1):
+    """Type-2 NUFFT: c_j = sum_k f_k e^{isign i k x_j}; f: [..., n] with
+    k ascending (finufft ordering) -> [..., M]."""
+    from .transforms import ifft_unnormalized as _ifft_un
+
+    fr, fi = promote_to_split(f)
+    n = fr.shape[-1]
+    x = _wrap(x)
+    nf = _fine_n(n)
+    dec = _deconv(n, nf)
+    pos, neg = n - n // 2, n // 2
+
+    @jax.jit
+    def impl(x, fr, fi):
+        # k-ascending -> bin order, deconvolve, zero-pad to the fine grid
+        br = jnp.roll(fr, -neg, -1) * dec
+        bi = jnp.roll(fi, -neg, -1) * dec
+        lead = br.shape[:-1]
+        pad = jnp.zeros((*lead, nf - n), jnp.float32)
+        gr = jnp.concatenate([br[..., :pos], pad, br[..., pos:]], -1)
+        gi = jnp.concatenate([bi[..., :pos], pad, bi[..., pos:]], -1)
+        # unnormalized inverse is e^{+iku}; isign=-1 runs the conjugate
+        if isign >= 0:
+            Gr, Gi = promote_to_split(_ifft_un(merge(gr, gi)))
+        else:
+            Gr, Gi = promote_to_split(_ifft_un(merge(gr, -gi)))
+            Gi = -Gi
+        i0, wts = _window_weights(x, nf)
+        idx = _gather_idx(i0, nf)
+        cr = jnp.sum(Gr[..., idx] * wts, axis=-1)
+        ci = jnp.sum(Gi[..., idx] * wts, axis=-1)
+        return cr, ci
+
+    return merge(*impl(x, fr, fi))
+
+
+def _central(a, n, nf, axis):
+    pos, neg = n - n // 2, n // 2
+    lo = jax.lax.slice_in_dim(a, 0, pos, axis=axis)
+    hi = jax.lax.slice_in_dim(a, nf - neg, nf, axis=axis)
+    return jnp.roll(jnp.concatenate([lo, hi], axis=axis), neg, axis=axis)
+
+
+def _expand(a, n, nf, axis):
+    pos, neg = n - n // 2, n // 2
+    a = jnp.roll(a, -neg, axis=axis)
+    lo = jax.lax.slice_in_dim(a, 0, pos, axis=axis)
+    hi = jax.lax.slice_in_dim(a, pos, n, axis=axis)
+    shp = list(a.shape)
+    shp[axis] = nf - n
+    return jnp.concatenate([lo, jnp.zeros(shp, a.dtype), hi], axis=axis)
+
+
+def nufft2d1(x, y, c, ns, *, isign: int = +1):
+    """2-D type 1: f_{k1,k2} = sum_j c_j e^{isign i (k1 x_j + k2 y_j)};
+    ns = (n1, n2); c: [..., M] -> [..., n1, n2], both k axes ascending."""
+    from .nd import fftn
+
+    n1, n2 = ns
+    cr, ci = promote_to_split(c)
+    x, y = _wrap(x), _wrap(y)
+    nf1, nf2 = _fine_n(n1), _fine_n(n2)
+    s1 = jnp.roll(_deconv(n1, nf1), n1 // 2)[:, None]
+    s2 = jnp.roll(_deconv(n2, nf2), n2 // 2)[None, :]
+
+    @jax.jit
+    def impl(x, y, cr, ci):
+        i0x, wx = _window_weights(x, nf1)
+        i0y, wy = _window_weights(y, nf2)
+        flat = (_gather_idx(i0x, nf1)[:, :, None] * nf2
+                + _gather_idx(i0y, nf2)[:, None, :])  # [M, w, w]
+        w2 = wx[:, :, None] * wy[:, None, :]
+        lead = cr.shape[:-1]
+        gr = jnp.zeros((*lead, nf1 * nf2), jnp.float32)
+        gi = jnp.zeros((*lead, nf1 * nf2), jnp.float32)
+        gr = gr.at[..., flat].add(cr[..., :, None, None] * w2)
+        gi = gi.at[..., flat].add(ci[..., :, None, None] * w2)
+        gr = gr.reshape(*lead, nf1, nf2)
+        gi = gi.reshape(*lead, nf1, nf2)
+        if isign >= 0:
+            Fr, Fi = promote_to_split(fftn(merge(gr, -gi), axes=(-2, -1)))
+            Fi = -Fi
+        else:
+            Fr, Fi = promote_to_split(fftn(merge(gr, gi), axes=(-2, -1)))
+        Fr = _central(_central(Fr, n1, nf1, -2), n2, nf2, -1)
+        Fi = _central(_central(Fi, n1, nf1, -2), n2, nf2, -1)
+        return Fr * s1 * s2, Fi * s1 * s2
+
+    return merge(*impl(x, y, cr, ci))
+
+
+def nufft2d2(x, y, f, *, isign: int = -1):
+    """2-D type 2: c_j = sum_{k1,k2} f_{k1,k2} e^{isign i (k1 x_j +
+    k2 y_j)}; f: [..., n1, n2] with both k axes ascending -> [..., M]."""
+    from .nd import ifftn
+
+    fr, fi = promote_to_split(f)
+    n1, n2 = fr.shape[-2], fr.shape[-1]
+    x, y = _wrap(x), _wrap(y)
+    nf1, nf2 = _fine_n(n1), _fine_n(n2)
+    s1 = jnp.roll(_deconv(n1, nf1), n1 // 2)[:, None]
+    s2 = jnp.roll(_deconv(n2, nf2), n2 // 2)[None, :]
+
+    @jax.jit
+    def impl(x, y, fr, fi):
+        gr = _expand(_expand(fr * s1 * s2, n1, nf1, -2), n2, nf2, -1)
+        gi = _expand(_expand(fi * s1 * s2, n1, nf1, -2), n2, nf2, -1)
+        total = float(nf1 * nf2)
+        if isign >= 0:
+            Gr, Gi = promote_to_split(ifftn(merge(gr, gi), axes=(-2, -1)))
+            Gr, Gi = Gr * total, Gi * total
+        else:
+            Gr, Gi = promote_to_split(ifftn(merge(gr, -gi), axes=(-2, -1)))
+            Gr, Gi = Gr * total, -Gi * total
+        i0x, wx = _window_weights(x, nf1)
+        i0y, wy = _window_weights(y, nf2)
+        flat = (_gather_idx(i0x, nf1)[:, :, None] * nf2
+                + _gather_idx(i0y, nf2)[:, None, :])
+        w2 = wx[:, :, None] * wy[:, None, :]
+        Grf = Gr.reshape(*Gr.shape[:-2], nf1 * nf2)
+        Gif = Gi.reshape(*Gi.shape[:-2], nf1 * nf2)
+        cr = jnp.sum(Grf[..., flat] * w2, axis=(-2, -1))
+        ci = jnp.sum(Gif[..., flat] * w2, axis=(-2, -1))
+        return cr, ci
+
+    return merge(*impl(x, y, fr, fi))

@@ -1,0 +1,115 @@
+"""NUFFT types 1/2 vs the direct NUDFT oracle (f64 host sums)."""
+
+import numpy as np
+import pytest
+
+import fft_wgpu_tpu as ftt
+
+
+def _modes(n):
+    return np.arange(-(n // 2), n - n // 2)
+
+
+def _direct1(x, c, n, isign):
+    k = _modes(n)[:, None]
+    return (np.exp(1j * isign * k * x[None, :]) @ c.astype(np.complex128))
+
+
+def _direct2(x, f, isign):
+    n = f.shape[-1]
+    k = _modes(n)[None, :]
+    return np.exp(1j * isign * x[:, None] * k) @ f.astype(np.complex128)
+
+
+@pytest.mark.parametrize("n", [16, 33, 128])
+@pytest.mark.parametrize("isign", [+1, -1])
+def test_nufft1d1(n, isign, rng):
+    M = 200
+    x = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    c = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(np.complex64)
+    got = np.asarray(ftt.nufft1d1(x, c, n, isign=isign))
+    want = _direct1(x.astype(np.float64), c, n, isign)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 5e-5, rel
+
+
+@pytest.mark.parametrize("n", [16, 33, 128])
+@pytest.mark.parametrize("isign", [+1, -1])
+def test_nufft1d2(n, isign, rng):
+    M = 200
+    x = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    f = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    got = np.asarray(ftt.nufft1d2(x, f, isign=isign))
+    want = _direct2(x.astype(np.float64), f, isign)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 5e-5, rel
+
+
+def test_nufft1d_batched(rng):
+    M, n, B = 100, 32, 3
+    x = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    c = (rng.standard_normal((B, M)) + 1j * rng.standard_normal((B, M))).astype(np.complex64)
+    got = np.asarray(ftt.nufft1d1(x, c, n))
+    assert got.shape == (B, n)
+    for b in range(B):
+        want = _direct1(x.astype(np.float64), c[b], n, +1)
+        rel = np.linalg.norm(got[b] - want) / np.linalg.norm(want)
+        assert rel < 5e-5, (b, rel)
+
+
+def test_nufft1_uniform_points_match_fft(rng):
+    """On equispaced points the type-2 NUFFT must reproduce the uniform
+    DFT (up to spreading error)."""
+    n = 64
+    x = (np.arange(n) * (2 * np.pi / n)).astype(np.float32)
+    f = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    got = np.asarray(ftt.nufft1d2(x, f, isign=-1))
+    want = _direct2(x.astype(np.float64), f, -1)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 5e-5, rel
+
+
+def test_nufft1_2_adjoint(rng):
+    """<nufft1d2(f), c> == <f, nufft1d1(c)> (adjoint pair with opposite
+    default signs)."""
+    M, n = 150, 48
+    x = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    c = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(np.complex64)
+    f = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    lhs = np.vdot(np.asarray(ftt.nufft1d2(x, f, isign=-1)), c)
+    rhs = np.vdot(f, np.asarray(ftt.nufft1d1(x, c, n, isign=+1)))
+    assert abs(lhs - rhs) / abs(rhs) < 5e-5
+
+
+@pytest.mark.parametrize("ns", [(16, 16), (16, 24), (33, 16)])
+def test_nufft2d1(ns, rng):
+    M = 150
+    x = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    y = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    c = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(np.complex64)
+    got = np.asarray(ftt.nufft2d1(x, y, c, ns))
+    k1 = _modes(ns[0])[:, None, None]
+    k2 = _modes(ns[1])[None, :, None]
+    want = np.sum(
+        c[None, None, :].astype(np.complex128)
+        * np.exp(1j * (k1 * x[None, None, :] + k2 * y[None, None, :])), -1)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 5e-5, rel
+
+
+@pytest.mark.parametrize("ns", [(16, 16), (24, 16)])
+def test_nufft2d2(ns, rng):
+    M = 150
+    x = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    y = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    f = (rng.standard_normal(ns) + 1j * rng.standard_normal(ns)).astype(np.complex64)
+    got = np.asarray(ftt.nufft2d2(x, y, f))
+    k1 = _modes(ns[0])[:, None]
+    k2 = _modes(ns[1])[None, :]
+    want = np.array([
+        np.sum(f.astype(np.complex128)
+               * np.exp(-1j * (k1 * float(xj) + k2 * float(yj))))
+        for xj, yj in zip(x, y)
+    ])
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 5e-5, rel
