@@ -70,3 +70,24 @@ def test_shock_steepening_stays_stable():
     u = np.asarray(u)
     assert np.all(np.isfinite(u))
     assert np.abs(u).max() < 1.01  # max principle (no blow-up)
+
+
+def test_fno_learns_burgers_operator():
+    """End-to-end model-family integration: generate GRF -> Burgers
+    rollout pairs with the solver, train FNO1d on u0 -> u(T), and require
+    a large loss drop (the full pipeline: data gen, R2C/C2R, AD)."""
+    from fft_wgpu_tpu.models.spectral import init_fno1d, train_step, mse_loss
+
+    n, batch = 128, 16
+    c = burgers_init(n, 0.05, 2e-3)
+    u0 = random_initial_condition(jax.random.PRNGKey(1), n, batch=batch)
+    uT = burgers_rollout(c, u0, 50)
+    x = np.asarray(u0)[..., None].astype(np.float32)
+    y = np.asarray(uT)[..., None].astype(np.float32)
+
+    params = init_fno1d(jax.random.PRNGKey(0), modes=16, width=16, depth=2)
+    first = float(mse_loss(params, x, y))
+    for _ in range(100):
+        params, loss = train_step(params, x, y, lr=1e-2)
+    last = float(loss)
+    assert last < 0.2 * first, (first, last)
