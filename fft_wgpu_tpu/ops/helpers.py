@@ -232,7 +232,8 @@ def next_fast_len(target: int, real: bool = False) -> int:
 def prev_fast_len(target: int, real: bool = False) -> int:
     """Largest 5-smooth n <= target (scipy.fft.prev_fast_len semantics);
     with `real=True` additionally even (matching next_fast_len's packed
-    even-n fast-path preference).  target >= 1."""
+    even-n fast-path preference) — except target=1, where no even value
+    <= target exists and 1 is returned (scipy behavior).  target >= 1."""
     if target < 1:
         raise ValueError("target must be a positive integer")
     best = 1

@@ -35,6 +35,7 @@ complex boundaries are split (re, im) pairs internally.
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -92,71 +93,74 @@ def _gather_idx(i0, nf):
 def nufft1d1(x, c, n: int, *, isign: int = +1):
     """Type-1 NUFFT: f_k = sum_j c_j e^{isign i k x_j}, k ascending
     (finufft ordering).  x: [M] radians; c: [..., M] -> [..., n]."""
+    cr, ci = promote_to_split(c)
+    return merge(*_impl_1d1(jnp.asarray(x, jnp.float32), cr, ci,
+                            n=n, nf=_fine_n(n), isign=int(isign >= 0)))
+
+
+# One jitted program per (n, nf, isign, shapes) — module-level with static
+# config so repeat calls replay the compiled executable (framework
+# invariant: no per-call retraces, no eager op chains).
+@partial(jax.jit, static_argnames=("n", "nf", "isign"))
+def _impl_1d1(x, cr, ci, *, n, nf, isign):
     from .transforms import fft as _fft
 
-    cr, ci = promote_to_split(c)
-    x = _wrap(x)
-    nf = _fine_n(n)
     dec = _deconv(n, nf)
     pos, neg = n - n // 2, n // 2
-
-    @jax.jit
-    def impl(x, cr, ci):
-        i0, wts = _window_weights(x, nf)
-        idx = _gather_idx(i0, nf)
-        lead = cr.shape[:-1]
-        gr = jnp.zeros((*lead, nf), jnp.float32)
-        gi = jnp.zeros((*lead, nf), jnp.float32)
-        gr = gr.at[..., idx].add(cr[..., :, None] * wts)
-        gi = gi.at[..., idx].add(ci[..., :, None] * wts)
-        # fine-grid FFT is e^{-iku}; isign=+1 runs it on the conjugate
-        if isign >= 0:
-            Fr, Fi = promote_to_split(_fft(merge(gr, -gi)))
-            Fi = -Fi
-        else:
-            Fr, Fi = promote_to_split(_fft(merge(gr, gi)))
-        # central modes in bin order, deconvolve, fftshift (k ascending)
-        br = jnp.concatenate([Fr[..., :pos], Fr[..., nf - neg:]], -1) * dec
-        bi = jnp.concatenate([Fi[..., :pos], Fi[..., nf - neg:]], -1) * dec
-        return jnp.roll(br, neg, -1), jnp.roll(bi, neg, -1)
-
-    return merge(*impl(x, cr, ci))
+    x = _wrap(x)
+    i0, wts = _window_weights(x, nf)
+    idx = _gather_idx(i0, nf)
+    lead = cr.shape[:-1]
+    gr = jnp.zeros((*lead, nf), jnp.float32)
+    gi = jnp.zeros((*lead, nf), jnp.float32)
+    gr = gr.at[..., idx].add(cr[..., :, None] * wts)
+    gi = gi.at[..., idx].add(ci[..., :, None] * wts)
+    # fine-grid FFT is e^{-iku}; isign=+1 runs it on the conjugate
+    if isign:
+        Fr, Fi = promote_to_split(_fft(merge(gr, -gi)))
+        Fi = -Fi
+    else:
+        Fr, Fi = promote_to_split(_fft(merge(gr, gi)))
+    # central modes in bin order, deconvolve, fftshift (k ascending)
+    br = jnp.concatenate([Fr[..., :pos], Fr[..., nf - neg:]], -1) * dec
+    bi = jnp.concatenate([Fi[..., :pos], Fi[..., nf - neg:]], -1) * dec
+    return jnp.roll(br, neg, -1), jnp.roll(bi, neg, -1)
 
 
 def nufft1d2(x, f, *, isign: int = -1):
     """Type-2 NUFFT: c_j = sum_k f_k e^{isign i k x_j}; f: [..., n] with
     k ascending (finufft ordering) -> [..., M]."""
-    from .transforms import ifft_unnormalized as _ifft_un
-
     fr, fi = promote_to_split(f)
     n = fr.shape[-1]
-    x = _wrap(x)
-    nf = _fine_n(n)
+    return merge(*_impl_1d2(jnp.asarray(x, jnp.float32), fr, fi,
+                            n=n, nf=_fine_n(n), isign=int(isign >= 0)))
+
+
+@partial(jax.jit, static_argnames=("n", "nf", "isign"))
+def _impl_1d2(x, fr, fi, *, n, nf, isign):
+    from .transforms import ifft_unnormalized as _ifft_un
+
     dec = _deconv(n, nf)
     pos, neg = n - n // 2, n // 2
-
-    @jax.jit
-    def impl(x, fr, fi):
-        # k-ascending -> bin order, deconvolve, zero-pad to the fine grid
-        br = jnp.roll(fr, -neg, -1) * dec
-        bi = jnp.roll(fi, -neg, -1) * dec
-        lead = br.shape[:-1]
-        pad = jnp.zeros((*lead, nf - n), jnp.float32)
-        gr = jnp.concatenate([br[..., :pos], pad, br[..., pos:]], -1)
-        gi = jnp.concatenate([bi[..., :pos], pad, bi[..., pos:]], -1)
-        # unnormalized inverse is e^{+iku}; isign=-1 runs the conjugate
-        if isign >= 0:
-            Gr, Gi = promote_to_split(_ifft_un(merge(gr, gi)))
-        else:
-            Gr, Gi = promote_to_split(_ifft_un(merge(gr, -gi)))
-            Gi = -Gi
-        i0, wts = _window_weights(x, nf)
-        idx = _gather_idx(i0, nf)
-        cr = jnp.sum(Gr[..., idx] * wts, axis=-1)
-        ci = jnp.sum(Gi[..., idx] * wts, axis=-1)
-        return cr, ci
-
-    return merge(*impl(x, fr, fi))
+    x = _wrap(x)
+    # k-ascending -> bin order, deconvolve, zero-pad to the fine grid
+    br = jnp.roll(fr, -neg, -1) * dec
+    bi = jnp.roll(fi, -neg, -1) * dec
+    lead = br.shape[:-1]
+    pad = jnp.zeros((*lead, nf - n), jnp.float32)
+    gr = jnp.concatenate([br[..., :pos], pad, br[..., pos:]], -1)
+    gi = jnp.concatenate([bi[..., :pos], pad, bi[..., pos:]], -1)
+    # unnormalized inverse is e^{+iku}; isign=-1 runs the conjugate
+    if isign:
+        Gr, Gi = promote_to_split(_ifft_un(merge(gr, gi)))
+    else:
+        Gr, Gi = promote_to_split(_ifft_un(merge(gr, -gi)))
+        Gi = -Gi
+    i0, wts = _window_weights(x, nf)
+    idx = _gather_idx(i0, nf)
+    cr = jnp.sum(Gr[..., idx] * wts, axis=-1)
+    ci = jnp.sum(Gi[..., idx] * wts, axis=-1)
+    return cr, ci
 
 
 def _central(a, n, nf, axis):
@@ -179,73 +183,77 @@ def _expand(a, n, nf, axis):
 def nufft2d1(x, y, c, ns, *, isign: int = +1):
     """2-D type 1: f_{k1,k2} = sum_j c_j e^{isign i (k1 x_j + k2 y_j)};
     ns = (n1, n2); c: [..., M] -> [..., n1, n2], both k axes ascending."""
-    from .nd import fftn
-
     n1, n2 = ns
     cr, ci = promote_to_split(c)
-    x, y = _wrap(x), _wrap(y)
+    return merge(*_impl_2d1(jnp.asarray(x, jnp.float32),
+                            jnp.asarray(y, jnp.float32), cr, ci,
+                            n1=n1, n2=n2, isign=int(isign >= 0)))
+
+
+@partial(jax.jit, static_argnames=("n1", "n2", "isign"))
+def _impl_2d1(x, y, cr, ci, *, n1, n2, isign):
+    from .nd import fftn
+
     nf1, nf2 = _fine_n(n1), _fine_n(n2)
     s1 = jnp.roll(_deconv(n1, nf1), n1 // 2)[:, None]
     s2 = jnp.roll(_deconv(n2, nf2), n2 // 2)[None, :]
-
-    @jax.jit
-    def impl(x, y, cr, ci):
-        i0x, wx = _window_weights(x, nf1)
-        i0y, wy = _window_weights(y, nf2)
-        flat = (_gather_idx(i0x, nf1)[:, :, None] * nf2
-                + _gather_idx(i0y, nf2)[:, None, :])  # [M, w, w]
-        w2 = wx[:, :, None] * wy[:, None, :]
-        lead = cr.shape[:-1]
-        gr = jnp.zeros((*lead, nf1 * nf2), jnp.float32)
-        gi = jnp.zeros((*lead, nf1 * nf2), jnp.float32)
-        gr = gr.at[..., flat].add(cr[..., :, None, None] * w2)
-        gi = gi.at[..., flat].add(ci[..., :, None, None] * w2)
-        gr = gr.reshape(*lead, nf1, nf2)
-        gi = gi.reshape(*lead, nf1, nf2)
-        if isign >= 0:
-            Fr, Fi = promote_to_split(fftn(merge(gr, -gi), axes=(-2, -1)))
-            Fi = -Fi
-        else:
-            Fr, Fi = promote_to_split(fftn(merge(gr, gi), axes=(-2, -1)))
-        Fr = _central(_central(Fr, n1, nf1, -2), n2, nf2, -1)
-        Fi = _central(_central(Fi, n1, nf1, -2), n2, nf2, -1)
-        return Fr * s1 * s2, Fi * s1 * s2
-
-    return merge(*impl(x, y, cr, ci))
+    x, y = _wrap(x), _wrap(y)
+    i0x, wx = _window_weights(x, nf1)
+    i0y, wy = _window_weights(y, nf2)
+    flat = (_gather_idx(i0x, nf1)[:, :, None] * nf2
+            + _gather_idx(i0y, nf2)[:, None, :])  # [M, w, w]
+    w2 = wx[:, :, None] * wy[:, None, :]
+    lead = cr.shape[:-1]
+    gr = jnp.zeros((*lead, nf1 * nf2), jnp.float32)
+    gi = jnp.zeros((*lead, nf1 * nf2), jnp.float32)
+    gr = gr.at[..., flat].add(cr[..., :, None, None] * w2)
+    gi = gi.at[..., flat].add(ci[..., :, None, None] * w2)
+    gr = gr.reshape(*lead, nf1, nf2)
+    gi = gi.reshape(*lead, nf1, nf2)
+    if isign:
+        Fr, Fi = promote_to_split(fftn(merge(gr, -gi), axes=(-2, -1)))
+        Fi = -Fi
+    else:
+        Fr, Fi = promote_to_split(fftn(merge(gr, gi), axes=(-2, -1)))
+    Fr = _central(_central(Fr, n1, nf1, -2), n2, nf2, -1)
+    Fi = _central(_central(Fi, n1, nf1, -2), n2, nf2, -1)
+    return Fr * s1 * s2, Fi * s1 * s2
 
 
 def nufft2d2(x, y, f, *, isign: int = -1):
     """2-D type 2: c_j = sum_{k1,k2} f_{k1,k2} e^{isign i (k1 x_j +
     k2 y_j)}; f: [..., n1, n2] with both k axes ascending -> [..., M]."""
-    from .nd import ifftn
-
     fr, fi = promote_to_split(f)
     n1, n2 = fr.shape[-2], fr.shape[-1]
-    x, y = _wrap(x), _wrap(y)
+    return merge(*_impl_2d2(jnp.asarray(x, jnp.float32),
+                            jnp.asarray(y, jnp.float32), fr, fi,
+                            n1=n1, n2=n2, isign=int(isign >= 0)))
+
+
+@partial(jax.jit, static_argnames=("n1", "n2", "isign"))
+def _impl_2d2(x, y, fr, fi, *, n1, n2, isign):
+    from .nd import ifftn
+
     nf1, nf2 = _fine_n(n1), _fine_n(n2)
     s1 = jnp.roll(_deconv(n1, nf1), n1 // 2)[:, None]
     s2 = jnp.roll(_deconv(n2, nf2), n2 // 2)[None, :]
-
-    @jax.jit
-    def impl(x, y, fr, fi):
-        gr = _expand(_expand(fr * s1 * s2, n1, nf1, -2), n2, nf2, -1)
-        gi = _expand(_expand(fi * s1 * s2, n1, nf1, -2), n2, nf2, -1)
-        total = float(nf1 * nf2)
-        if isign >= 0:
-            Gr, Gi = promote_to_split(ifftn(merge(gr, gi), axes=(-2, -1)))
-            Gr, Gi = Gr * total, Gi * total
-        else:
-            Gr, Gi = promote_to_split(ifftn(merge(gr, -gi), axes=(-2, -1)))
-            Gr, Gi = Gr * total, -Gi * total
-        i0x, wx = _window_weights(x, nf1)
-        i0y, wy = _window_weights(y, nf2)
-        flat = (_gather_idx(i0x, nf1)[:, :, None] * nf2
-                + _gather_idx(i0y, nf2)[:, None, :])
-        w2 = wx[:, :, None] * wy[:, None, :]
-        Grf = Gr.reshape(*Gr.shape[:-2], nf1 * nf2)
-        Gif = Gi.reshape(*Gi.shape[:-2], nf1 * nf2)
-        cr = jnp.sum(Grf[..., flat] * w2, axis=(-2, -1))
-        ci = jnp.sum(Gif[..., flat] * w2, axis=(-2, -1))
-        return cr, ci
-
-    return merge(*impl(x, y, fr, fi))
+    x, y = _wrap(x), _wrap(y)
+    gr = _expand(_expand(fr * s1 * s2, n1, nf1, -2), n2, nf2, -1)
+    gi = _expand(_expand(fi * s1 * s2, n1, nf1, -2), n2, nf2, -1)
+    total = float(nf1 * nf2)
+    if isign:
+        Gr, Gi = promote_to_split(ifftn(merge(gr, gi), axes=(-2, -1)))
+        Gr, Gi = Gr * total, Gi * total
+    else:
+        Gr, Gi = promote_to_split(ifftn(merge(gr, -gi), axes=(-2, -1)))
+        Gr, Gi = Gr * total, -Gi * total
+    i0x, wx = _window_weights(x, nf1)
+    i0y, wy = _window_weights(y, nf2)
+    flat = (_gather_idx(i0x, nf1)[:, :, None] * nf2
+            + _gather_idx(i0y, nf2)[:, None, :])
+    w2 = wx[:, :, None] * wy[:, None, :]
+    Grf = Gr.reshape(*Gr.shape[:-2], nf1 * nf2)
+    Gif = Gi.reshape(*Gi.shape[:-2], nf1 * nf2)
+    cr = jnp.sum(Grf[..., flat] * w2, axis=(-2, -1))
+    ci = jnp.sum(Gif[..., flat] * w2, axis=(-2, -1))
+    return cr, ci

@@ -335,8 +335,8 @@ def ihfftn(x, s=None, axes=None, norm=None):
 
 
 def hfft2(x, s=None, axes=(-2, -1), norm=None):
-    return hfftn(x, s=s, axes=list(axes), norm=norm)
+    return hfftn(x, s=s, axes=None if axes is None else list(axes), norm=norm)
 
 
 def ihfft2(x, s=None, axes=(-2, -1), norm=None):
-    return ihfftn(x, s=s, axes=list(axes), norm=norm)
+    return ihfftn(x, s=s, axes=None if axes is None else list(axes), norm=norm)

@@ -47,6 +47,8 @@ def _to_host(out):
 
 
 def __ua_function__(method, args, kwargs):
+    import inspect
+
     import fft_wgpu_tpu as ftt
 
     fn = getattr(ftt, method.__name__, None)
@@ -56,11 +58,14 @@ def __ua_function__(method, args, kwargs):
     for k in _ADVISORY_KWARGS:
         kw.pop(k, None)
     try:
-        out = fn(*args, **kw)
+        # signature check BEFORE calling: a scipy kwarg this framework
+        # doesn't express (e.g. orthogonalize=) falls back to pocketfft,
+        # while genuine execution errors propagate instead of being
+        # silently masked by the fallback.
+        inspect.signature(fn).bind(*args, **kw)
     except TypeError:
-        # signature mismatch (e.g. orthogonalize=...): let scipy fall back
         return NotImplemented
-    return _to_host(out)
+    return _to_host(fn(*args, **kw))
 
 
 def install() -> None:

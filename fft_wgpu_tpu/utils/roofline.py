@@ -30,12 +30,22 @@ _HBM_BW = {
 }
 
 
+def _match_kind(table: dict, kind: str):
+    """Longest-prefix match so 'TPU v5p' never falls into the 'TPU v5'
+    entry (dict order is not specificity order)."""
+    best = None
+    for key, bw in table.items():
+        if kind.startswith(key) and (best is None or len(key) > best[0]):
+            best = (len(key), bw)
+    return best[1] if best else None
+
+
 def hbm_bandwidth(device=None) -> float:
     device = device or jax.devices()[0]
     kind = getattr(device, "device_kind", "cpu")
-    for key, bw in _HBM_BW.items():
-        if kind.startswith(key):
-            return bw
+    bw = _match_kind(_HBM_BW, kind)
+    if bw is not None:
+        return bw
     return _HBM_BW.get("TPU v5e") if "TPU" in kind else _HBM_BW["cpu"]
 
 
@@ -85,10 +95,8 @@ def ici_bandwidth(device=None) -> float:
     """Aggregate per-chip ICI bandwidth in bytes/s (model constant)."""
     device = device or jax.devices()[0]
     kind = getattr(device, "device_kind", "cpu")
-    for key, bw in _ICI_BW.items():
-        if kind.startswith(key):
-            return bw
-    return _ICI_BW["TPU v5e"]
+    bw = _match_kind(_ICI_BW, kind)
+    return bw if bw is not None else _ICI_BW["TPU v5e"]
 
 
 def pencil_fft3d_model(n: int, mesh_shape: tuple[int, int], *, device=None,

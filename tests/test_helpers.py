@@ -231,14 +231,18 @@ def test_scipy_backend_dispatch(rng, assert_close):
 
     x = rng.standard_normal((4, 64)).astype(np.float32)
     z = (rng.standard_normal(32) + 1j * rng.standard_normal(32)).astype(np.complex64)
+    # references computed OUTSIDE the backend scope (inside, scipy would
+    # dispatch the reference computation to the framework too and the
+    # assertion would compare the framework to itself)
+    want_dct = sf.dct(np.asarray(x, np.float64), type=2, norm="ortho").astype(np.float32)
+    want_dct_o = sf.dct(np.asarray(x, np.float64), type=2, norm="ortho",
+                        orthogonalize=False).astype(np.float32)
     with sf.set_backend(be):
         got = sf.fft(z)
         assert isinstance(got, np.ndarray)
         assert_close(got, np.fft.fft(z))
         assert_close(sf.rfft(x), np.fft.rfft(x, axis=-1))
-        assert_close(sf.dct(x, type=2, norm="ortho"),
-                     sf.dct(np.asarray(x, np.float64), type=2, norm="ortho").astype(np.float32))
+        assert_close(sf.dct(x, type=2, norm="ortho"), want_dct)
         # unsupported kwarg falls back to pocketfft instead of raising
         assert_close(sf.dct(x, type=2, norm="ortho", orthogonalize=False),
-                     sf.dct(np.asarray(x, np.float64), type=2, norm="ortho",
-                            orthogonalize=False).astype(np.float32))
+                     want_dct_o)

@@ -195,8 +195,9 @@ def test_dft_sublane_chain_all_schedules(rng, assert_close):
 @pytest.mark.parametrize("n,split", [
     (512, (16, 32, (4, 4))),
     (2048, (32, 64, (4, 8))),
+    (4096, (64, 64, (4, 8, 2))),    # the shipped pins (incl. the f=2
+    (8192, (128, 64, (4, 8, 4))),   # stage), plus one non-default
     (4096, (64, 64, (4, 4, 4))),
-    (8192, (64, 128, (4, 4, 4))),
 ])
 def test_c2r_balanced_chain_stage_a(n, split, rng, assert_close, monkeypatch):
     """C2R stage A as a zero-extended VPU chain (probe_r30) matches the
