@@ -211,3 +211,31 @@ def test_c2r_balanced_chain_stage_a(n, split, rng, assert_close, monkeypatch):
         jnp.asarray(Z.real), jnp.asarray(Z.imag), n, scale=1.0 / n,
         interpret=True)
     assert_close(got, want, what=f"(n={n}, split={split})")
+
+
+@pytest.mark.parametrize("n", [8192, 16384])
+def test_rows_transposed_big_n1_entries(n, rng, assert_close):
+    """The rows_t kernel shares _BALANCED, so the big-n1 (256,*) pins
+    (probe_r29/r31) must also be exact through the transposed path
+    (feeds fft2 and four-step pass 2)."""
+    import jax.numpy as jnp
+
+    x = crand(rng, 2, n)
+    re, im = jnp.asarray(x.real), jnp.asarray(x.imag)
+    rr, ii = pallas_fft.fft_rows_transposed_split(re, im, -1, None,
+                                                  interpret=True)
+    got = (np.asarray(rr) + 1j * np.asarray(ii)).T
+    assert_close(got, np.fft.fft(x), what=f"rows_t n={n}")
+
+
+@pytest.mark.parametrize("n", [8192, 16384])
+def test_ax0_kernel_at_big_n(n, rng, assert_close):
+    """axis(-2) kernel at the sizes whose row pins changed (its own
+    _choose_split is independent, but cover the sizes)."""
+    import jax.numpy as jnp
+
+    x = crand(rng, n, 4)
+    re, im = jnp.asarray(x.real), jnp.asarray(x.imag)
+    rr, ii = pallas_fft.fft_axis0_split(re, im, -1, interpret=True)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    assert_close(got, np.fft.fft(x, axis=0), what=f"ax0 n={n}")
