@@ -28,7 +28,7 @@ from .ops.helpers import (
 )
 from .ops.fftlog import fht, fhtoffset, ifht
 from .ops.nd import fft2, fftn, ifft2, ifftn
-from .ops.nufft import nufft1d1, nufft1d2, nufft2d1, nufft2d2
+from .ops.nufft import nufft1d1, nufft1d2, nufft1d3, nufft2d1, nufft2d2
 from .ops.rfft import (
     hfft,
     hfft2,
@@ -105,6 +105,7 @@ __all__ = [
     "czt",
     "nufft1d1",
     "nufft1d2",
+    "nufft1d3",
     "nufft2d1",
     "nufft2d2",
     "zoom_fft",

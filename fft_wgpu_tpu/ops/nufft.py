@@ -43,7 +43,7 @@ import numpy as np
 
 from ..core.complex_utils import merge, promote_to_split
 
-__all__ = ["nufft1d1", "nufft1d2", "nufft2d1", "nufft2d2"]
+__all__ = ["nufft1d1", "nufft1d2", "nufft1d3", "nufft2d1", "nufft2d2"]
 
 _SIGMA = 2.0  # oversampling factor
 _WIDTH = 14   # spreading width in fine-grid points (M_sp = 7 per side)
@@ -257,3 +257,80 @@ def _impl_2d2(x, y, fr, fi, *, n1, n2, isign):
     cr = jnp.sum(Grf[..., flat] * w2, axis=(-2, -1))
     ci = jnp.sum(Gif[..., flat] * w2, axis=(-2, -1))
     return cr, ci
+
+
+def nufft1d3(x, c, s, *, isign: int = +1):
+    """Type-3 NUFFT: f_k = sum_j c_j e^{isign i s_k x_j} for ARBITRARY
+    real points x_j and frequencies s_k (finufft nufft1d3 semantics).
+
+    Reduction to type 2 (Lee-Greengard): center both sets, spread c_j
+    with a Gaussian phi onto a free-space grid u_i = i*h (h = pi/(2S) so
+    every target maps to theta_k = s_k*h inside (-pi/2, pi/2]), note
+    g_hat(s) = phi_hat(s) * f(s) exactly, and evaluate the semi-discrete
+    transform h * sum_i g_i e^{isign i s u_i} — which IS a type-2 NUFFT
+    with mode index i and points theta_k — then deconvolve by
+    phi_hat(s_k).  tau balances spreading truncation vs sampling
+    aliasing at the same ~e^{-1.1 w} error as the uniform-grid window.
+    """
+    cr, ci = promote_to_split(c)
+    x = jnp.asarray(x, jnp.float32)
+    s = jnp.asarray(s, jnp.float32)
+    # centers/extents are data-dependent: they become STATIC trace
+    # constants (h, tau, n), so each new point-set geometry compiles its
+    # own program — repeated transforms over the same geometry (the
+    # common iterative-reconstruction pattern) replay the cached one
+    xh = np.asarray(x, np.float64)
+    sh = np.asarray(s, np.float64)
+    xc = float((xh.max() + xh.min()) / 2.0) if xh.size else 0.0
+    sc = float((sh.max() + sh.min()) / 2.0) if sh.size else 0.0
+    X = max(float(np.abs(xh - xc).max()) if xh.size else 0.0, 1e-30)
+    S = max(float(np.abs(sh - sc).max()) if sh.size else 0.0, 1e-30)
+
+    h = math.pi / (_SIGMA * S)
+    tau = _WIDTH * h / (8.0 * math.sqrt(2.0) * S)
+    from .helpers import next_fast_len
+
+    n = next_fast_len(2 * (int(math.ceil(X / h)) + _WIDTH + 2))
+
+    return merge(*_impl_1d3(x, cr, ci, s, n=n, h=h, tau=tau, xc=xc, sc=sc,
+                            isign=int(isign >= 0)))
+
+
+@partial(jax.jit, static_argnames=("n", "h", "tau", "xc", "sc", "isign"))
+def _impl_1d3(x, cr, ci, s, *, n, h, tau, xc, sc, isign):
+    sgn = 1.0 if isign else -1.0
+    xp = x - jnp.float32(xc)   # centered points
+    sp = s - jnp.float32(sc)   # centered frequencies
+    # c'_j = c_j e^{isign i sc x'_j} (center phase on the source side)
+    ph = sgn * jnp.float32(sc) * xp
+    cph, sph = jnp.cos(ph), jnp.sin(ph)
+    c2r = cr * cph - ci * sph
+    c2i = cr * sph + ci * cph
+
+    # free-space spread onto u_i = (i - n/2) h, i = 0..n-1 (no wrap: the
+    # grid over-covers the point extent by construction)
+    xi = xp * jnp.float32(1.0 / h) + jnp.float32(n // 2)
+    i0 = jnp.floor(xi).astype(jnp.int32) - (_WIDTH // 2 - 1)
+    l = jnp.arange(_WIDTH, dtype=jnp.float32)[None, :]
+    d = (xi[:, None] - (i0[:, None].astype(jnp.float32) + l)) * jnp.float32(h)
+    wts = jnp.exp(-(d * d) * jnp.float32(1.0 / (4.0 * tau)))
+    idx = jnp.clip(i0[:, None] + jnp.arange(_WIDTH, dtype=jnp.int32), 0, n - 1)
+    lead = cr.shape[:-1]
+    gr = jnp.zeros((*lead, n), jnp.float32)
+    gi = jnp.zeros((*lead, n), jnp.float32)
+    gr = gr.at[..., idx].add(c2r[..., :, None] * wts)
+    gi = gi.at[..., idx].add(c2i[..., :, None] * wts)
+
+    # semi-discrete transform h * sum_i g_i e^{isign i s' u_i} via type 2
+    # with mode index m = i - n/2 (ascending, nufft1d2's ordering) and
+    # theta_k = s' h in (-pi/2, pi/2]
+    theta = sp * jnp.float32(h)
+    vr, vi = _impl_1d2(theta, gr, gi, n=n, nf=_fine_n(n), isign=isign)
+
+    # deconvolve by phi_hat(s') = 2 sqrt(pi tau) e^{-s'^2 tau}, restore
+    # the x-center phase e^{isign i s x_c} (at the UNcentered s), fold h
+    amp = (jnp.float32(h) / jnp.float32(2.0 * math.sqrt(math.pi * tau))
+           * jnp.exp(sp * sp * jnp.float32(tau)))
+    ph2 = sgn * s * jnp.float32(xc)
+    c2, s2 = jnp.cos(ph2) * amp, jnp.sin(ph2) * amp
+    return vr * c2 - vi * s2, vr * s2 + vi * c2

@@ -113,3 +113,30 @@ def test_nufft2d2(ns, rng):
     ])
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 5e-5, rel
+
+
+@pytest.mark.parametrize("isign", [+1, -1])
+def test_nufft1d3(isign, rng):
+    M, K = 180, 90
+    x = rng.uniform(-3.0, 7.0, M).astype(np.float32)
+    s = rng.uniform(-40.0, 25.0, K).astype(np.float32)
+    c = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(np.complex64)
+    got = np.asarray(ftt.nufft1d3(x, c, s, isign=isign))
+    want = np.exp(1j * isign * s[:, None].astype(np.float64)
+                  * x[None, :].astype(np.float64)) @ c.astype(np.complex128)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2e-4, rel
+
+
+def test_nufft1d3_matches_type2_on_integer_freqs(rng):
+    """When s_k are the integer modes, type 3 must agree with type 2."""
+    M, n = 120, 32
+    x = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    f = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    # type 2: c_j = sum_k f_k e^{-i k x_j}; as type 3 with roles swapped:
+    # points = modes k, freqs = x_j
+    k = _modes(n).astype(np.float32)
+    got = np.asarray(ftt.nufft1d3(k, f, x, isign=-1))
+    want = np.asarray(ftt.nufft1d2(x, f, isign=-1))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2e-4, rel
