@@ -28,6 +28,7 @@ from .ops.helpers import (
 )
 from .ops.fftlog import fht, fhtoffset, ifht
 from .ops.nd import fft2, fftn, ifft2, ifftn
+from .ops.mdct import imdct, imdct_frame, mdct, mdct_frame, sine_window
 from .ops.nufft import nufft1d1, nufft1d2, nufft1d3, nufft2d1, nufft2d2
 from .ops.rfft import (
     hfft,
@@ -103,6 +104,11 @@ __all__ = [
     "dstn",
     "idstn",
     "czt",
+    "mdct",
+    "imdct",
+    "mdct_frame",
+    "imdct_frame",
+    "sine_window",
     "nufft1d1",
     "nufft1d2",
     "nufft1d3",
