@@ -15,6 +15,7 @@ from .ops.helpers import (
     fftconvolve,
     fftcorrelate,
     hilbert,
+    hilbert2,
     resample,
     fftfreq,
     fftshift,
@@ -89,6 +90,7 @@ __all__ = [
     "fftconvolve",
     "fftcorrelate",
     "hilbert",
+    "hilbert2",
     "resample",
     "next_fast_len",
     "prev_fast_len",

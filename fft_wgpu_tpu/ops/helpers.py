@@ -21,6 +21,7 @@ __all__ = [
     "fftconvolve",
     "fftcorrelate",
     "hilbert",
+    "hilbert2",
     "resample",
     "fftshift",
     "ifftshift",
@@ -469,5 +470,49 @@ def resample(x, num: int, axis: int = -1):
             fr, fi = _hermitian_extend(Xr, Xi, num)
             y, _ = fftn_split(fr, fi, (fr.ndim - 1,), 1, 1.0 / n)
         return jnp.moveaxis(y, -1, axis)
+
+    return jax.jit(impl)(jnp.asarray(x0, jnp.float32))
+
+
+def hilbert2(x, n=None):
+    """2-D analytic signal (scipy.signal.hilbert2): real [.., n1, n2] ->
+    complex with the first-quadrant spectrum kept x4 (h1 (x) h2 outer
+    weighting over the last two axes), one jitted program."""
+    from ..core.complex_utils import merge
+    from .nd import fftn_split
+
+    x0 = _as_host_or_device(x)
+    if _iscomplex(x0):
+        raise ValueError("hilbert2 requires a real input")
+    if x0.ndim < 2:
+        raise ValueError("hilbert2 requires at least 2 dimensions")
+    if n is not None:
+        n1, n2 = (n, n) if np.isscalar(n) else n
+    else:
+        n1, n2 = x0.shape[-2], x0.shape[-1]
+
+    def h(length):
+        # scipy's 2-D mask differs from 1-D hilbert: the Nyquist row/col
+        # is ZEROED for even lengths (Xf[k0:] = 0 with k0 = (N+1)//2)
+        v = np.zeros(length, np.float32)
+        v[0] = 1.0
+        v[1: (length + 1) // 2] = 2.0
+        return v
+
+    hh = np.outer(h(n1), h(n2))
+
+    def impl(v):
+        from .rfft import _resize_axis
+
+        if v.shape[-2] != n1:
+            v = _resize_axis(v, n1, -2)
+        if v.shape[-1] != n2:
+            v = _resize_axis(v, n2, -1)
+        re, im = fftn_split(v, jnp.zeros_like(v), (v.ndim - 2, v.ndim - 1),
+                            -1, None)
+        w = jnp.asarray(hh)
+        re, im = fftn_split(re * w, im * w, (v.ndim - 2, v.ndim - 1), 1,
+                            1.0 / (n1 * n2))
+        return merge(re, im)
 
     return jax.jit(impl)(jnp.asarray(x0, jnp.float32))

@@ -246,3 +246,14 @@ def test_scipy_backend_dispatch(rng, assert_close):
         # unsupported kwarg falls back to pocketfft instead of raising
         assert_close(sf.dct(x, type=2, norm="ortho", orthogonalize=False),
                      want_dct_o)
+
+
+def test_hilbert2_vs_scipy(rng, assert_close):
+    from scipy import signal as ssig
+
+    for shape in ((8, 16), (9, 15)):
+        x = rng.standard_normal(shape).astype(np.float32)
+        assert_close(np.asarray(ftt.hilbert2(x)), ssig.hilbert2(x),
+                     what=f"hilbert2 {shape}")
+    with pytest.raises(ValueError):
+        ftt.hilbert2(np.zeros((4, 4), np.complex64))
