@@ -30,7 +30,15 @@ from .ops.helpers import (
 from .ops.fftlog import fht, fhtoffset, ifht
 from .ops.nd import fft2, fftn, ifft2, ifftn
 from .ops.mdct import imdct, imdct_frame, mdct, mdct_frame, sine_window
-from .ops.nufft import nufft1d1, nufft1d2, nufft1d3, nufft2d1, nufft2d2
+from .ops.nufft import (
+    nufft1d1,
+    nufft1d2,
+    nufft1d3,
+    nufft2d1,
+    nufft2d2,
+    nufft3d1,
+    nufft3d2,
+)
 from .ops.rfft import (
     hfft,
     hfft2,
@@ -116,6 +124,8 @@ __all__ = [
     "nufft1d3",
     "nufft2d1",
     "nufft2d2",
+    "nufft3d1",
+    "nufft3d2",
     "zoom_fft",
     "fht",
     "ifht",

@@ -43,7 +43,8 @@ import numpy as np
 
 from ..core.complex_utils import merge, promote_to_split
 
-__all__ = ["nufft1d1", "nufft1d2", "nufft1d3", "nufft2d1", "nufft2d2"]
+__all__ = ["nufft1d1", "nufft1d2", "nufft1d3", "nufft2d1",
+           "nufft2d2", "nufft3d1", "nufft3d2"]
 
 _SIGMA = 2.0  # oversampling factor
 _WIDTH = 14   # spreading width in fine-grid points (M_sp = 7 per side)
@@ -334,3 +335,100 @@ def _impl_1d3(x, cr, ci, s, *, n, h, tau, xc, sc, isign):
     ph2 = sgn * s * jnp.float32(xc)
     c2, s2 = jnp.cos(ph2) * amp, jnp.sin(ph2) * amp
     return vr * c2 - vi * s2, vr * s2 + vi * c2
+
+
+def nufft3d1(x, y, z, c, ns, *, isign: int = +1):
+    """3-D type 1: f_{k1,k2,k3} = sum_j c_j e^{isign i (k1 x + k2 y +
+    k3 z)_j}; ns = (n1, n2, n3); c: [..., M] -> [..., n1, n2, n3]."""
+    n1, n2, n3 = ns
+    cr, ci = promote_to_split(c)
+    return merge(*_impl_3d1(jnp.asarray(x, jnp.float32),
+                            jnp.asarray(y, jnp.float32),
+                            jnp.asarray(z, jnp.float32), cr, ci,
+                            n1=n1, n2=n2, n3=n3, isign=int(isign >= 0)))
+
+
+@partial(jax.jit, static_argnames=("n1", "n2", "n3", "isign"))
+def _impl_3d1(x, y, z, cr, ci, *, n1, n2, n3, isign):
+    from .nd import fftn
+
+    nfs = [_fine_n(n) for n in (n1, n2, n3)]
+    i0s, ws, idxs = [], [], []
+    for pts, nf in zip((x, y, z), nfs):
+        i0, w = _window_weights(_wrap(pts), nf)
+        i0s.append(i0)
+        ws.append(w)
+        idxs.append(_gather_idx(i0, nf))
+    flat = (idxs[0][:, :, None, None] * (nfs[1] * nfs[2])
+            + idxs[1][:, None, :, None] * nfs[2]
+            + idxs[2][:, None, None, :])  # [M, w, w, w]
+    w3 = (ws[0][:, :, None, None] * ws[1][:, None, :, None]
+          * ws[2][:, None, None, :])
+    lead = cr.shape[:-1]
+    tot = nfs[0] * nfs[1] * nfs[2]
+    gr = jnp.zeros((*lead, tot), jnp.float32)
+    gi = jnp.zeros((*lead, tot), jnp.float32)
+    gr = gr.at[..., flat].add(cr[..., :, None, None, None] * w3)
+    gi = gi.at[..., flat].add(ci[..., :, None, None, None] * w3)
+    gr = gr.reshape(*lead, *nfs)
+    gi = gi.reshape(*lead, *nfs)
+    if isign:
+        Fr, Fi = promote_to_split(fftn(merge(gr, -gi), axes=(-3, -2, -1)))
+        Fi = -Fi
+    else:
+        Fr, Fi = promote_to_split(fftn(merge(gr, gi), axes=(-3, -2, -1)))
+    for ax, (n, nf) in enumerate(zip((n1, n2, n3), nfs)):
+        Fr = _central(Fr, n, nf, ax - 3)
+        Fi = _central(Fi, n, nf, ax - 3)
+    s1 = jnp.roll(_deconv(n1, nfs[0]), n1 // 2)[:, None, None]
+    s2 = jnp.roll(_deconv(n2, nfs[1]), n2 // 2)[None, :, None]
+    s3 = jnp.roll(_deconv(n3, nfs[2]), n3 // 2)[None, None, :]
+    return Fr * s1 * s2 * s3, Fi * s1 * s2 * s3
+
+
+def nufft3d2(x, y, z, f, *, isign: int = -1):
+    """3-D type 2: c_j = sum_k f_k e^{isign i k.(x,y,z)_j};
+    f: [..., n1, n2, n3] (all k axes ascending) -> [..., M]."""
+    fr, fi = promote_to_split(f)
+    n1, n2, n3 = fr.shape[-3], fr.shape[-2], fr.shape[-1]
+    return merge(*_impl_3d2(jnp.asarray(x, jnp.float32),
+                            jnp.asarray(y, jnp.float32),
+                            jnp.asarray(z, jnp.float32), fr, fi,
+                            n1=n1, n2=n2, n3=n3, isign=int(isign >= 0)))
+
+
+@partial(jax.jit, static_argnames=("n1", "n2", "n3", "isign"))
+def _impl_3d2(x, y, z, fr, fi, *, n1, n2, n3, isign):
+    from .nd import ifftn
+
+    nfs = [_fine_n(n) for n in (n1, n2, n3)]
+    s1 = jnp.roll(_deconv(n1, nfs[0]), n1 // 2)[:, None, None]
+    s2 = jnp.roll(_deconv(n2, nfs[1]), n2 // 2)[None, :, None]
+    s3 = jnp.roll(_deconv(n3, nfs[2]), n3 // 2)[None, None, :]
+    fr = fr * s1 * s2 * s3
+    fi = fi * s1 * s2 * s3
+    for ax, (n, nf) in enumerate(zip((n1, n2, n3), nfs)):
+        fr = _expand(fr, n, nf, ax - 3)
+        fi = _expand(fi, n, nf, ax - 3)
+    total = float(nfs[0] * nfs[1] * nfs[2])
+    if isign:
+        Gr, Gi = promote_to_split(ifftn(merge(fr, fi), axes=(-3, -2, -1)))
+        Gr, Gi = Gr * total, Gi * total
+    else:
+        Gr, Gi = promote_to_split(ifftn(merge(fr, -fi), axes=(-3, -2, -1)))
+        Gr, Gi = Gr * total, -Gi * total
+    idxs, ws = [], []
+    for pts, nf in zip((x, y, z), nfs):
+        i0, w = _window_weights(_wrap(pts), nf)
+        idxs.append(_gather_idx(i0, nf))
+        ws.append(w)
+    flat = (idxs[0][:, :, None, None] * (nfs[1] * nfs[2])
+            + idxs[1][:, None, :, None] * nfs[2]
+            + idxs[2][:, None, None, :])
+    w3 = (ws[0][:, :, None, None] * ws[1][:, None, :, None]
+          * ws[2][:, None, None, :])
+    Grf = Gr.reshape(*Gr.shape[:-3], -1)
+    Gif = Gi.reshape(*Gi.shape[:-3], -1)
+    cr = jnp.sum(Grf[..., flat] * w3, axis=(-3, -2, -1))
+    ci = jnp.sum(Gif[..., flat] * w3, axis=(-3, -2, -1))
+    return cr, ci

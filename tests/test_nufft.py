@@ -140,3 +140,29 @@ def test_nufft1d3_matches_type2_on_integer_freqs(rng):
     want = np.asarray(ftt.nufft1d2(x, f, isign=-1))
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 2e-4, rel
+
+
+def test_nufft3d_roundtrip_oracle(rng):
+    M, ns = 80, (8, 12, 10)
+    x = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    y = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    z = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    c = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(np.complex64)
+    got = np.asarray(ftt.nufft3d1(x, y, z, c, ns))
+    k1 = _modes(ns[0])[:, None, None, None]
+    k2 = _modes(ns[1])[None, :, None, None]
+    k3 = _modes(ns[2])[None, None, :, None]
+    want = np.sum(c[None, None, None, :].astype(np.complex128)
+                  * np.exp(1j * (k1 * x + k2 * y + k3 * z)), -1)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 5e-5, rel
+
+    f = (rng.standard_normal(ns) + 1j * rng.standard_normal(ns)).astype(np.complex64)
+    got2 = np.asarray(ftt.nufft3d2(x, y, z, f))
+    want2 = np.array([
+        np.sum(f.astype(np.complex128)
+               * np.exp(-1j * (k1[..., 0] * float(xj) + k2[..., 0] * float(yj)
+                               + k3[..., 0] * float(zj))))
+        for xj, yj, zj in zip(x, y, z)])
+    rel2 = np.linalg.norm(got2 - want2) / np.linalg.norm(want2)
+    assert rel2 < 5e-5, rel2
