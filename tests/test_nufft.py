@@ -166,3 +166,30 @@ def test_nufft3d_roundtrip_oracle(rng):
         for xj, yj, zj in zip(x, y, z)])
     rel2 = np.linalg.norm(got2 - want2) / np.linalg.norm(want2)
     assert rel2 < 5e-5, rel2
+
+
+def test_nufft_autodiff(rng):
+    """jax.grad flows through the spread/FFT/gather pipeline (the MRI
+    reconstruction pattern: least-squares data fit through type 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    M, n = 60, 32
+    x = rng.uniform(0, 2 * np.pi, M).astype(np.float32)
+    data = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(np.complex64)
+    dr = jnp.asarray(data.real)
+    di = jnp.asarray(data.imag)
+
+    def loss(fr, fi):
+        v = ftt.nufft1d2(x, (fr, fi), isign=-1)
+        return jnp.sum(jnp.abs(jnp.real(v) - dr) ** 2
+                       + jnp.abs(jnp.imag(v) - di) ** 2)
+
+    fr0 = jnp.zeros(n, jnp.float32)
+    fi0 = jnp.zeros(n, jnp.float32)
+    gr, gi = jax.grad(loss, argnums=(0, 1))(fr0, fi0)
+    # analytic gradient: -2 * adjoint(residual) = -2 * nufft1d1(conj ...)
+    adj = np.asarray(ftt.nufft1d1(x, data, n, isign=+1))
+    assert np.allclose(np.asarray(gr), -2 * adj.real, atol=2e-3), \
+        np.abs(np.asarray(gr) + 2 * adj.real).max()
+    assert np.allclose(np.asarray(gi), -2 * adj.imag, atol=2e-3)
