@@ -8,6 +8,7 @@ sharded multi-chip transforms via `shard_map` + all-to-all over ICI.
 """
 
 from .core.reference import naive_dft, naive_idft
+from .ops.channelizer import channelize, prototype_lowpass
 from .ops.czt import czt, zoom_fft
 from .ops.dct import dct, dctn, dst, dstn, idct, idctn, idst, idstn
 from .ops.helpers import (
@@ -114,6 +115,8 @@ __all__ = [
     "dstn",
     "idstn",
     "czt",
+    "channelize",
+    "prototype_lowpass",
     "mdct",
     "imdct",
     "mdct_frame",

@@ -4,6 +4,7 @@
 * poisson — spectral Poisson solver (local and distributed pencil)
 * navier_stokes — pseudo-spectral 2-D Navier-Stokes (vorticity form)
 * burgers — pseudo-spectral 1-D viscous Burgers (FNO data generator)
+* ks — Kuramoto-Sivashinsky ETDRK4 exponential integrator
 """
 
 from .burgers import (
@@ -13,6 +14,7 @@ from .burgers import (
     cole_hopf_solution,
     random_initial_condition,
 )
+from .ks import ks_init, ks_rollout, ks_step, kt_initial_condition
 from .navier_stokes import ns2d_init, ns2d_rollout, ns2d_step, taylor_green_vorticity
 from .poisson import solve_poisson, solve_poisson_distributed
 from .spectral import (
