@@ -19,12 +19,19 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+if __name__ == "__main__" and "--headline-child" not in sys.argv:
+    # Parent mode must not import jax at all: a second process merely
+    # importing jax while the child owns the TPU can wedge the remote
+    # tunnel (see .claude/skills/verify/SKILL.md gotcha 6).
+    jax = jnp = np = None
+else:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
 
 def _device_time(fn, args, iters=8):
@@ -154,6 +161,77 @@ def bench_batched_1d(n=4096, batch=4096, executor="auto", iters=30):
 
 
 def main():
+    """Parent: run the measurement in a killable child process and forward
+    its output.  A hung remote tunnel blocks inside C calls where an
+    in-process SIGALRM handler never runs, so the only reliable way to
+    guarantee the driver its JSON line is a process boundary: the parent
+    never imports jax (a concurrent jax import can wedge the tunnel), waits
+    for the child's headline line with a hard deadline, and prints an
+    honest failure line itself if the child hangs or dies."""
+    import queue
+    import signal
+    import subprocess
+    import threading
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--headline-child"],
+        stdout=subprocess.PIPE,
+        text=True,
+        start_new_session=True,  # killpg reaches any grandchildren
+    )
+    lines: queue.Queue = queue.Queue()
+
+    def _pump():
+        for line in proc.stdout:
+            lines.put(line)
+        lines.put(None)
+
+    threading.Thread(target=_pump, daemon=True).start()
+
+    def _kill():
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+
+    try:
+        headline = lines.get(
+            timeout=float(os.environ.get("BENCH_HEADLINE_TIMEOUT", "1500")))
+    except queue.Empty:
+        headline = None
+    if headline is None:
+        _kill()
+        print(json.dumps({
+            "metric": "batched 1D C2C FFT N=4096 batch=4096 fp32 GFLOP/s"
+                      " (5NlogN)",
+            "value": 0.0,
+            "unit": "GFLOP/s",
+            "vs_baseline": 0.0,
+            "error": "backend unreachable: measurement child hung or died"
+                     " before producing the headline (remote tunnel down?)",
+            "note": "last completed hardware numbers: BENCHMARKS.md",
+        }), flush=True)
+        return
+    print(headline, end="", flush=True)
+
+    # secondary rows stream on the child's stderr (inherited); bound the
+    # remainder so a wedged row cannot hold the driver forever
+    deadline = time.monotonic() + 2700
+    while True:
+        try:
+            item = lines.get(timeout=max(0.1, deadline - time.monotonic()))
+        except queue.Empty:
+            print("# secondary rows timed out; killing child",
+                  file=sys.stderr, flush=True)
+            _kill()
+            break
+        if item is None:
+            break
+        print(item, end="", flush=True)
+    proc.wait()
+
+
+def child_main():
     import signal
 
     from fft_wgpu_tpu.utils.io import enable_persistent_compilation_cache
@@ -166,16 +244,16 @@ def main():
     except Exception:
         pass
 
-    dev = jax.devices()[0]
-    n, batch = 4096, 4096
-
     # hard stop for the whole headline section: slow remote-compile services
-    # must not starve the driver of the JSON line
+    # must not starve the driver of the JSON line (the parent process holds
+    # a second, kill-based deadline for hangs this alarm cannot interrupt)
     def _alarm(sig, frame):
         raise TimeoutError("bench section timed out")
 
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(1500)
+    signal.alarm(1440)
+    dev = jax.devices()[0]
+    n, batch = 4096, 4096
     dt, rt_err, imp_err = bench_batched_1d(n, batch)
     signal.alarm(0)
     r = roofline(n, batch, dt, passes=1, device=dev)
@@ -303,4 +381,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--headline-child" in sys.argv:
+        child_main()
+    else:
+        main()
