@@ -5,6 +5,7 @@
 * navier_stokes — pseudo-spectral 2-D Navier-Stokes (vorticity form)
 * burgers — pseudo-spectral 1-D viscous Burgers (FNO data generator)
 * ks — Kuramoto-Sivashinsky ETDRK4 exponential integrator
+* ns3d — distributed pseudo-spectral 3-D Navier-Stokes (pencil mesh)
 """
 
 from .burgers import (
@@ -16,6 +17,7 @@ from .burgers import (
 )
 from .ks import ks_init, ks_rollout, ks_step, kt_initial_condition
 from .navier_stokes import ns2d_init, ns2d_rollout, ns2d_step, taylor_green_vorticity
+from .ns3d import abc_flow, ns3d_init, ns3d_rollout, ns3d_step
 from .poisson import solve_poisson, solve_poisson_distributed
 from .spectral import (
     fno1d_apply,
