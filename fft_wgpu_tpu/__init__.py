@@ -8,6 +8,12 @@ sharded multi-chip transforms via `shard_map` + all-to-all over ICI.
 """
 
 from .core.reference import naive_dft, naive_idft
+from .ops.cepstrum import (
+    complex_cepstrum,
+    inverse_complex_cepstrum,
+    minimum_phase,
+    real_cepstrum,
+)
 from .ops.channelizer import channelize, prototype_lowpass
 from .ops.czt import czt, zoom_fft
 from .ops.dct import dct, dctn, dst, dstn, idct, idctn, idst, idstn
@@ -117,6 +123,10 @@ __all__ = [
     "czt",
     "channelize",
     "prototype_lowpass",
+    "real_cepstrum",
+    "complex_cepstrum",
+    "inverse_complex_cepstrum",
+    "minimum_phase",
     "mdct",
     "imdct",
     "mdct_frame",
