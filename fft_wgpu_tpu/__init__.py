@@ -15,6 +15,7 @@ from .ops.cepstrum import (
     real_cepstrum,
 )
 from .ops.channelizer import channelize, prototype_lowpass
+from .ops.cwt import cwt, morlet2, ricker
 from .ops.czt import czt, zoom_fft
 from .ops.dct import dct, dctn, dst, dstn, idct, idctn, idst, idstn
 from .ops.helpers import (
@@ -127,6 +128,9 @@ __all__ = [
     "complex_cepstrum",
     "inverse_complex_cepstrum",
     "minimum_phase",
+    "cwt",
+    "ricker",
+    "morlet2",
     "mdct",
     "imdct",
     "mdct_frame",
