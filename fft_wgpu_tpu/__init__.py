@@ -73,6 +73,7 @@ from .ops.spectral_est import (
 )
 from .ops.stft import bartlett_window, blackman_window, hamming_window, hann_window, istft, stft
 from .ops.transforms import fft, ifft, ifft_unnormalized, normalize
+from .plan.aot import AOTPlan, export_plan, load_plan
 from .plan.parity import Forward, Inverse, Normalize, Onlyinverse
 from .plan.plan import Plan, plan
 from .utils.io import device_get_complex, device_put_complex
@@ -167,6 +168,9 @@ __all__ = [
     "normalize",
     "plan",
     "Plan",
+    "export_plan",
+    "load_plan",
+    "AOTPlan",
     "Forward",
     "Inverse",
     "Onlyinverse",
