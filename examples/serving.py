@@ -39,6 +39,21 @@ def main():
         print(f"request {i}: {time.perf_counter()-t0:.3f}s end-to-end "
               f"(incl. host transfers), |y|={np.linalg.norm(yh):.3e}")
 
+    # AOT artifact: ship the lowered executors; the serving process
+    # replays them with zero Python tracing (plan/aot.py)
+    import tempfile
+
+    art = os.path.join(tempfile.mkdtemp(), "fft4096.ftta")
+    ftt.export_plan(plan, art, batch_shape=(1024,))
+    print(f"exported {os.path.getsize(art)/1024:.0f} KiB artifact")
+    sp = ftt.load_plan(art)
+    re = np.random.default_rng(1).standard_normal((1024, 4096)).astype("float32")
+    im = np.zeros_like(re)
+    t0 = time.perf_counter()
+    fr, fi = sp.forward_split(re, im)
+    fr.block_until_ready()
+    print(f"AOT replay: {time.perf_counter()-t0:.3f}s, {sp!r}")
+
 
 if __name__ == "__main__":
     main()
