@@ -16,6 +16,13 @@ from .ops.cepstrum import (
 )
 from .ops.channelizer import channelize, prototype_lowpass
 from .ops.cwt import cwt, morlet2, ricker
+from .ops.structured import (
+    circulant_matvec,
+    circulant_solve,
+    grf_sample,
+    toeplitz_matvec,
+    toeplitz_solve,
+)
 from .ops.czt import czt, zoom_fft
 from .ops.dct import dct, dctn, dst, dstn, idct, idctn, idst, idstn
 from .ops.helpers import (
@@ -132,6 +139,11 @@ __all__ = [
     "cwt",
     "ricker",
     "morlet2",
+    "circulant_matvec",
+    "circulant_solve",
+    "toeplitz_matvec",
+    "toeplitz_solve",
+    "grf_sample",
     "mdct",
     "imdct",
     "mdct_frame",
