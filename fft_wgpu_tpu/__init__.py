@@ -72,7 +72,11 @@ from .ops.spectral import spectral_derivative, spectral_gradient, spectral_lapla
 from .ops.spectral_est import (
     coherence,
     csd,
+    dpss,
+    flattop_window,
     get_window,
+    kaiser_window,
+    multitaper,
     periodogram,
     spectrogram,
     tukey_window,

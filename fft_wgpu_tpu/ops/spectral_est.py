@@ -40,10 +40,14 @@ from .stft import (
 __all__ = [
     "get_window",
     "tukey_window",
+    "kaiser_window",
+    "flattop_window",
+    "dpss",
     "periodogram",
     "welch",
     "csd",
     "coherence",
+    "multitaper",
     "spectrogram",
 ]
 
@@ -66,12 +70,105 @@ def tukey_window(n: int, alpha: float = 0.5, *, periodic: bool = False):
     return jnp.asarray(w[:n].astype(np.float32))
 
 
+def kaiser_window(n: int, beta: float = 8.6, *, periodic: bool = False):
+    """Kaiser window (scipy.signal.windows.kaiser parity; sym = not periodic)."""
+    if n == 1:
+        return jnp.ones((1,), jnp.float32)
+    m = n + 1 if periodic else n
+    k = np.arange(m, dtype=np.float64)
+    alpha = (m - 1) / 2.0
+    w = np.i0(beta * np.sqrt(1 - ((k - alpha) / alpha) ** 2)) / np.i0(beta)
+    return jnp.asarray(w[:n].astype(np.float32))
+
+
+def flattop_window(n: int, *, periodic: bool = False):
+    """Flat-top window (scipy.signal.windows.flattop coefficients)."""
+    if n == 1:
+        return jnp.ones((1,), jnp.float32)
+    m = n + 1 if periodic else n
+    a = (0.21557895, 0.41663158, 0.277263158, 0.083578947, 0.006947368)
+    k = np.arange(m, dtype=np.float64)
+    fac = 2 * np.pi * k / (m - 1)
+    w = np.zeros(m, np.float64)
+    for j, aj in enumerate(a):
+        w += (-1) ** j * aj * np.cos(j * fac)
+    return jnp.asarray(w[:n].astype(np.float32))
+
+
+def dpss(M: int, NW: float, Kmax: int | None = None, *,
+         return_ratios: bool = False):
+    """Discrete prolate spheroidal (Slepian) tapers.
+
+    scipy.signal.windows.dpss parity (sym=True layout): the first ``Kmax``
+    eigenvectors of the symmetric tridiagonal concentration operator
+    (Percival & Walden eq. 378), computed in f64 on the host — windows are
+    plan-time constants, like every trig table in this framework
+    (CLAUDE.md).  Returns float32 windows ``[Kmax, M]`` (or ``[M]`` when
+    ``Kmax is None``), optionally with the spectral concentration ratios
+    ``lambda_k`` (f64, computed exactly via the sinc-kernel quadratic form
+    evaluated with an FFT linear convolution).
+
+    The reference library has no windowing layer (SURVEY §2); this backs
+    `multitaper`.
+    """
+    if NW <= 0:
+        raise ValueError("NW must be positive")
+    squeeze = Kmax is None
+    if Kmax is None:
+        Kmax = 1
+    Kmax = int(Kmax)
+    if not 0 < Kmax <= M:
+        raise ValueError("Kmax must be in (0, M]")
+    if float(NW) >= M / 2.0:
+        raise ValueError("NW must be < M/2")
+    W = float(NW) / M
+    from scipy.linalg import eigh_tridiagonal
+
+    t = np.arange(M, dtype=np.float64)
+    d = ((M - 1 - 2 * t) / 2.0) ** 2 * np.cos(2 * np.pi * W)
+    e = t[1:] * (M - t[1:]) / 2.0
+    _, wins = eigh_tridiagonal(d, e, select="i",
+                               select_range=(M - Kmax, M - 1))
+    wins = wins[:, ::-1].T  # [Kmax, M], descending concentration
+    # scipy sign convention (Percival & Walden pg 379): symmetric tapers
+    # have positive mean; antisymmetric tapers begin with a positive lobe
+    # (first sample above numerical noise must be positive).
+    fix_even = wins[::2].sum(axis=1) < 0
+    wins[::2][fix_even] *= -1
+    thresh = max(1e-7, 1.0 / M)
+    for i, w in enumerate(wins[1::2]):
+        if w[w * w > thresh][0] < 0:
+            wins[2 * i + 1] *= -1
+    # concentration ratios: lam_k = w^T R w with R[i,j] = sin(2 pi W (i-j))
+    # / (pi (i-j)), diag 2W — evaluated as an FFT linear convolution.
+    lam = None
+    if return_ratios:
+        dlt = np.arange(-(M - 1), M, dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.sin(2 * np.pi * W * dlt) / (np.pi * dlt)
+        r[M - 1] = 2 * W
+        L = int(2 ** np.ceil(np.log2(2 * M - 1)))
+        Rf = np.fft.rfft(r, L)
+        conv = np.fft.irfft(np.fft.rfft(wins, L, axis=1) * Rf, L, axis=1)
+        Rw = conv[:, M - 1:2 * M - 1]
+        lam = np.einsum("km,km->k", wins, Rw)
+    out = jnp.asarray(wins.astype(np.float32))
+    if squeeze:
+        out = out[0]
+        if lam is not None:
+            lam = lam[0]
+    if return_ratios:
+        return out, lam
+    return out
+
+
 _WINDOWS = {
     "hann": hann_window,
     "hanning": hann_window,
     "hamming": hamming_window,
     "blackman": blackman_window,
     "bartlett": bartlett_window,
+    "flattop": flattop_window,
 }
 
 
@@ -90,6 +187,10 @@ def get_window(window, nperseg: int, *, periodic: bool = True):
         name, *params = window
         if name == "tukey":
             return tukey_window(nperseg, *params, periodic=periodic)
+        if name == "kaiser":
+            return kaiser_window(nperseg, *params, periodic=periodic)
+        if name == "dpss":
+            return dpss(nperseg, *params)
         raise ValueError(f"unknown window {window!r}")
     w = jnp.asarray(window, jnp.float32)
     if w.ndim != 1:
@@ -318,6 +419,101 @@ def coherence(x, y, fs: float = 1.0, window="hann",
     return f, jax.jit(
         lambda pr, pi, a, b: (pr * pr + pi * pi) / (a * b)
     )(Pxyr, Pxyi, Pxx, Pyy)
+
+
+def multitaper(x, fs: float = 1.0, NW: float = 4.0, K: int | None = None,
+               nfft: int | None = None, detrend="constant",
+               return_onesided: bool = True, axis: int = -1,
+               weights: str = "adaptive", n_iter: int = 10):
+    """Thomson multitaper PSD estimate with DPSS tapers.
+
+    Not in scipy.signal (scipy has no multitaper); conventions follow
+    Percival & Walden.  ``K`` defaults to ``floor(2 NW) - 1`` tapers.
+    ``weights``: 'unity' (plain mean of eigenspectra), 'eigen'
+    (concentration-weighted mean), or 'adaptive' (Thomson's iterative
+    data-dependent weights, ``n_iter`` fixed-point steps inside the jitted
+    program — no data-dependent Python control flow, CLAUDE.md).
+
+    One jitted program per (shape, K, nfft): the K tapered transforms run
+    as ONE batched R2C/C2C call on the fused Pallas kernels.
+    Returns (f, Pxx) with density scaling (V**2/Hz); Pxx is real float32.
+    """
+    xr, xi = promote_to_split(x)
+    if not _is_complex(x):
+        xi = None
+    n = xr.shape[axis]
+    if K is None:
+        K = max(int(2 * NW) - 1, 1)
+    if nfft is None:
+        nfft = n
+    elif nfft < n:
+        raise ValueError("nfft must be >= signal length")
+    tapers, lam = dpss(n, NW, K, return_ratios=True)
+    onesided = return_onesided and xi is None
+    if weights not in ("unity", "eigen", "adaptive"):
+        raise ValueError(f"invalid weights {weights!r}")
+    lam32 = jnp.asarray(np.asarray(lam, np.float64).astype(np.float32))
+
+    def impl(xr_, xi_):
+        from ..core.twiddle import FORWARD
+        from .nd import fftn_split
+        from .rfft import rfft_last_split
+
+        v_r = jnp.moveaxis(xr_, axis, -1)
+        v_r = _detrend_seg(v_r, detrend)
+        # [..., K, n]: taper axis broadcast against the signal
+        t_r = v_r[..., None, :] * tapers
+        if xi_ is None:
+            if nfft > n:
+                pad = [(0, 0)] * (t_r.ndim - 1) + [(0, nfft - n)]
+                t_r = jnp.pad(t_r, pad)
+            if nfft % 2 == 0:
+                Xr, Xi = rfft_last_split(t_r, None)
+            else:
+                Xr, Xi = fftn_split(t_r, jnp.zeros_like(t_r),
+                                    (t_r.ndim - 1,), FORWARD, None)
+                Xr = Xr[..., : nfft // 2 + 1]
+                Xi = Xi[..., : nfft // 2 + 1]
+        else:
+            v_i = _detrend_seg(jnp.moveaxis(xi_, axis, -1), detrend)
+            t_i = v_i[..., None, :] * tapers
+            if nfft > n:
+                pad = [(0, 0)] * (t_r.ndim - 1) + [(0, nfft - n)]
+                t_r = jnp.pad(t_r, pad)
+                t_i = jnp.pad(t_i, pad)
+            Xr, Xi = fftn_split(t_r, t_i, (t_r.ndim - 1,), FORWARD, None)
+        Sk = (Xr * Xr + Xi * Xi) / fs  # [..., K, bins] eigenspectra
+        if weights == "unity":
+            S = jnp.mean(Sk, axis=-2)
+        elif weights == "eigen":
+            S = jnp.sum(Sk * lam32[:, None], axis=-2) / jnp.sum(lam32)
+        else:
+            # Thomson adaptive weights: b_k = S / (lam_k S + (1-lam_k) s2)
+            s2 = jnp.mean(v_r * v_r, axis=-1, keepdims=True)[..., None]
+            if xi_ is not None:
+                s2 = s2 + jnp.mean(v_i * v_i, axis=-1, keepdims=True)[..., None]
+            lamc = lam32[:, None]
+            S0 = jnp.mean(Sk[..., :2, :], axis=-2)
+
+            def body(_, S):
+                b = S[..., None, :] / (lamc * S[..., None, :]
+                                       + (1 - lamc) * s2 + 1e-30)
+                w = b * b * lamc
+                return jnp.sum(w * Sk, axis=-2) / (jnp.sum(w, axis=-2)
+                                                   + 1e-30)
+
+            S = jax.lax.fori_loop(0, n_iter, body, S0)
+        if onesided:
+            mult = np.full(nfft // 2 + 1, 2.0, np.float32)
+            mult[0] = 1.0
+            if nfft % 2 == 0:
+                mult[-1] = 1.0
+            S = S * mult
+        return jnp.moveaxis(S, -1, axis)
+
+    S = jax.jit(impl)(xr, xi)
+    f = rfftfreq(nfft, 1.0 / fs) if onesided else fftfreq(nfft, 1.0 / fs)
+    return f, S
 
 
 def spectrogram(x, fs: float = 1.0, window=("tukey", 0.25),

@@ -193,3 +193,139 @@ class TestWindows:
         _close(w, arr)
         with pytest.raises(ValueError):
             ftt.get_window(arr, 17)
+
+
+class TestWindows:
+    @pytest.mark.parametrize("n", [64, 65])
+    def test_kaiser(self, n):
+        w = ftt.kaiser_window(n, 8.6)
+        w0 = scipy_signal.windows.kaiser(n, 8.6, sym=True)
+        _close(w, w0, rtol=1e-5)
+        wp = ftt.kaiser_window(n, 5.0, periodic=True)
+        wp0 = scipy_signal.get_window(("kaiser", 5.0), n, fftbins=True)
+        _close(wp, wp0, rtol=1e-5)
+
+    @pytest.mark.parametrize("n", [64, 65])
+    def test_flattop(self, n):
+        _close(ftt.flattop_window(n),
+               scipy_signal.windows.flattop(n, sym=True), rtol=1e-4)
+        _close(ftt.get_window("flattop", n),
+               scipy_signal.get_window("flattop", n, fftbins=True),
+               rtol=1e-4)
+
+    def test_get_window_kaiser_tuple(self):
+        _close(ftt.get_window(("kaiser", 7.0), 128),
+               scipy_signal.get_window(("kaiser", 7.0), 128), rtol=1e-5)
+
+
+class TestDPSS:
+    @pytest.mark.parametrize("M,NW,K", [(128, 3.0, 5), (257, 4.0, 7),
+                                        (64, 2.5, 4)])
+    def test_windows_match_scipy(self, M, NW, K):
+        w = np.asarray(ftt.dpss(M, NW, K))
+        w0 = scipy_signal.windows.dpss(M, NW, K)
+        assert w.shape == (K, M)
+        _close(w, w0, rtol=5e-4, atol=1e-5)
+
+    def test_ratios_match_scipy(self):
+        w, lam = ftt.dpss(200, 4.0, 6, return_ratios=True)
+        w0, lam0 = scipy_signal.windows.dpss(200, 4.0, 6,
+                                             return_ratios=True)
+        _close(np.asarray(w), w0, rtol=5e-4, atol=1e-5)
+        np.testing.assert_allclose(lam, lam0, rtol=1e-6, atol=1e-9)
+        assert np.all(np.diff(lam) < 0) and lam[0] > 0.999
+
+    def test_single_window_squeeze(self):
+        w = ftt.dpss(100, 2.0)
+        assert np.asarray(w).shape == (100,)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            ftt.dpss(64, 40.0, 3)  # NW >= M/2
+        with pytest.raises(ValueError):
+            ftt.dpss(64, 2.0, 0)
+
+
+class TestMultitaper:
+    def _oracle(self, x, fs, NW, K, nfft=None, weights="unity"):
+        """Direct numpy eigenspectrum combination."""
+        n = len(x)
+        nfft = nfft or n
+        tapers, lam = scipy_signal.windows.dpss(n, NW, K,
+                                                return_ratios=True)
+        X = np.fft.rfft(tapers * (x - x.mean()), nfft, axis=-1)
+        Sk = np.abs(X) ** 2 / fs
+        if weights == "unity":
+            S = Sk.mean(axis=0)
+        else:
+            S = (Sk * lam[:, None]).sum(axis=0) / lam.sum()
+        mult = np.full(nfft // 2 + 1, 2.0)
+        mult[0] = 1.0
+        if nfft % 2 == 0:
+            mult[-1] = 1.0
+        return S * mult
+
+    @pytest.mark.parametrize("weights", ["unity", "eigen"])
+    def test_vs_direct_oracle(self, weights):
+        x = _sig(512)
+        f, S = ftt.multitaper(x, fs=1e3, NW=4.0, K=7, weights=weights)
+        S0 = self._oracle(np.asarray(x, np.float64), 1e3, 4.0, 7,
+                          weights=weights)
+        _close(S, S0, rtol=2e-3, atol=1e-5)
+        f0 = np.fft.rfftfreq(512, 1 / 1e3)
+        _close(f, f0)
+
+    def test_nfft_padding(self):
+        x = _sig(300)
+        f, S = ftt.multitaper(x, fs=2.0, NW=3.5, K=6, nfft=512,
+                              weights="unity")
+        S0 = self._oracle(np.asarray(x, np.float64), 2.0, 3.5, 6, nfft=512)
+        assert S.shape == (257,)
+        _close(S, S0, rtol=2e-3, atol=1e-5)
+
+    def test_adaptive_white_noise(self):
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(2048).astype(np.float32)
+        f, S = ftt.multitaper(x, fs=1.0, NW=4.0, weights="adaptive",
+                              detrend=False)
+        S = np.asarray(S, np.float64)
+        assert np.all(S > 0)
+        # white noise, unit variance: integrated PSD ~ variance
+        df = f[1] - f[0]
+        total = np.sum(S * df)
+        assert 0.8 < total < 1.2
+        # adaptive estimate should be close to the unity-weight one here
+        _, Su = ftt.multitaper(x, fs=1.0, NW=4.0, weights="unity",
+                               detrend=False)
+        rel = np.linalg.norm(S - np.asarray(Su)) / np.linalg.norm(Su)
+        assert rel < 0.2
+
+    def test_complex_two_sided(self):
+        x = _sig(256, complex_=True)
+        f, S = ftt.multitaper(x, fs=8.0, NW=3.0, K=5, weights="eigen")
+        assert S.shape == (256,)
+        assert f.shape == (256,)
+        tapers, lam = scipy_signal.windows.dpss(256, 3.0, 5,
+                                                return_ratios=True)
+        xd = np.asarray(x, np.complex128)
+        xd = xd - xd.mean()
+        X = np.fft.fft(tapers * xd, axis=-1)
+        Sk = np.abs(X) ** 2 / 8.0
+        S0 = (Sk * lam[:, None]).sum(axis=0) / lam.sum()
+        _close(S, S0, rtol=2e-3, atol=1e-5)
+
+    def test_sinusoid_peak(self):
+        fs, n = 1e3, 1024
+        t = np.arange(n) / fs
+        x = np.sin(2 * np.pi * 125.0 * t).astype(np.float32)
+        f, S = ftt.multitaper(x, fs=fs, NW=4.0, weights="adaptive")
+        assert abs(f[np.argmax(np.asarray(S))] - 125.0) < 2.0
+
+    def test_batched(self):
+        x = np.stack([_sig(256, seed=i) for i in range(3)])
+        f, S = ftt.multitaper(x, fs=1e3, NW=3.0, K=5, weights="unity")
+        assert S.shape == (3, 129)
+        for i in range(3):
+            _, Si = ftt.multitaper(x[i], fs=1e3, NW=3.0, K=5,
+                                   weights="unity")
+            _close(S[i], Si, rtol=1e-5)
