@@ -23,7 +23,7 @@ from .ops.structured import (
     toeplitz_matvec,
     toeplitz_solve,
 )
-from .ops.czt import czt, zoom_fft
+from .ops.czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
 from .ops.dct import dct, dctn, dst, dstn, idct, idctn, idst, idstn
 from .ops.helpers import (
     fft_convolve,

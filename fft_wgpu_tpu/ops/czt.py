@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.complex_utils import merge, promote_to_split
 
-__all__ = ["czt", "zoom_fft"]
+__all__ = ["czt", "zoom_fft", "CZT", "ZoomFFT", "czt_points"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -105,3 +105,62 @@ def zoom_fft(x, fn, m: int | None = None, *, fs: float = 2.0,
     w = np.exp(-2j * np.pi * (f2 - f1) / (k * fs)) if k > 0 else 1 + 0j
     a = np.exp(2j * np.pi * f1 / fs)
     return czt(x, m=m, w=w, a=a, axis=axis)
+
+
+def czt_points(m: int, w: complex | None = None, a: complex = 1 + 0j):
+    """The m z-plane points a * w^{-k} a CZT evaluates at
+    (scipy.signal.czt_points parity; complex128 on the host)."""
+    m = int(m)
+    if w is None:
+        w = np.exp(-2j * np.pi / m)
+    k = np.arange(m, dtype=np.float64)
+    return complex(a) * np.exp(-k * np.log(complex(w)))
+
+
+class CZT:
+    """Plan-style chirp-Z transform (scipy.signal.CZT parity).
+
+    Construct once per (n, m, w, a); calling replays the cached jitted
+    program — the same build-once/execute-many contract as `plan.Plan`
+    (reference Forward::new / proc, fft_wgpu src/processor.rs:7-159).
+    """
+
+    def __init__(self, n: int, m: int | None = None,
+                 w: complex | None = None, a: complex = 1 + 0j):
+        self.n = int(n)
+        self.m = int(m or n)
+        if w is None:
+            w = np.exp(-2j * np.pi / self.m)
+        self.w = complex(w)
+        self.a = complex(a)
+
+    def __call__(self, x, *, axis: int = -1):
+        re, _ = promote_to_split(x)
+        if re.shape[axis] != self.n:
+            raise ValueError(
+                f"CZT planned for length {self.n}, got {re.shape[axis]}")
+        return czt(x, m=self.m, w=self.w, a=self.a, axis=axis)
+
+    def points(self):
+        """The z-plane points this transform evaluates at."""
+        return czt_points(self.m, self.w, self.a)
+
+
+class ZoomFFT(CZT):
+    """Plan-style zoomed DFT over a frequency band
+    (scipy.signal.ZoomFFT parity): CZT specialized to the unit circle
+    between f1 and f2 at sample rate fs."""
+
+    def __init__(self, n: int, fn, m: int | None = None, *,
+                 fs: float = 2.0, endpoint: bool = False):
+        n = int(n)
+        m = int(m or n)
+        if np.isscalar(fn):
+            f1, f2 = 0.0, float(fn)
+        else:
+            f1, f2 = map(float, fn)
+        k = (m - 1) if endpoint else m
+        w = np.exp(-2j * np.pi * (f2 - f1) / (k * fs)) if k > 0 else 1 + 0j
+        a = np.exp(2j * np.pi * f1 / fs)
+        super().__init__(n, m, w, a)
+        self.f1, self.f2, self.fs = f1, f2, float(fs)
