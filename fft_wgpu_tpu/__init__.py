@@ -83,6 +83,7 @@ from .ops.spectral_est import (
     tukey_window,
     welch,
 )
+from .ops.short_time_fft import ShortTimeFFT
 from .ops.stft import bartlett_window, blackman_window, hamming_window, hann_window, istft, stft
 from .ops.transforms import fft, ifft, ifft_unnormalized, normalize
 from .plan.aot import AOTPlan, export_plan, load_plan
