@@ -15,6 +15,14 @@ from .ops.cepstrum import (
     real_cepstrum,
 )
 from .ops.channelizer import channelize, prototype_lowpass
+from .ops.chebyshev import (
+    cheb_coeffs,
+    cheb_derivative,
+    cheb_integrate,
+    cheb_points,
+    cheb_values,
+    clenshaw_curtis_weights,
+)
 from .ops.cwt import cwt, morlet2, ricker
 from .ops.structured import (
     circulant_matvec,
