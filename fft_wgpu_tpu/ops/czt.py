@@ -89,6 +89,19 @@ def czt(x, m: int | None = None, w: complex | None = None,
     return merge(rr, ii)
 
 
+def _zoom_params(fn, m: int, fs: float, endpoint: bool):
+    """(f1, f2, w, a) for a zoomed DFT over the band `fn` (scipy
+    zoom_fft/ZoomFFT shared derivation)."""
+    if np.isscalar(fn):
+        f1, f2 = 0.0, float(fn)
+    else:
+        f1, f2 = map(float, fn)
+    k = (m - 1) if endpoint else m
+    w = np.exp(-2j * np.pi * (f2 - f1) / (k * fs)) if k > 0 else 1 + 0j
+    a = np.exp(2j * np.pi * f1 / fs)
+    return f1, f2, w, a
+
+
 def zoom_fft(x, fn, m: int | None = None, *, fs: float = 2.0,
              endpoint: bool = False, axis: int = -1):
     """Zoomed DFT over the band [f1, f2] (scipy.signal.zoom_fft semantics:
@@ -97,13 +110,7 @@ def zoom_fft(x, fn, m: int | None = None, *, fs: float = 2.0,
     re, _ = promote_to_split(x)
     n = re.shape[axis]
     m = m or n
-    if np.isscalar(fn):
-        f1, f2 = 0.0, float(fn)
-    else:
-        f1, f2 = map(float, fn)
-    k = (m - 1) if endpoint else m
-    w = np.exp(-2j * np.pi * (f2 - f1) / (k * fs)) if k > 0 else 1 + 0j
-    a = np.exp(2j * np.pi * f1 / fs)
+    _f1, _f2, w, a = _zoom_params(fn, int(m), fs, endpoint)
     return czt(x, m=m, w=w, a=a, axis=axis)
 
 
@@ -155,12 +162,6 @@ class ZoomFFT(CZT):
                  fs: float = 2.0, endpoint: bool = False):
         n = int(n)
         m = int(m or n)
-        if np.isscalar(fn):
-            f1, f2 = 0.0, float(fn)
-        else:
-            f1, f2 = map(float, fn)
-        k = (m - 1) if endpoint else m
-        w = np.exp(-2j * np.pi * (f2 - f1) / (k * fs)) if k > 0 else 1 + 0j
-        a = np.exp(2j * np.pi * f1 / fs)
+        f1, f2, w, a = _zoom_params(fn, m, fs, endpoint)
         super().__init__(n, m, w, a)
         self.f1, self.f2, self.fs = f1, f2, float(fs)

@@ -35,7 +35,7 @@ from ..core.complex_utils import merge, promote_to_split
 __all__ = ["frft"]
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _core_tables(n: int, a: float):
     """Host f64 tables for the core 0.5 <= a <= 1.5 decomposition.
 
@@ -134,10 +134,12 @@ def _core(re, im, n, a):
     return orr[..., n - 1:3 * n - 2:2], oi[..., n - 1:3 * n - 2:2]
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _frft_impl(n: int, a4: float):
     """One jitted program per (n, a mod 4) computing F^a on the last axis
-    of a split pair (leading batch dims are free)."""
+    of a split pair (leading batch dims are free).  Bounded cache: order
+    sweeps (continuous a) would otherwise retain an executable per order
+    forever."""
     a = a4
 
     @jax.jit

@@ -66,13 +66,13 @@ class ShortTimeFFT:
                  fft_mode: str = "onesided", mfft: int | None = None,
                  dual_win=None, scale_to: str | None = None,
                  phase_shift: int | None = 0):
+        if np.iscomplexobj(win):
+            raise ValueError("complex windows are not supported")
         win = np.asarray(win, np.float64)
         if win.ndim != 1 or win.size == 0:
             raise ValueError("win must be a non-empty 1-D array")
         if not np.all(np.isfinite(win)):
             raise ValueError("win must be finite")
-        if np.iscomplexobj(win):
-            raise ValueError("complex windows are not supported")
         if not (isinstance(hop, (int, np.integer)) and hop >= 1):
             raise ValueError(f"hop={hop} must be a positive integer")
         if fft_mode not in _FFT_MODES:
@@ -355,9 +355,10 @@ class ShortTimeFFT:
              k_offset: int = 0, padding: str = "zeros", axis: int = -1):
         """STFT of `x` along `axis`: complex output with the frequency
         axis at `axis`'s position and the time slices appended last."""
+        from .spectral_est import _is_complex
+
         xr, xi = promote_to_split(x)
-        is_c = bool(np.iscomplexobj(x)) if isinstance(x, np.ndarray) else (
-            isinstance(x, (tuple, list)) or jnp.iscomplexobj(x))
+        is_c = _is_complex(x)
         if not is_c:
             xi = None
         if is_c and self.onesided_fft:
@@ -365,7 +366,8 @@ class ShortTimeFFT:
                 "complex input requires fft_mode 'twosided' or 'centered'")
         n = xr.shape[axis]
         p0, p1 = self.p_range(n, p0, p1)
-        key = ("stft", xr.shape, axis, p0, p1, k_offset, padding, is_c)
+        key = ("stft", xr.shape, axis, p0, p1, k_offset, padding, is_c,
+               self.fft_mode, self.phase_shift, self._scaling)
         impl = self._impl_cache.get(key)
         if impl is None:
             mid = self.m_num_mid
@@ -421,7 +423,15 @@ class ShortTimeFFT:
                 if mfft % 2 == 0:
                     mult[-1] = 1.0
                 Xr, Xi = Xr * mult, Xi * mult
-            xr = irfft_last_split(Xr, Xi, mfft, 1.0 / mfft)
+            if mfft % 2 == 0:
+                xr = irfft_last_split(Xr, Xi, mfft, 1.0 / mfft)
+            else:
+                # odd mfft: Hermitian-extend the half spectrum and run the
+                # C2C inverse (the packed C2R kernel is even-length only)
+                Fr = jnp.concatenate([Xr, Xr[..., 1:][..., ::-1]], axis=-1)
+                Fi = jnp.concatenate([Xi, -Xi[..., 1:][..., ::-1]], axis=-1)
+                xr, _ = fftn_split(Fr, Fi, (Fr.ndim - 1,), INVERSE,
+                                   1.0 / mfft)
             xi = None
         else:
             if self.fft_mode == "centered":
@@ -475,7 +485,8 @@ class ShortTimeFFT:
                              f" <= k_max={k_max}")
         if k1 - k0 < n_min:
             raise ValueError("k1 - k0 must be at least ceil(m_num/2)")
-        key = ("istft", Sr.shape, k0, k1)
+        key = ("istft", Sr.shape, k0, k1,
+               self.fft_mode, self.phase_shift, self._scaling)
         impl = self._impl_cache.get(key)
         if impl is None:
             dual32 = np.asarray(self.dual_win, np.float32)

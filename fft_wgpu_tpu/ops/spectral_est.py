@@ -461,6 +461,9 @@ def multitaper(x, fs: float = 1.0, NW: float = 4.0, K: int | None = None,
 
         v_r = jnp.moveaxis(xr_, axis, -1)
         v_r = _detrend_seg(v_r, detrend)
+        # two-sided output needs the full C2C path even for real input
+        if not onesided and xi_ is None:
+            xi_ = jnp.zeros_like(xr_)
         # [..., K, n]: taper axis broadcast against the signal
         t_r = v_r[..., None, :] * tapers
         if xi_ is None:

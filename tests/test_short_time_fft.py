@@ -184,3 +184,33 @@ class TestISTFT:
             ours.istft(S[:-1], k1=64)  # wrong f_pts
         with pytest.raises(ValueError):
             ours.istft(S, k0=-1000, k1=64)
+
+
+class TestReviewRegressions:
+    def test_odd_window_istft(self):
+        # odd m_num with default (odd) mfft must roundtrip
+        w = scipy_signal.windows.hann(7, sym=False)
+        ours = ShortTimeFFT(w, 2, 1.0)
+        sp = scipy_signal.ShortTimeFFT(w, 2, 1.0)
+        x = _sig(40, seed=11)
+        S = ours.stft(x)
+        _close(S, sp.stft(x))
+        xr = np.asarray(ours.istft(S, k1=len(x)))
+        assert np.abs(xr - x).max() < 1e-5
+
+    def test_complex_window_rejected(self):
+        with pytest.raises(ValueError):
+            ShortTimeFFT(np.hanning(8).astype(complex) * 1j, 2, 1.0)
+
+    def test_fft_mode_mutation_refreshes_cache(self):
+        ours, sp = _pair()
+        x = _sig(64, seed=12)
+        _ = ours.stft(x)
+        ours.fft_mode = "twosided"
+        sp.fft_mode = "twosided"
+        _close(ours.stft(x), sp.stft(x))
+
+    def test_list_input_is_real(self):
+        ours, sp = _pair()
+        x = list(np.arange(32.0))
+        _close(ours.stft(x), sp.stft(np.asarray(x)))

@@ -329,3 +329,16 @@ class TestMultitaper:
             _, Si = ftt.multitaper(x[i], fs=1e3, NW=3.0, K=5,
                                    weights="unity")
             _close(S[i], Si, rtol=1e-5)
+
+
+class TestMultitaperTwoSided:
+    def test_real_input_two_sided(self):
+        x = _sig(256)
+        f, S = ftt.multitaper(x, fs=1e3, NW=3.0, K=5,
+                              return_onesided=False, weights="unity")
+        assert f.shape == (256,) and np.asarray(S).shape == (256,)
+        tapers = scipy_signal.windows.dpss(256, 3.0, 5)
+        xd = np.asarray(x, np.float64)
+        xd = xd - xd.mean()
+        Sk = np.abs(np.fft.fft(tapers * xd, axis=-1)) ** 2 / 1e3
+        _close(S, Sk.mean(axis=0), rtol=2e-3, atol=1e-5)
