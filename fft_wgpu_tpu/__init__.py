@@ -94,6 +94,7 @@ from .ops.spectral_est import (
 from .ops.short_time_fft import ShortTimeFFT
 from .ops.stft import bartlett_window, blackman_window, hamming_window, hann_window, istft, stft
 from .ops.transforms import fft, ifft, ifft_unnormalized, normalize
+from .ops.wigner import wigner_ville, wigner_ville_frequencies
 from .plan.aot import AOTPlan, export_plan, load_plan
 from .plan.parity import Forward, Inverse, Normalize, Onlyinverse
 from .plan.plan import Plan, plan
