@@ -356,6 +356,8 @@ def child_main():
          lambda: _1d(1 << 20, 1, 1), budget=900)
     _row("N=2^22 x4 (four-step)", lambda: _1d(1 << 22, 4, 2), budget=900)
     _row("reference shape 2500x512", lambda: _1d(512, 2500, 1))
+    _row("N=8192 x 1024 (big-n1 balanced)", lambda: _1d(8192, 1024, 1))
+    _row("N=16384 x 1024 (big-n1 balanced)", lambda: _1d(16384, 1024, 1))
     _row("2-D 4096x4096 C2C", lambda: _2d(4096))
     def _c2r(n2, b2):
         from fft_wgpu_tpu.ops.rfft import irfft_last_split

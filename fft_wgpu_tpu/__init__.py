@@ -34,6 +34,8 @@ from .ops.structured import (
 from .ops.czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
 from .ops.dct import dct, dctn, dst, dstn, idct, idctn, idst, idstn
 from .ops.helpers import (
+    dht,
+    idht,
     fft_convolve,
     fftconvolve,
     fftcorrelate,

@@ -257,3 +257,30 @@ def test_hilbert2_vs_scipy(rng, assert_close):
                      what=f"hilbert2 {shape}")
     with pytest.raises(ValueError):
         ftt.hilbert2(np.zeros((4, 4), np.complex64))
+
+
+class TestDHT:
+    def _oracle(self, x):
+        n = x.shape[-1]
+        j = np.arange(n)
+        cas = (np.cos(2 * np.pi * np.outer(j, j) / n)
+               + np.sin(2 * np.pi * np.outer(j, j) / n))
+        return x.astype(np.float64) @ cas
+
+    @pytest.mark.parametrize("n", [16, 17, 128])
+    def test_vs_direct(self, n, rng):
+        x = rng.standard_normal(n).astype(np.float32)
+        got = np.asarray(ftt.dht(x), np.float64)
+        want = self._oracle(x)
+        assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+
+    def test_self_inverse(self, rng):
+        x = rng.standard_normal((3, 64)).astype(np.float32)
+        y = np.asarray(ftt.idht(np.asarray(ftt.dht(x))))
+        np.testing.assert_allclose(y, x, atol=1e-5)
+
+    def test_axis(self, rng):
+        x = rng.standard_normal((32, 4)).astype(np.float32)
+        a = np.asarray(ftt.dht(x, axis=0))
+        b = np.asarray(ftt.dht(x.T, axis=-1)).T
+        np.testing.assert_allclose(a, b, atol=1e-5)
