@@ -60,6 +60,8 @@ from .ops.nufft import (
     nufft1d1,
     nufft1d2,
     nufft1d3,
+    nufft2d3,
+    nufft3d3,
     nufft2d1,
     nufft2d2,
     nufft3d1,
@@ -173,6 +175,8 @@ __all__ = [
     "nufft2d2",
     "nufft3d1",
     "nufft3d2",
+    "nufft2d3",
+    "nufft3d3",
     "zoom_fft",
     "fht",
     "ifht",

@@ -44,6 +44,7 @@ import numpy as np
 from ..core.complex_utils import merge, promote_to_split
 
 __all__ = ["nufft1d1", "nufft1d2", "nufft1d3", "nufft2d1",
+           "nufft2d3", "nufft3d3",
            "nufft2d2", "nufft3d1", "nufft3d2"]
 
 _SIGMA = 2.0  # oversampling factor
@@ -276,25 +277,151 @@ def nufft1d3(x, c, s, *, isign: int = +1):
     cr, ci = promote_to_split(c)
     x = jnp.asarray(x, jnp.float32)
     s = jnp.asarray(s, jnp.float32)
-    # centers/extents are data-dependent: they become STATIC trace
-    # constants (h, tau, n), so each new point-set geometry compiles its
-    # own program — repeated transforms over the same geometry (the
-    # common iterative-reconstruction pattern) replay the cached one
+    (xc, sc, h, tau, n) = _t3_geom(x, s)
+    return merge(*_impl_1d3(x, cr, ci, s, n=n, h=h, tau=tau, xc=xc, sc=sc,
+                            isign=int(isign >= 0)))
+
+
+def _t3_geom(x, s):
+    """Per-dimension type-3 geometry (xc, sc, h, tau, n): centers/extents
+    are data-dependent and become STATIC trace constants, so each new
+    point-set geometry compiles its own program — repeated transforms
+    over the same geometry (the common iterative-reconstruction pattern)
+    replay the cached one."""
     xh = np.asarray(x, np.float64)
     sh = np.asarray(s, np.float64)
     xc = float((xh.max() + xh.min()) / 2.0) if xh.size else 0.0
     sc = float((sh.max() + sh.min()) / 2.0) if sh.size else 0.0
     X = max(float(np.abs(xh - xc).max()) if xh.size else 0.0, 1e-30)
     S = max(float(np.abs(sh - sc).max()) if sh.size else 0.0, 1e-30)
-
     h = math.pi / (_SIGMA * S)
     tau = _WIDTH * h / (8.0 * math.sqrt(2.0) * S)
     from .helpers import next_fast_len
 
     n = next_fast_len(2 * (int(math.ceil(X / h)) + _WIDTH + 2))
+    return xc, sc, h, tau, n
 
-    return merge(*_impl_1d3(x, cr, ci, s, n=n, h=h, tau=tau, xc=xc, sc=sc,
+
+def _t3_phase(cr, ci, ph):
+    """Multiply the split pair by e^{i ph} (elementwise)."""
+    cph, sph = jnp.cos(ph), jnp.sin(ph)
+    return cr * cph - ci * sph, cr * sph + ci * cph
+
+
+def _t3_spread_weights(xp, h, tau, n):
+    """Free-space Gaussian spreading stencil for centered points xp on
+    the grid u_i = (i - n/2) h: returns (idx [M, W], wts [M, W])."""
+    xi = xp * jnp.float32(1.0 / h) + jnp.float32(n // 2)
+    i0 = jnp.floor(xi).astype(jnp.int32) - (_WIDTH // 2 - 1)
+    l = jnp.arange(_WIDTH, dtype=jnp.float32)[None, :]
+    d = (xi[:, None] - (i0[:, None].astype(jnp.float32) + l)) * jnp.float32(h)
+    wts = jnp.exp(-(d * d) * jnp.float32(1.0 / (4.0 * tau)))
+    idx = jnp.clip(i0[:, None] + jnp.arange(_WIDTH, dtype=jnp.int32), 0,
+                   n - 1)
+    return idx, wts
+
+
+def nufft2d3(x, y, c, s, t, *, isign: int = +1):
+    """2-D type-3 NUFFT: f_k = sum_j c_j e^{isign i (s_k x_j + t_k y_j)}
+    for arbitrary points (x, y)_j and frequencies (s, t)_k (finufft
+    nufft2d3 semantics).  Separable Lee-Greengard reduction to type 2:
+    per-dimension geometry from _t3_geom, product Gaussian spreading,
+    one _impl_2d2 evaluation, product deconvolution."""
+    cr, ci = promote_to_split(c)
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    s = jnp.asarray(s, jnp.float32)
+    t = jnp.asarray(t, jnp.float32)
+    g1 = _t3_geom(x, s)
+    g2 = _t3_geom(y, t)
+    return merge(*_impl_2d3(x, y, cr, ci, s, t, g1=g1, g2=g2,
                             isign=int(isign >= 0)))
+
+
+@partial(jax.jit, static_argnames=("g1", "g2", "isign"))
+def _impl_2d3(x, y, cr, ci, s, t, *, g1, g2, isign):
+    sgn = 1.0 if isign else -1.0
+    (xc, sc, h1, tau1, n1) = g1
+    (yc, tc, h2, tau2, n2) = g2
+    xp, yp = x - jnp.float32(xc), y - jnp.float32(yc)
+    sp, tp = s - jnp.float32(sc), t - jnp.float32(tc)
+    # source-side center phase e^{isign i (sc x' + tc y')}
+    c2r, c2i = _t3_phase(cr, ci, sgn * (jnp.float32(sc) * xp
+                                        + jnp.float32(tc) * yp))
+    ix, wx = _t3_spread_weights(xp, h1, tau1, n1)
+    iy, wy = _t3_spread_weights(yp, h2, tau2, n2)
+    flat = ix[:, :, None] * n2 + iy[:, None, :]
+    w2 = wx[:, :, None] * wy[:, None, :]
+    lead = cr.shape[:-1]
+    gr = jnp.zeros((*lead, n1 * n2), jnp.float32)
+    gi = jnp.zeros((*lead, n1 * n2), jnp.float32)
+    gr = gr.at[..., flat].add(c2r[..., :, None, None] * w2)
+    gi = gi.at[..., flat].add(c2i[..., :, None, None] * w2)
+    gr = gr.reshape(*lead, n1, n2)
+    gi = gi.reshape(*lead, n1, n2)
+    th1 = sp * jnp.float32(h1)
+    th2 = tp * jnp.float32(h2)
+    vr, vi = _impl_2d2(th1, th2, gr, gi, n1=n1, n2=n2, isign=isign)
+    # product deconvolution + uncentered-frequency center phase
+    amp = (jnp.float32(h1 * h2
+                       / (4.0 * math.pi * math.sqrt(tau1 * tau2)))
+           * jnp.exp(sp * sp * jnp.float32(tau1)
+                     + tp * tp * jnp.float32(tau2)))
+    ph2 = sgn * (s * jnp.float32(xc) + t * jnp.float32(yc))
+    c2, s2 = jnp.cos(ph2) * amp, jnp.sin(ph2) * amp
+    return vr * c2 - vi * s2, vr * s2 + vi * c2
+
+
+def nufft3d3(x, y, z, c, s, t, u, *, isign: int = +1):
+    """3-D type-3 NUFFT: f_k = sum_j c_j e^{isign i (s x + t y + u z)}
+    (finufft nufft3d3 semantics); see nufft2d3."""
+    cr, ci = promote_to_split(c)
+    arrs = [jnp.asarray(v, jnp.float32) for v in (x, y, z, s, t, u)]
+    x, y, z, s, t, u = arrs
+    g1, g2, g3 = _t3_geom(x, s), _t3_geom(y, t), _t3_geom(z, u)
+    return merge(*_impl_3d3(x, y, z, cr, ci, s, t, u, g1=g1, g2=g2, g3=g3,
+                            isign=int(isign >= 0)))
+
+
+@partial(jax.jit, static_argnames=("g1", "g2", "g3", "isign"))
+def _impl_3d3(x, y, z, cr, ci, s, t, u, *, g1, g2, g3, isign):
+    sgn = 1.0 if isign else -1.0
+    (xc, sc, h1, tau1, n1) = g1
+    (yc, tc, h2, tau2, n2) = g2
+    (zc, uc, h3, tau3, n3) = g3
+    xp, yp, zp = (x - jnp.float32(xc), y - jnp.float32(yc),
+                  z - jnp.float32(zc))
+    sp, tp, up = (s - jnp.float32(sc), t - jnp.float32(tc),
+                  u - jnp.float32(uc))
+    c2r, c2i = _t3_phase(cr, ci, sgn * (jnp.float32(sc) * xp
+                                        + jnp.float32(tc) * yp
+                                        + jnp.float32(uc) * zp))
+    ix, wx = _t3_spread_weights(xp, h1, tau1, n1)
+    iy, wy = _t3_spread_weights(yp, h2, tau2, n2)
+    iz, wz = _t3_spread_weights(zp, h3, tau3, n3)
+    flat = (ix[:, :, None, None] * (n2 * n3)
+            + iy[:, None, :, None] * n3 + iz[:, None, None, :])
+    w3 = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+    lead = cr.shape[:-1]
+    gr = jnp.zeros((*lead, n1 * n2 * n3), jnp.float32)
+    gi = jnp.zeros((*lead, n1 * n2 * n3), jnp.float32)
+    gr = gr.at[..., flat].add(c2r[..., :, None, None, None] * w3)
+    gi = gi.at[..., flat].add(c2i[..., :, None, None, None] * w3)
+    gr = gr.reshape(*lead, n1, n2, n3)
+    gi = gi.reshape(*lead, n1, n2, n3)
+    vr, vi = _impl_3d2(sp * jnp.float32(h1), tp * jnp.float32(h2),
+                       up * jnp.float32(h3), gr, gi,
+                       n1=n1, n2=n2, n3=n3, isign=isign)
+    amp = (jnp.float32(h1 * h2 * h3
+                       / (8.0 * math.pi ** 1.5
+                          * math.sqrt(tau1 * tau2 * tau3)))
+           * jnp.exp(sp * sp * jnp.float32(tau1)
+                     + tp * tp * jnp.float32(tau2)
+                     + up * up * jnp.float32(tau3)))
+    ph2 = sgn * (s * jnp.float32(xc) + t * jnp.float32(yc)
+                 + u * jnp.float32(zc))
+    c2, s2 = jnp.cos(ph2) * amp, jnp.sin(ph2) * amp
+    return vr * c2 - vi * s2, vr * s2 + vi * c2
 
 
 @partial(jax.jit, static_argnames=("n", "h", "tau", "xc", "sc", "isign"))
@@ -303,19 +430,11 @@ def _impl_1d3(x, cr, ci, s, *, n, h, tau, xc, sc, isign):
     xp = x - jnp.float32(xc)   # centered points
     sp = s - jnp.float32(sc)   # centered frequencies
     # c'_j = c_j e^{isign i sc x'_j} (center phase on the source side)
-    ph = sgn * jnp.float32(sc) * xp
-    cph, sph = jnp.cos(ph), jnp.sin(ph)
-    c2r = cr * cph - ci * sph
-    c2i = cr * sph + ci * cph
+    c2r, c2i = _t3_phase(cr, ci, sgn * jnp.float32(sc) * xp)
 
     # free-space spread onto u_i = (i - n/2) h, i = 0..n-1 (no wrap: the
     # grid over-covers the point extent by construction)
-    xi = xp * jnp.float32(1.0 / h) + jnp.float32(n // 2)
-    i0 = jnp.floor(xi).astype(jnp.int32) - (_WIDTH // 2 - 1)
-    l = jnp.arange(_WIDTH, dtype=jnp.float32)[None, :]
-    d = (xi[:, None] - (i0[:, None].astype(jnp.float32) + l)) * jnp.float32(h)
-    wts = jnp.exp(-(d * d) * jnp.float32(1.0 / (4.0 * tau)))
-    idx = jnp.clip(i0[:, None] + jnp.arange(_WIDTH, dtype=jnp.int32), 0, n - 1)
+    idx, wts = _t3_spread_weights(xp, h, tau, n)
     lead = cr.shape[:-1]
     gr = jnp.zeros((*lead, n), jnp.float32)
     gi = jnp.zeros((*lead, n), jnp.float32)

@@ -193,3 +193,65 @@ def test_nufft_autodiff(rng):
     assert np.allclose(np.asarray(gr), -2 * adj.real, atol=2e-3), \
         np.abs(np.asarray(gr) + 2 * adj.real).max()
     assert np.allclose(np.asarray(gi), -2 * adj.imag, atol=2e-3)
+
+
+class TestType3ND:
+    def test_2d3_vs_direct(self, rng):
+        M, K = 120, 80
+        x = rng.uniform(-3.0, 2.0, M).astype(np.float32)
+        y = rng.uniform(0.5, 6.0, M).astype(np.float32)
+        c = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(
+            np.complex64)
+        s = rng.uniform(-12.0, 9.0, K).astype(np.float32)
+        t = rng.uniform(-5.0, 15.0, K).astype(np.float32)
+        want = np.exp(1j * (s[:, None].astype(np.float64) * x[None, :]
+                            + t[:, None].astype(np.float64) * y[None, :])
+                      ) @ c.astype(np.complex128)
+        got = np.asarray(ftt.device_get_complex(ftt.nufft2d3(x, y, c, s, t)))
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 5e-5, rel
+
+    def test_2d3_isign_minus(self, rng):
+        M, K = 60, 50
+        x = rng.uniform(-1.0, 1.0, M).astype(np.float32)
+        y = rng.uniform(-2.0, 2.0, M).astype(np.float32)
+        c = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(
+            np.complex64)
+        s = rng.uniform(-8.0, 8.0, K).astype(np.float32)
+        t = rng.uniform(-8.0, 8.0, K).astype(np.float32)
+        want = np.exp(-1j * (s[:, None].astype(np.float64) * x[None, :]
+                             + t[:, None].astype(np.float64) * y[None, :])
+                      ) @ c.astype(np.complex128)
+        got = np.asarray(ftt.device_get_complex(
+            ftt.nufft2d3(x, y, c, s, t, isign=-1)))
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 5e-5, rel
+
+    def test_3d3_vs_direct(self, rng):
+        M, K = 70, 40
+        pts = [rng.uniform(-2.0, 2.0, M).astype(np.float32) for _ in range(3)]
+        c = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(
+            np.complex64)
+        fr = [rng.uniform(-6.0, 6.0, K).astype(np.float32) for _ in range(3)]
+        phase = sum(f[:, None].astype(np.float64) * p[None, :]
+                    for f, p in zip(fr, pts))
+        want = np.exp(1j * phase) @ c.astype(np.complex128)
+        got = np.asarray(ftt.device_get_complex(
+            ftt.nufft3d3(*pts, c, *fr)))
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 5e-5, rel
+
+    def test_2d3_batched(self, rng):
+        M, K = 40, 30
+        x = rng.uniform(-1.0, 1.0, M).astype(np.float32)
+        y = rng.uniform(-1.0, 1.0, M).astype(np.float32)
+        c = (rng.standard_normal((2, M)) + 1j * rng.standard_normal((2, M))
+             ).astype(np.complex64)
+        s = rng.uniform(-5.0, 5.0, K).astype(np.float32)
+        t = rng.uniform(-5.0, 5.0, K).astype(np.float32)
+        got = np.asarray(ftt.device_get_complex(ftt.nufft2d3(x, y, c, s, t)))
+        for b in range(2):
+            one = np.asarray(ftt.device_get_complex(
+                ftt.nufft2d3(x, y, c[b], s, t)))
+            rel = np.linalg.norm(got[b] - one) / np.linalg.norm(one)
+            assert rel < 1e-6, rel
