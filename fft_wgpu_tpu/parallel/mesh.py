@@ -14,7 +14,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh", "make_pencil_mesh"]
+__all__ = ["make_mesh", "make_pencil_mesh", "make_hybrid_mesh"]
 
 
 def make_mesh(shape=None, axis_names=("x",), devices=None) -> Mesh:
@@ -42,3 +42,30 @@ def make_pencil_mesh(devices=None, axis_names=("px", "py")) -> Mesh:
             p1 = d
             break
     return make_mesh((p1, nd // p1), axis_names, devices)
+
+
+def make_hybrid_mesh(axis_names=("dcn", "ici"), devices=None) -> Mesh:
+    """Multi-slice (ICI x DCN) 2-D mesh: the MINOR axis stays within one
+    TPU slice (collectives along it ride ICI), the MAJOR axis crosses
+    slice boundaries (DCN).
+
+    Slice membership comes from each device's `slice_index` attribute
+    (present on real multi-slice TPU deployments); devices without it —
+    single-slice TPUs, the virtual CPU mesh — fall back to ONE slice,
+    i.e. a [1, n] mesh whose minor axis is all-ICI.  For the pencil
+    transforms, lay shardings out so the X<->Y corner turn (the
+    per-step all-to-all) maps to the 'ici' axis and only batch/outer
+    parallelism to 'dcn' — DCN all-to-all bandwidth is an order of
+    magnitude below ICI (utils/roofline.pencil_fft3d_model).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    slices: dict = {}
+    for d in devices:
+        slices.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    counts = {len(v) for v in slices.values()}
+    if len(counts) != 1:
+        raise ValueError(
+            f"uneven slices: {sorted((k, len(v)) for k, v in slices.items())}")
+    per = counts.pop()
+    ordered = [d for k in sorted(slices) for d in slices[k]]
+    return make_mesh((len(slices), per), axis_names, ordered)

@@ -198,3 +198,53 @@ def test_rfft3d_batched_roundtrip(rng, assert_close):
                  what="batched pencil rfft3d")
     y = pencil.irfft3d(X, 32, m)
     assert_close(y, x, what="batched pencil irfft3d roundtrip")
+
+
+class TestHybridMesh:
+    def test_single_slice_fallback_shape(self):
+        m = meshlib.make_hybrid_mesh()
+        assert m.devices.shape == (1, 8)
+        assert m.axis_names == ("dcn", "ici")
+
+    def test_fft3d_on_hybrid_minor_axis(self, rng, assert_close):
+        # pencil transform with the corner turns on the all-ICI minor
+        # axis: relabel the hybrid mesh's axes into the pencil names
+        devs = list(np.asarray(meshlib.make_hybrid_mesh().devices).ravel())
+        m = meshlib.make_mesh((2, 4), ("px", "py"), devs)
+        x = crand(rng, 8, 8, 8)
+        got = np.asarray(jax.device_get(
+            pencil.ifft3d(pencil.fft3d(x, m), m)))
+        assert_close(got, x, tol=1e-5)
+
+    def test_uneven_slices_rejected(self, monkeypatch):
+        devs = jax.devices()
+
+        class D:
+            def __init__(self, d, s):
+                self._d = d
+                self.slice_index = s
+
+            def __getattr__(self, k):
+                return getattr(self._d, k)
+
+        fake = [D(d, 0) for d in devs[:5]] + [D(d, 1) for d in devs[5:]]
+        with pytest.raises(ValueError):
+            meshlib.make_hybrid_mesh(devices=fake)
+
+    def test_two_fake_slices_grouping(self):
+        devs = jax.devices()
+
+        class D:
+            def __init__(self, d, s):
+                self._d = d
+                self.slice_index = s
+
+            def __getattr__(self, k):
+                return getattr(self._d, k)
+
+        # interleave the slice labels; the builder must group them
+        fake = [D(d, i % 2) for i, d in enumerate(devs)]
+        m = meshlib.make_hybrid_mesh(devices=fake)
+        assert m.devices.shape == (2, 4)
+        assert all(d.slice_index == 0 for d in m.devices[0])
+        assert all(d.slice_index == 1 for d in m.devices[1])
