@@ -53,7 +53,7 @@ from .ops.helpers import (
     rfftfreq,
 )
 from .ops.fftlog import fht, fhtoffset, ifht
-from .ops.frft import frft
+from .ops.frft import frft, frft2
 from .ops.nd import fft2, fftn, ifft2, ifftn
 from .ops.mdct import imdct, imdct_frame, mdct, mdct_frame, sine_window
 from .ops.nufft import (

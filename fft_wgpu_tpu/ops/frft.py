@@ -3,8 +3,16 @@
 `frft(x, a)` computes the order-`a` fractional Fourier transform on the
 dimensionless grid x_n = (n - N/2) / sqrt(N): a=0 is the identity, a=1
 the (centered, unitary) DFT, a=2 the parity operator, a=3 the inverse
-DFT; fractional orders interpolate (F^a F^b = F^{a+b}, exactly additive
-and unitary by construction here).
+DFT; fractional orders interpolate (F^a F^b = F^{a+b}).
+
+ADMISSIBILITY (standard for chirp-based FrFT algorithms): fractional
+orders are accurate for signals whose energy is concentrated inside the
+dimensionless time-frequency disk |x|, |f| < sqrt(N)/2 — e.g. anything
+with a decaying envelope and bounded bandwidth.  Signals that fill the
+TF square to its corners (e.g. white noise) lose the corner content
+(~40% L2 for pure noise); integer orders remain exact for ALL inputs.
+Group properties (additivity, unitarity, roundtrip) hold to roundoff on
+admissible signals and degrade together with the accuracy otherwise.
 
 Algorithm (Ozaktas et al., "Digital computation of the fractional
 Fourier transform", IEEE TSP 44(9), 1996): reduce a to the well-
@@ -32,7 +40,7 @@ import numpy as np
 
 from ..core.complex_utils import merge, promote_to_split
 
-__all__ = ["frft"]
+__all__ = ["frft", "frft2"]
 
 
 @functools.lru_cache(maxsize=64)
@@ -171,9 +179,10 @@ def _frft_impl(n: int, a4: float):
 def frft(x, a: float, *, axis: int = -1):
     """Fractional Fourier transform of order `a` along `axis`.
 
-    Returns complex64.  Exactly additive (frft(frft(x, a), b) ==
-    frft(x, a + b) to roundoff) and unitary; a=1 is the centered unitary
-    DFT on the grid x_n = (n - N/2)/sqrt(N).
+    Returns complex64.  Additive (frft(frft(x, a), b) == frft(x, a + b))
+    and unitary to roundoff on time-frequency-concentrated signals (see
+    module docstring for the admissibility caveat); a=1 is the centered
+    unitary DFT on the grid x_n = (n - N/2)/sqrt(N) exactly.
     """
     re, im = promote_to_split(x)
     a4 = float(np.mod(a, 4.0))
@@ -181,3 +190,15 @@ def frft(x, a: float, *, axis: int = -1):
     im = jnp.moveaxis(im, axis, -1)
     rr, ii = _frft_impl(re.shape[-1], a4)(re, im)
     return merge(jnp.moveaxis(rr, -1, axis), jnp.moveaxis(ii, -1, axis))
+
+
+def frft2(x, a, *, axes=(-2, -1)):
+    """Separable 2-D fractional Fourier transform (the standard optical
+    FrFT): order `a` — a scalar or an (a0, a1) pair — applied along both
+    `axes`.  frft2(x, 1) is the centered unitary 2-D DFT."""
+    if np.ndim(a) == 0:
+        a0 = a1 = float(a)
+    else:
+        a0, a1 = map(float, a)
+    ax0, ax1 = axes
+    return frft(frft(x, a0, axis=ax0), a1, axis=ax1)

@@ -105,3 +105,44 @@ class TestGroup:
         F = np.asarray(ftt.frft(f, 1.0))
         assert F.dtype == np.complex64
         assert _rel(F, _direct(f, 1.0)) < 1e-5
+
+
+class TestFrft2:
+    def test_order1_is_centered_2d_dft(self):
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal((32, 32))
+             + 1j * rng.standard_normal((32, 32))).astype(np.complex64)
+        got = np.asarray(ftt.frft2(x, 1.0))
+        n = 32
+        shft = (np.arange(n) + n // 2) % n
+        g = x[np.ix_(shft, shft)]
+        F = np.fft.fft2(g) / n
+        want = np.empty_like(F)
+        want[np.ix_(shft, shft)] = F
+        assert _rel(got, want) < 1e-5
+
+    def test_separable_orders_and_roundtrip(self):
+        # admissible (TF-concentrated) 2-D signal — see module docstring
+        # n large enough that the Gaussian envelope is well-contained in
+        # the +-sqrt(n)/2 grid (admissibility truncation ~exp(-n/4))
+        x = np.outer(_sig(64, seed=4), _sig(96, seed=5)).astype(np.complex64)
+        F = ftt.frft2(x, (0.7, 1.2))
+        seq = ftt.frft(ftt.frft(x, 0.7, axis=0), 1.2, axis=1)
+        assert _rel(np.asarray(F), np.asarray(seq)) < 1e-7
+        rec = ftt.frft2(F, (-0.7, -1.2))
+        assert _rel(np.asarray(rec), x) < 1e-4
+
+    def test_noise_is_inadmissible_but_integer_orders_exact(self):
+        # document the admissibility caveat: broadband noise loses TF
+        # corner content at fractional orders, but integer orders stay
+        # exact for every input
+        rng = np.random.default_rng(6)
+        x = (rng.standard_normal(64)
+             + 1j * rng.standard_normal(64)).astype(np.complex64)
+        rec = ftt.frft(ftt.frft(x, 0.7), -0.7)
+        assert _rel(np.asarray(rec), x) > 1e-2  # genuinely lossy
+        n = 64
+        shft = (np.arange(n) + n // 2) % n
+        want = np.empty(n, complex)
+        want[shft] = np.fft.fft(x[shft]) / np.sqrt(n)
+        assert _rel(np.asarray(ftt.frft(x, 1.0)), want) < 1e-6
