@@ -149,3 +149,24 @@ def test_split_domain_plan_methods(rng):
     Yr, Yi = pd.forward_split(a, b)
     err = np.linalg.norm((np.asarray(Yr) + 1j * np.asarray(Yi)) - ref)
     assert err / np.linalg.norm(ref) < 1e-5
+
+
+class TestCLI:
+    def test_info_and_selftest(self, capsys):
+        from fft_wgpu_tpu.__main__ import main
+        import json
+
+        assert main(["info"]) == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        d = json.loads(out)
+        assert d["backend"] and d["device_count"] >= 1
+        assert main(["selftest", "--n", "256"]) == 0
+
+    def test_export_plan_cli(self, tmp_path):
+        from fft_wgpu_tpu.__main__ import main
+
+        out = str(tmp_path / "p.ftt")
+        assert main(["export-plan", "128", out, "--batch", "4"]) == 0
+        import os
+
+        assert os.path.getsize(out) > 0
