@@ -156,3 +156,62 @@ def test_jvp_forward_mode(data):
     refr = jnp.fft.rfft(tx, axis=-1)
     assert _relg(dR, jnp.real(refr)) < 1e-5
     assert _relg(dI, jnp.imag(refr)) < 1e-5
+
+
+class TestNewOpsAD:
+    def test_frft_adjoint_consistency(self, rng):
+        # frft is linear: <F x, y> == <x, F^H y> with F^H = F^{-a}
+        import jax
+        import jax.numpy as jnp
+        import fft_wgpu_tpu as ftt
+
+        n, a = 96, 0.8
+        xr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        xi = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+        def loss(re, im):
+            F = ftt.frft(jax.lax.complex(re, im), a)
+            return jnp.sum(jnp.real(F) ** 2 + jnp.imag(F) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1))(xr, xi)
+        # numerical directional derivative
+        dr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        di = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        eps = 1e-3
+        f1 = loss(xr + eps * dr, xi + eps * di)
+        f0 = loss(xr - eps * dr, xi - eps * di)
+        num = (f1 - f0) / (2 * eps)
+        ana = jnp.sum(g[0] * dr + g[1] * di)
+        assert abs(float(num - ana)) / abs(float(ana)) < 2e-3
+
+    def test_dht_grad(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import fft_wgpu_tpu as ftt
+
+        x = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+        g = jax.grad(lambda v: jnp.sum(ftt.dht(v) ** 2))(x)
+        # DHT is symmetric: grad = 2 * DHT(DHT(x)) = 2 n x
+        np.testing.assert_allclose(np.asarray(g), 2 * 64 * np.asarray(x),
+                                   rtol=1e-4)
+
+    def test_short_time_fft_grad_flows(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import scipy.signal as ss
+        import fft_wgpu_tpu as ftt
+
+        st = ftt.ShortTimeFFT(ss.windows.hann(16, sym=False), 4, 1.0)
+        x = jnp.asarray(rng.standard_normal(80).astype(np.float32))
+
+        def loss(v):
+            S = st.stft(v)
+            return jnp.sum(jnp.abs(S) ** 2)
+
+        g = jax.grad(loss)(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+        d = jnp.asarray(rng.standard_normal(80).astype(np.float32))
+        eps = 1e-2
+        num = (loss(x + eps * d) - loss(x - eps * d)) / (2 * eps)
+        ana = jnp.sum(g * d)
+        assert abs(float(num - ana)) / max(abs(float(ana)), 1e-6) < 5e-3
