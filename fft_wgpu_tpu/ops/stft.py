@@ -17,6 +17,7 @@ __all__ = ["hann_window", "hamming_window", "blackman_window", "bartlett_window"
 
 
 def hann_window(n: int, *, periodic: bool = True):
+    """Hann window (periodic=True matches scipy fftbins=True)."""
     if n == 1:
         return jnp.ones((1,), jnp.float32)  # numpy parity; avoids m == 0
     m = n if periodic else n - 1
@@ -25,6 +26,7 @@ def hann_window(n: int, *, periodic: bool = True):
 
 
 def hamming_window(n: int, *, periodic: bool = True):
+    """Hamming window (periodic=True matches scipy fftbins=True)."""
     if n == 1:
         return jnp.ones((1,), jnp.float32)  # numpy parity; avoids m == 0
     m = n if periodic else n - 1
@@ -33,6 +35,7 @@ def hamming_window(n: int, *, periodic: bool = True):
 
 
 def blackman_window(n: int, *, periodic: bool = True):
+    """Blackman window (periodic=True matches scipy fftbins=True)."""
     if n == 1:
         return jnp.ones((1,), jnp.float32)  # numpy parity; avoids m == 0
     m = n if periodic else n - 1
@@ -42,6 +45,7 @@ def blackman_window(n: int, *, periodic: bool = True):
 
 
 def bartlett_window(n: int, *, periodic: bool = True):
+    """Bartlett (triangular) window (periodic=True = scipy fftbins)."""
     if n == 1:
         return jnp.ones((1,), jnp.float32)  # numpy parity; avoids m == 0
     m = n if periodic else n - 1
