@@ -77,13 +77,16 @@ def _cmd_export_plan(args) -> int:
 
 
 def _cmd_bench(args) -> int:
-    import runpy
     import os
+    import subprocess
 
-    sys.argv = ["bench.py"]
-    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
-                   run_name="__main__")
-    return 0
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "bench.py")
+    if not os.path.exists(path):
+        print("bench.py not found (the benchmark harness ships with the "
+              "repo checkout, not the installed package)", file=sys.stderr)
+        return 2
+    return subprocess.run([sys.executable, path]).returncode
 
 
 def main(argv=None) -> int:

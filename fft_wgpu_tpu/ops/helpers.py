@@ -7,6 +7,7 @@ under one jit).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -520,43 +521,49 @@ def hilbert2(x, n=None):
     return jax.jit(impl)(jnp.asarray(x0, jnp.float32))
 
 
+@functools.partial(jax.jit, static_argnames=("axis", "inverse"))
+def _dht_impl(v, *, axis, inverse):
+    from ..core.twiddle import FORWARD
+    from .nd import fftn_split
+    from .rfft import rfft_last_split
+
+    v = jnp.moveaxis(v, axis, -1)
+    n = v.shape[-1]
+    if n % 2 == 0:
+        Xr, Xi = rfft_last_split(v, None)
+        # Hermitian extension: H[k] = Re X[k] - Im X[k] with
+        # X[n-k] = conj(X[k]) -> Re mirror, -Im mirror
+        Hr = Xr - Xi
+        tailr = Xr[..., 1:-1][..., ::-1]
+        taili = Xi[..., 1:-1][..., ::-1]
+        H = jnp.concatenate([Hr, tailr + taili], axis=-1)
+    else:
+        Xr, Xi = fftn_split(v, jnp.zeros_like(v), (v.ndim - 1,),
+                            FORWARD, None)
+        H = Xr - Xi
+    if inverse:
+        H = H * (1.0 / n)
+    return jnp.moveaxis(H, -1, axis)
+
+
+def _check_real_f32(x, what):
+    if np.iscomplexobj(x) if isinstance(x, np.ndarray) else jnp.iscomplexobj(
+            jnp.asarray(x) if not hasattr(x, "dtype") else x):
+        raise ValueError(f"{what} requires real input")
+    return jnp.asarray(x, jnp.float32)
+
+
 def dht(x, axis: int = -1):
     """Discrete Hartley transform along `axis`:
     H[k] = sum_j x[j] (cos(2 pi j k / n) + sin(2 pi j k / n)).
 
     Real-to-real, self-inverse up to 1/n (idht).  Evaluated as
-    Re(FFT) - Im(FFT) on the R2C path (one fused-kernel call).
-    """
-    x = jnp.asarray(x, jnp.float32)
-    if jnp.iscomplexobj(x):
-        raise ValueError("dht requires real input")
-
-    def impl(v):
-        from ..core.twiddle import FORWARD
-        from .nd import fftn_split
-        from .rfft import rfft_last_split
-
-        v = jnp.moveaxis(v, axis, -1)
-        n = v.shape[-1]
-        if n % 2 == 0:
-            Xr, Xi = rfft_last_split(v, None)
-            # Hermitian extension: H[k] = Re X[k] - Im X[k] with
-            # X[n-k] = conj(X[k]) -> Re mirror, -Im mirror
-            Hr = Xr - Xi
-            tailr = Xr[..., 1:-1][..., ::-1]
-            taili = Xi[..., 1:-1][..., ::-1]
-            H = jnp.concatenate([Hr, tailr + taili], axis=-1)
-        else:
-            Xr, Xi = fftn_split(v, jnp.zeros_like(v), (v.ndim - 1,),
-                                FORWARD, None)
-            H = Xr - Xi
-        return jnp.moveaxis(H, -1, axis)
-
-    return jax.jit(impl)(x)
+    Re(FFT) - Im(FFT) on the R2C path — one module-level jitted program
+    per (shape, axis)."""
+    return _dht_impl(_check_real_f32(x, "dht"), axis=axis, inverse=False)
 
 
 def idht(x, axis: int = -1):
-    """Inverse discrete Hartley transform: idht(dht(x)) == x
-    (the DHT is self-inverse up to the 1/n factor)."""
-    x = jnp.asarray(x, jnp.float32)
-    return dht(x, axis=axis) / x.shape[axis]
+    """Inverse discrete Hartley transform: idht(dht(x)) == x (the DHT is
+    self-inverse up to the 1/n factor, folded into the jitted program)."""
+    return _dht_impl(_check_real_f32(x, "idht"), axis=axis, inverse=True)

@@ -39,7 +39,7 @@ def wigner_ville_frequencies(n: int, fs: float = 1.0):
 
 
 @functools.lru_cache(maxsize=32)
-def _wv_impl(n: int, has_window: bool):
+def _wv_impl(n: int, win_key):
     from ..core.twiddle import FORWARD
     from ..ops.nd import fftn_split
 
@@ -52,8 +52,20 @@ def _wv_impl(n: int, has_window: bool):
     im = np.clip(t[:, None] - tau[None, :], 0, n - 1)
     valid = (tau[None, :] <= tau_max[:, None]).astype(np.float32)
 
+    # lag taper: win_key is a hashable tuple of the user window; its
+    # CENTER sample is lag 0 (standard pseudo-WVD convention), so the
+    # positive-lag weights are window[m//2 + tau], zero past the edge.
+    wlag = None
+    if win_key is not None:
+        w = np.asarray(win_key, np.float32)
+        mid = len(w) // 2
+        wl = np.zeros(n, np.float32)
+        keep = min(len(w) - mid, n)
+        wl[:keep] = w[mid:mid + keep]
+        wlag = wl
+
     @jax.jit
-    def impl(xr, xi, win):
+    def impl(xr, xi):
         # r[n, tau] = x[n+tau] * conj(x[n-tau]) for tau in [0, n)
         ar, ai = xr[..., ip], xi[..., ip]
         br, bi = xr[..., im], -xi[..., im]
@@ -62,9 +74,9 @@ def _wv_impl(n: int, has_window: bool):
         # full lag axis [0..n) holds tau >= 0; negative lags are the
         # conjugate mirror, folded in analytically: the FFT of
         # r[tau] + conj(r[tau]) mirrored equals 2*Re(FFT(r)) - r[0]
-        if win is not None:
-            rr = rr * win
-            ri = ri * win
+        if wlag is not None:
+            rr = rr * wlag
+            ri = ri * wlag
         Rr, _Ri = fftn_split(rr, ri, (rr.ndim - 1,), FORWARD, None)
         r0 = rr[..., :1]
         return 2.0 * Rr - r0
@@ -78,18 +90,22 @@ def wigner_ville(x, fs: float = 1.0, window=None):
     Returns (f, W) with W real of shape [..., n, n]: W[..., t, k] is the
     energy density at time t/fs and frequency f[k] = k*fs/(2n).  For a
     real signal, pass its analytic version (ops.helpers.hilbert) to
-    avoid cross-term aliasing.  `window` (length n, e.g. a hann) gives
-    the pseudo-WVD: a lag-domain taper that smooths cross terms.
+    avoid cross-term aliasing.  `window` gives the pseudo-WVD: a
+    symmetric lag-domain taper whose CENTER sample weights lag 0 (the
+    standard PWVD convention — e.g. `np.hanning(2*L+1)` tapers lags to
+    +-L); it may be shorter than n (zero weight beyond its reach).
 
-    Frequency marginal: sum_k W[t, k] = n |x[t]|^2 (tested).
+    Frequency marginal: sum_k W[t, k] = n |x[t]|^2 (tested; a window
+    rescales it by window[center]).
     """
     xr, xi = promote_to_split(x)
     n = xr.shape[-1]
-    win = None
+    win_key = None
     if window is not None:
-        w = np.asarray(window, np.float32)
-        if w.shape != (n,):
-            raise ValueError(f"window must have length {n}")
-        win = jnp.asarray(w)
-    W = _wv_impl(n, win is not None)(xr, xi, win)
+        w = np.asarray(window, np.float64)
+        if w.ndim != 1 or w.size == 0 or w.size > 2 * n - 1:
+            raise ValueError(
+                f"window must be 1-D with 1..{2 * n - 1} samples")
+        win_key = tuple(float(v) for v in w)
+    W = _wv_impl(n, win_key)(xr, xi)
     return wigner_ville_frequencies(n, fs), W

@@ -7,10 +7,12 @@ import fft_wgpu_tpu as ftt
 
 
 def _direct_wvd(x, window=None):
-    """Symmetric-sum definition, f64."""
+    """Symmetric-sum definition, f64; window is the centered PWVD lag
+    taper (center sample = lag 0)."""
     x = np.asarray(x, complex)
     n = len(x)
     W = np.zeros((n, n))
+    mid = len(window) // 2 if window is not None else 0
     for t in range(n):
         L = min(t, n - 1 - t)
         for k in range(n):
@@ -18,7 +20,8 @@ def _direct_wvd(x, window=None):
             for tau in range(-L, L + 1):
                 r = x[t + tau] * np.conj(x[t - tau])
                 if window is not None:
-                    r *= window[abs(tau)]
+                    idx = mid + abs(tau)
+                    r *= window[idx] if idx < len(window) else 0.0
                 acc += r * np.exp(-2j * np.pi * k * tau / n)
             W[t, k] = acc.real
     return W
@@ -45,11 +48,21 @@ class TestOracle:
         rng = np.random.default_rng(1)
         x = (rng.standard_normal(32) + 1j * rng.standard_normal(32)
              ).astype(np.complex64)
-        w = np.hanning(32).astype(np.float32)
+        w = np.hanning(21)  # centered lag taper to +-10, w[10] = max
         _, W = ftt.wigner_ville(x, window=w)
         W0 = _direct_wvd(x, window=w)
         rel = np.linalg.norm(np.asarray(W) - W0) / np.linalg.norm(W0)
         assert rel < 1e-5, rel
+
+    def test_pseudo_wvd_preserves_marginal_scale(self):
+        # the centered taper weights lag 0 by window[center] (~1), so
+        # the frequency marginal keeps its meaning
+        x = _chirp(64)
+        w = np.hanning(33)
+        _, W = ftt.wigner_ville(x, window=w)
+        marg = np.asarray(W).sum(axis=1)
+        np.testing.assert_allclose(marg, 64 * w[16] * np.abs(x) ** 2,
+                                   rtol=1e-3)
 
 
 class TestProperties:
@@ -93,4 +106,6 @@ class TestProperties:
 
     def test_window_validation(self):
         with pytest.raises(ValueError):
-            ftt.wigner_ville(_chirp(32), window=np.ones(8))
+            ftt.wigner_ville(_chirp(32), window=np.ones((4, 4)))
+        with pytest.raises(ValueError):
+            ftt.wigner_ville(_chirp(32), window=np.ones(100))
