@@ -210,6 +210,11 @@ def main():
             "error": "backend unreachable: measurement child hung or died"
                      " before producing the headline (remote tunnel down?)",
             "note": "last completed hardware numbers: BENCHMARKS.md",
+            "last_measured": {  # NOT a fresh measurement — prior session
+                "ms": 0.633, "gflops": 1591,
+                "roofline_fraction": 0.515, "vs_baseline": 0.644,
+                "source": "BENCHMARKS.md (TPU v5e, round-2 session)",
+            },
         }), flush=True)
         return
     print(headline, end="", flush=True)
