@@ -31,6 +31,7 @@ import numpy as np
 from ..core.twiddle import FORWARD, INVERSE
 
 __all__ = ["circulant_matvec", "circulant_solve", "toeplitz_matvec",
+           "bccb_matvec", "bccb_solve",
            "toeplitz_solve", "grf_sample"]
 
 
@@ -211,3 +212,59 @@ def _grf_impl(sqrt_lam, key, num, n):
     fr, fi = _fft_last(er * sqrt_lam, ei * sqrt_lam, FORWARD, None)
     out = jnp.concatenate([fr[:, :n], fi[:, :n]], axis=0)
     return out[:num]
+
+
+def _fft2_last(re, im, sign, scale):
+    from .nd import fftn_split
+
+    return fftn_split(re, im, (re.ndim - 2, re.ndim - 1), sign, scale)
+
+
+def bccb_matvec(k, x):
+    """y = B @ vec(x) where B is the block-circulant-with-circulant-
+    blocks (BCCB) matrix generated by the 2-D kernel `k` — i.e. the 2-D
+    CIRCULAR convolution of x [.., m, n] with k [m, n] (the structure of
+    periodic-boundary image blurring).  Diagonalized by the 2-D DFT:
+    y = ifft2(fft2(k) * fft2(x))."""
+    k = jnp.asarray(k, jnp.float32)
+    x = jnp.asarray(x, jnp.float32)
+    if k.ndim != 2 or x.shape[-2:] != k.shape:
+        raise ValueError(f"k must be 2-D with x.shape[-2:] == k.shape; "
+                         f"got {k.shape} vs {x.shape}")
+    return _bccb_matvec_impl(k, x)
+
+
+@jax.jit
+def _bccb_matvec_impl(k, x):
+    total = k.shape[-2] * k.shape[-1]
+    Kr, Ki = _fft2_last(k, jnp.zeros_like(k), FORWARD, None)
+    Xr, Xi = _fft2_last(x, jnp.zeros_like(x), FORWARD, None)
+    yr, _ = _fft2_last(Xr * Kr - Xi * Ki, Xr * Ki + Xi * Kr, INVERSE,
+                       1.0 / total)
+    return yr
+
+
+def bccb_solve(k, b, *, reg: float = 0.0):
+    """x with B(k) @ vec(x) = vec(b) by 2-D spectral division — periodic
+    deconvolution.  `reg` adds Tikhonov regularization
+    (B^T B + reg I)^{-1} B^T b, the standard Wiener-style deblur for
+    kernels with vanishing frequency response (reg=0 is the exact
+    inverse and requires all eigenvalues nonzero)."""
+    k = jnp.asarray(k, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    if k.ndim != 2 or b.shape[-2:] != k.shape:
+        raise ValueError(f"k must be 2-D with b.shape[-2:] == k.shape; "
+                         f"got {k.shape} vs {b.shape}")
+    return _bccb_solve_impl(k, b, float(reg))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _bccb_solve_impl(k, b, reg):
+    total = k.shape[-2] * k.shape[-1]
+    Kr, Ki = _fft2_last(k, jnp.zeros_like(k), FORWARD, None)
+    Br, Bi = _fft2_last(b, jnp.zeros_like(b), FORWARD, None)
+    d = Kr * Kr + Ki * Ki + reg
+    # conj(K) * B / (|K|^2 + reg)
+    xr, _ = _fft2_last((Br * Kr + Bi * Ki) / d, (Bi * Kr - Br * Ki) / d,
+                       INVERSE, 1.0 / total)
+    return xr

@@ -4,6 +4,7 @@ import jax
 import numpy as np
 import pytest
 
+import fft_wgpu_tpu as ftt
 from fft_wgpu_tpu.ops.structured import (
     circulant_matvec,
     circulant_solve,
@@ -101,3 +102,54 @@ def test_validation(rng):
                         np.ones(4, np.float32))
     with pytest.raises(ValueError):
         grf_sample(np.ones(1), jax.random.PRNGKey(0))
+
+
+class TestBCCB:
+    def _dense_bccb(self, k):
+        """Dense BCCB matrix from kernel k [m, n] (circular 2-D conv)."""
+        m, n = k.shape
+        B = np.zeros((m * n, m * n))
+        for i in range(m):
+            for j in range(n):
+                for p in range(m):
+                    for q in range(n):
+                        B[i * n + j, p * n + q] = k[(i - p) % m, (j - q) % n]
+        return B
+
+    def test_matvec_vs_dense(self, rng):
+        k = rng.standard_normal((6, 8)).astype(np.float32)
+        x = rng.standard_normal((6, 8)).astype(np.float32)
+        got = np.asarray(ftt.bccb_matvec(k, x)).ravel()
+        want = self._dense_bccb(np.asarray(k, np.float64)) @ x.astype(
+            np.float64).ravel()
+        assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+
+    def test_solve_roundtrip(self, rng):
+        # well-conditioned kernel: dominant center tap
+        k = (0.05 * rng.standard_normal((8, 8))).astype(np.float32)
+        k[0, 0] += 1.0
+        x = rng.standard_normal((3, 8, 8)).astype(np.float32)
+        y = np.asarray(ftt.bccb_matvec(k, x))
+        rec = np.asarray(ftt.bccb_solve(k, y))
+        assert np.linalg.norm(rec - x) / np.linalg.norm(x) < 1e-5
+
+    def test_tikhonov_deblur(self, rng):
+        # Gaussian blur kernel (periodic), noisy observation
+        m = n = 32
+        yy, xx = np.meshgrid(np.arange(m), np.arange(n), indexing="ij")
+        d2 = (np.minimum(yy, m - yy) ** 2 + np.minimum(xx, n - xx) ** 2)
+        k = np.exp(-d2 / (2 * 2.0 ** 2)).astype(np.float32)
+        k /= k.sum()
+        x = np.zeros((m, n), np.float32)
+        x[8:24, 8:24] = 1.0
+        y = np.array(ftt.bccb_matvec(k, x))
+        y += 1e-3 * rng.standard_normal(y.shape).astype(np.float32)
+        rec = np.asarray(ftt.bccb_solve(k, y, reg=1e-4))
+        blurred_err = np.linalg.norm(y - x)
+        rec_err = np.linalg.norm(rec - x)
+        assert rec_err < 0.5 * blurred_err
+
+    def test_shape_validation(self):
+        with pytest.raises(ValueError):
+            ftt.bccb_matvec(np.ones((4, 4), np.float32),
+                            np.ones((4, 5), np.float32))
