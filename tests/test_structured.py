@@ -138,7 +138,7 @@ class TestBCCB:
         m = n = 32
         yy, xx = np.meshgrid(np.arange(m), np.arange(n), indexing="ij")
         d2 = (np.minimum(yy, m - yy) ** 2 + np.minimum(xx, n - xx) ** 2)
-        k = np.exp(-d2 / (2 * 2.0 ** 2)).astype(np.float32)
+        k = np.exp(-d2 / (2 * 1.0 ** 2)).astype(np.float32)
         k /= k.sum()
         x = np.zeros((m, n), np.float32)
         x[8:24, 8:24] = 1.0
