@@ -146,3 +146,53 @@ class TestFrft2:
         want = np.empty(n, complex)
         want[shft] = np.fft.fft(x[shft]) / np.sqrt(n)
         assert _rel(np.asarray(ftt.frft(x, 1.0)), want) < 1e-6
+
+
+class TestDfrft:
+    """Eigenvector-method discrete FrFT: exact group properties on ANY
+    input (no admissibility caveat)."""
+
+    def test_noise_unitary_additive_invertible(self):
+        rng = np.random.default_rng(7)
+        x = (rng.standard_normal(128)
+             + 1j * rng.standard_normal(128)).astype(np.complex64)
+        F = np.asarray(ftt.dfrft(x, 0.37))
+        assert abs(np.linalg.norm(F) / np.linalg.norm(x) - 1) < 1e-5
+        g1 = ftt.dfrft(ftt.dfrft(x, 0.6), 0.7)
+        g2 = ftt.dfrft(x, 1.3)
+        assert _rel(np.asarray(g1), np.asarray(g2)) < 1e-5
+        rec = ftt.dfrft(ftt.dfrft(x, 0.8), -0.8)
+        assert _rel(np.asarray(rec), x) < 1e-5
+
+    @pytest.mark.parametrize("n", [16, 17, 100, 128])
+    def test_integer_orders(self, n):
+        rng = np.random.default_rng(n)
+        x = (rng.standard_normal(n)
+             + 1j * rng.standard_normal(n)).astype(np.complex64)
+        assert _rel(np.asarray(ftt.dfrft(x, 0.0)), x) < 1e-6
+        assert _rel(np.asarray(ftt.dfrft(x, 1.0)),
+                    np.fft.fft(x) / np.sqrt(n)) < 1e-5
+        parity = np.concatenate([x[:1], x[1:][::-1]])
+        assert _rel(np.asarray(ftt.dfrft(x, 2.0)), parity) < 1e-5
+        assert _rel(np.asarray(ftt.dfrft(x, 3.0)),
+                    np.fft.ifft(x) * np.sqrt(n)) < 1e-5
+
+    def test_batched_and_axis(self):
+        rng = np.random.default_rng(9)
+        x = (rng.standard_normal((3, 64))
+             + 1j * rng.standard_normal((3, 64))).astype(np.complex64)
+        F = np.asarray(ftt.dfrft(x, 0.9))
+        for i in range(3):
+            assert _rel(F[i], np.asarray(ftt.dfrft(x[i], 0.9))) < 1e-6
+        Ft = np.asarray(ftt.dfrft(x.T, 0.9, axis=0))
+        assert _rel(Ft.T, F) < 1e-6
+
+    def test_hermite_ground_state_near_invariant(self):
+        # the h=0 eigenvector is exactly invariant by construction; the
+        # sampled continuous Gaussian is close to it for moderate n
+        from fft_wgpu_tpu.ops.frft import _dfrft_basis
+
+        V, h = _dfrft_basis(64)
+        v0 = V[:, list(h).index(0)].astype(np.complex64)
+        F = np.asarray(ftt.dfrft(v0, 0.53))
+        assert _rel(F, v0) < 1e-5
