@@ -21,6 +21,7 @@ Conventions (matching scipy.signal):
 
 from __future__ import annotations
 
+import functools
 import warnings
 
 import jax
@@ -49,6 +50,7 @@ __all__ = [
     "coherence",
     "multitaper",
     "spectrogram",
+    "lombscargle",
 ]
 
 
@@ -579,3 +581,94 @@ def spectrogram(x, fs: float = 1.0, window=("tukey", 0.25),
     if mode == "complex":
         return f, t, merge(out[0], out[1])
     return f, t, out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("floating_mean",))
+def _lombscargle_core(x, y, w, freqs, floating_mean: bool = False):
+    """Zechmeister-Kuerster generalized Lomb-Scargle inner math (scipy
+    1.17 lombscargle): returns (a, b, tau, YY) per frequency.  All
+    contractions are [N] x [N, K] matvecs (MXU-shaped)."""
+    wy = w * y
+    ft = freqs[None, :] * x[:, None]          # [N, K]
+    cos1, sin1 = jnp.cos(ft), jnp.sin(ft)
+    Y = jnp.dot(w, y)
+    CC = w @ (cos1 * cos1)
+    SS = 1.0 - CC
+    CS = w @ (cos1 * sin1)
+    if floating_mean:
+        C = w @ cos1
+        S = w @ sin1
+        CC = CC - C * C
+        SS = SS - S * S
+        CS = CS - C * S
+    tau = 0.5 * jnp.arctan2(2.0 * CS, CC - SS)
+    ctau, stau = jnp.cos(tau), jnp.sin(tau)
+    # cos(ft - tau), sin(ft - tau) without recomputing trig of ft
+    cosr = cos1 * ctau + sin1 * stau
+    sinr = sin1 * ctau - cos1 * stau
+    YC = wy @ cosr
+    YS = wy @ sinr
+    CC = w @ (cosr * cosr)
+    SS = 1.0 - CC
+    if floating_mean:
+        C = w @ cosr
+        S = w @ sinr
+        YC = YC - Y * C
+        YS = YS - Y * S
+        CC = CC - C * C
+        SS = SS - S * S
+    eps = jnp.float32(np.finfo(np.float32).epsneg)
+    CC = jnp.maximum(CC, eps)
+    SS = jnp.maximum(SS, eps)
+    a = YC / CC
+    b = YS / SS
+    YY = jnp.dot(wy, y)
+    if floating_mean:
+        YY = YY - Y * Y
+    return a, b, tau, YC, YS, YY
+
+
+def lombscargle(x, y, freqs, *, normalize=False, weights=None,
+                floating_mean: bool = False):
+    """Generalized (weighted, floating-mean) Lomb-Scargle periodogram of
+    unevenly sampled data (scipy.signal.lombscargle >= 1.17 parity).
+
+    normalize: False/'power' (legacy A^2 N/4 units), True/'normalize'
+    ([0, 1] fraction of total variance), or 'amplitude' (complex
+    best-fit a + ib, tau-corrected).  One jitted program; the per-
+    frequency least squares runs as [N] x [N, K] contractions.
+    The uneven-sampling counterpart of `periodogram`; for transforming
+    (rather than fitting) nonuniform samples see ops/nufft.py.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    freqs = jnp.asarray(freqs, jnp.float32)
+    if x.ndim != 1 or x.shape != y.shape or x.size == 0:
+        raise ValueError("x and y must be equal-length non-empty 1-D arrays")
+    if freqs.ndim != 1 or freqs.size == 0:
+        raise ValueError("freqs must be a non-empty 1-D array")
+    if weights is None:
+        w = np.full(x.shape[0], 1.0 / x.shape[0], np.float32)
+    else:
+        w = np.asarray(weights, np.float64)
+        if w.shape != tuple(x.shape) or (w < 0).any() or w.sum() <= 0:
+            raise ValueError("weights must be non-negative, match x, and "
+                             "sum to a positive value")
+        w = (w / w.sum()).astype(np.float32)
+    if isinstance(normalize, bool):
+        normalize = "normalize" if normalize else "power"
+    if normalize not in ("power", "normalize", "amplitude"):
+        raise ValueError("normalize must be False/'power', "
+                         "True/'normalize', or 'amplitude'")
+    a, b, tau, YC, YS, YY = _lombscargle_core(
+        x, y, jnp.asarray(w), freqs, floating_mean=bool(floating_mean))
+    pgram = 2.0 * (a * YC + b * YS)
+    if normalize == "power":
+        return pgram * (x.shape[0] / 4.0)
+    if normalize == "normalize":
+        return pgram * (0.5 / YY)
+    from ..core.complex_utils import merge
+
+    # amplitude: (a + ib) e^{i tau}
+    ct, st = jnp.cos(tau), jnp.sin(tau)
+    return merge(a * ct - b * st, a * st + b * ct)

@@ -342,3 +342,57 @@ class TestMultitaperTwoSided:
         xd = xd - xd.mean()
         Sk = np.abs(np.fft.fft(tapers * xd, axis=-1)) ** 2 / 1e3
         _close(S, Sk.mean(axis=0), rtol=2e-3, atol=1e-5)
+
+
+class TestLombScargle:
+    def _data(self, n=80, seed=0):
+        rng = np.random.default_rng(seed)
+        t = np.sort(rng.uniform(0, 10, n)).astype(np.float64)
+        y = (np.sin(3.0 * t) + 0.5 * np.cos(7.3 * t)
+             + 0.2 * rng.standard_normal(n))
+        f = np.linspace(0.5, 10.0, 64)
+        return t, y, f
+
+    def test_default_power(self):
+        t, y, f = self._data()
+        got = np.asarray(ftt.lombscargle(t, y, f), np.float64)
+        want = scipy_signal.lombscargle(t, y, f)
+        _close(got, want, rtol=2e-3, atol=1e-4)
+
+    def test_normalize_true(self):
+        t, y, f = self._data(seed=1)
+        got = np.asarray(ftt.lombscargle(t, y, f, normalize=True),
+                         np.float64)
+        want = scipy_signal.lombscargle(t, y, f, normalize=True)
+        _close(got, want, rtol=2e-3, atol=1e-5)
+        assert got.max() <= 1.0 + 1e-6
+
+    def test_weights_and_floating_mean(self):
+        t, y, f = self._data(seed=2)
+        rng = np.random.default_rng(3)
+        w = rng.uniform(0.5, 2.0, len(t))
+        got = np.asarray(ftt.lombscargle(
+            t, y + 5.0, f, weights=w, floating_mean=True), np.float64)
+        want = scipy_signal.lombscargle(t, y + 5.0, f, weights=w,
+                                        floating_mean=True)
+        _close(got, want, rtol=5e-3, atol=1e-4)
+
+    def test_amplitude_mode(self):
+        t, y, f = self._data(seed=4)
+        got = np.asarray(ftt.lombscargle(t, y, f, normalize="amplitude"))
+        want = scipy_signal.lombscargle(t, y, f, normalize="amplitude")
+        _close(got, want, rtol=5e-3, atol=1e-4)
+
+    def test_peak_at_true_frequency(self):
+        t, y, f = self._data(seed=5)
+        p = np.asarray(ftt.lombscargle(t, y, f))
+        # strongest component at omega = 3.0
+        assert abs(f[np.argmax(p)] - 3.0) < 0.25
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            ftt.lombscargle([1.0, 2.0], [1.0], [1.0])
+        with pytest.raises(ValueError):
+            ftt.lombscargle([1.0], [1.0], [1.0], weights=[-1.0])
+        with pytest.raises(ValueError):
+            ftt.lombscargle([1.0], [1.0], [1.0], normalize="bogus")
