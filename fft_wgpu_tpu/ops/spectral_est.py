@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.complex_utils import merge, promote_to_split
+from . import windows as _windows
 from .helpers import fftfreq, rfftfreq
 from .stft import (
     _frame,
@@ -171,6 +172,36 @@ _WINDOWS = {
     "blackman": blackman_window,
     "bartlett": bartlett_window,
     "flattop": flattop_window,
+    "triang": _windows.triang_window,
+    "triangle": _windows.triang_window,
+    "parzen": _windows.parzen_window,
+    "bohman": _windows.bohman_window,
+    "nuttall": _windows.nuttall_window,
+    "blackmanharris": _windows.blackmanharris_window,
+    "cosine": _windows.cosine_window,
+    "halfcosine": _windows.cosine_window,
+    "barthann": _windows.barthann_window,
+    "lanczos": _windows.lanczos_window,
+    "sinc": _windows.lanczos_window,
+    "exponential": _windows.exponential_window,
+    "poisson": _windows.exponential_window,
+}
+
+# Parameterized windows usable via the (name, *params) tuple form.
+_PARAM_WINDOWS = {
+    "tukey": tukey_window,
+    "kaiser": kaiser_window,
+    "gaussian": _windows.gaussian_window,
+    "gauss": _windows.gaussian_window,
+    "general_gaussian": _windows.general_gaussian_window,
+    "general_cosine": _windows.general_cosine_window,
+    "general_hamming": _windows.general_hamming_window,
+    "chebwin": _windows.chebwin_window,
+    "cheb": _windows.chebwin_window,
+    "taylor": _windows.taylor_window,
+    "exponential": _windows.exponential_window,
+    "poisson": _windows.exponential_window,
+    "kaiser_bessel_derived": _windows.kaiser_bessel_derived_window,
 }
 
 
@@ -181,19 +212,21 @@ def get_window(window, nperseg: int, *, periodic: bool = True):
     if isinstance(window, str):
         if window in ("boxcar", "rectangular", "ones"):
             return jnp.ones((nperseg,), jnp.float32)
-        try:
-            return _WINDOWS[window](nperseg, periodic=periodic)
-        except KeyError:
-            raise ValueError(f"unknown window {window!r}") from None
+        fn = _WINDOWS.get(window)
+        if fn is not None:
+            return fn(nperseg, periodic=periodic)
+        if window in _PARAM_WINDOWS:
+            raise ValueError(f"window {window!r} requires parameters: pass "
+                             f"a tuple like ({window!r}, param)")
+        raise ValueError(f"unknown window {window!r}")
     if isinstance(window, tuple):
         name, *params = window
-        if name == "tukey":
-            return tukey_window(nperseg, *params, periodic=periodic)
-        if name == "kaiser":
-            return kaiser_window(nperseg, *params, periodic=periodic)
         if name == "dpss":
             return dpss(nperseg, *params)
-        raise ValueError(f"unknown window {window!r}")
+        fn = _PARAM_WINDOWS.get(name)
+        if fn is None:
+            raise ValueError(f"unknown window {window!r}")
+        return fn(nperseg, *params, periodic=periodic)
     w = jnp.asarray(window, jnp.float32)
     if w.ndim != 1:
         raise ValueError("window must be 1-D")
