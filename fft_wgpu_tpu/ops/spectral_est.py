@@ -41,6 +41,8 @@ from .stft import (
 
 __all__ = [
     "get_window",
+    "check_COLA",
+    "check_NOLA",
     "tukey_window",
     "kaiser_window",
     "flattop_window",
@@ -705,3 +707,45 @@ def lombscargle(x, y, freqs, *, normalize=False, weights=None,
     # amplitude: (a + ib) e^{i tau}
     ct, st = jnp.cos(tau), jnp.sin(tau)
     return merge(a * ct - b * st, a * st + b * ct)
+
+
+def _ola_binsums(window, nperseg: int, noverlap: int, power: float):
+    """Overlap-added window (or window-power) sums over one hop period."""
+    nperseg = int(nperseg)
+    noverlap = int(noverlap)
+    if nperseg < 1:
+        raise ValueError("nperseg must be a positive integer")
+    if not 0 <= noverlap < nperseg:
+        raise ValueError("noverlap must satisfy 0 <= noverlap < nperseg")
+    win = np.asarray(get_window(window, nperseg, periodic=True), np.float64)
+    w = win ** power
+    step = nperseg - noverlap
+    binsums = sum(w[ii * step:(ii + 1) * step]
+                  for ii in range(nperseg // step))
+    if nperseg % step != 0:
+        binsums[: nperseg % step] += w[-(nperseg % step):]
+    return binsums
+
+
+def check_COLA(window, nperseg: int, noverlap: int, tol: float = 1e-10) -> bool:
+    """True if (window, hop) satisfies the Constant-OverLap-Add constraint
+    (scipy.signal.check_COLA parity) — the condition under which istft with
+    no window correction reconstructs exactly.
+
+    Framework windows are float32 tables (CLAUDE.md: f64-generated, cast
+    once), so the deviation of a mathematically-COLA pair is ~1e-8, not 0;
+    the effective tolerance therefore floors at a few f32 ulps of the
+    overlap-add level.  Genuinely non-COLA pairs deviate at O(1)."""
+    binsums = _ola_binsums(window, nperseg, noverlap, 1.0)
+    tol = max(float(tol),
+              32 * float(np.finfo(np.float32).eps) * float(np.max(binsums)))
+    return bool(np.max(np.abs(binsums - np.median(binsums))) < tol)
+
+
+def check_NOLA(window, nperseg: int, noverlap: int, tol: float = 1e-10) -> bool:
+    """True if (window, hop) satisfies the NOnzero-OverLap-Add constraint
+    (scipy.signal.check_NOLA parity: min of the overlap-added squared
+    window > tol) — the weaker condition required for least-squares istft
+    inversion (ops/short_time_fft.py istft)."""
+    binsums = _ola_binsums(window, nperseg, noverlap, 2.0)
+    return bool(np.min(binsums) > tol)
