@@ -29,6 +29,8 @@ __all__ = [
     "fftfreq",
     "rfftfreq",
     "fft_convolve",
+    "correlation_lags",
+    "detrend",
     "oaconvolve",
     "dht",
     "idht",
@@ -567,3 +569,69 @@ def idht(x, axis: int = -1):
     """Inverse discrete Hartley transform: idht(dht(x)) == x (the DHT is
     self-inverse up to the 1/n factor, folded into the jitted program)."""
     return _dht_impl(_check_real_f32(x, "idht"), axis=axis, inverse=True)
+
+
+def correlation_lags(in1_len: int, in2_len: int, mode: str = "full"):
+    """Lag indices for :func:`fftcorrelate` output (scipy.signal
+    .correlation_lags parity; host index math)."""
+    if mode == "full":
+        return np.arange(-in2_len + 1, in1_len)
+    if mode == "same":
+        lags = np.arange(-in2_len + 1, in1_len)
+        mid = lags.size // 2
+        lag_bound = in1_len // 2
+        return lags[mid - lag_bound:mid + lag_bound + (in1_len % 2)]
+    if mode == "valid":
+        lag_bound = in1_len - in2_len
+        if lag_bound >= 0:
+            return np.arange(lag_bound + 1)
+        return np.arange(lag_bound, 1)
+    raise ValueError(f"invalid mode {mode!r}")
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _detrend_linear(v, N, bp):
+    # v: [N, rest] — remove a per-segment least-squares line (normal
+    # equations in closed 2x2 form: A = [t/Npts, 1] is perfectly
+    # conditioned at these scales)
+    out = v
+    for m in range(len(bp) - 1):
+        npts = int(bp[m + 1] - bp[m])
+        t = jnp.arange(1, npts + 1, dtype=v.dtype) / npts
+        seg = out[bp[m]:bp[m + 1]]
+        st = jnp.sum(t)
+        stt = jnp.sum(t * t)
+        sy = jnp.sum(seg, 0)
+        sty = jnp.sum(t[:, None] * seg, 0)
+        det = npts * stt - st * st
+        a = (npts * sty - st * sy) / det       # slope coefficient
+        b = (stt * sy - st * sty) / det        # intercept
+        out = out.at[bp[m]:bp[m + 1]].set(seg - (t[:, None] * a + b))
+    return out
+
+
+def detrend(data, axis: int = -1, type: str = "linear", bp=0):
+    """Remove a constant or piecewise-linear trend (scipy.signal.detrend
+    parity).  `bp` gives breakpoints along `axis` for piecewise fits.
+
+    Complex input detrends re/im independently (least squares decomposes
+    componentwise), split at the host boundary per CLAUDE.md."""
+    data = _as_host_or_device(data)
+    if _iscomplex(data):
+        from ..core.complex_utils import merge, split
+        re, im = split(data)
+        return merge(detrend(re, axis, type, bp), detrend(im, axis, type, bp))
+    if type in ("constant", "c"):
+        x = jnp.asarray(data, jnp.float32)
+        return x - jnp.mean(x, axis=axis, keepdims=True)
+    if type not in ("linear", "l"):
+        raise ValueError("trend type must be 'linear' or 'constant'")
+    x = jnp.asarray(data, jnp.float32)
+    N = x.shape[axis]
+    bps = np.sort(np.unique(np.concatenate([[0], np.atleast_1d(bp), [N]])))
+    if np.any(bps > N) or np.any(bps < 0):
+        raise ValueError("breakpoints must lie within the axis length")
+    v = jnp.moveaxis(x, axis, 0).reshape(N, -1)
+    out = _detrend_linear(v, N, tuple(int(b) for b in bps))
+    out = out.reshape(jnp.moveaxis(x, axis, 0).shape)
+    return jnp.moveaxis(out, 0, axis)
