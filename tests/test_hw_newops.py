@@ -32,15 +32,28 @@ def _rel(got, want):
 
 def test_frft_roundtrip_and_dft_case(ftt, rng):
     n = 128
-    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
-         ).astype(np.complex64)
+    # Fractional-order roundtrip needs an ADMISSIBLE (time-frequency-
+    # concentrated) signal — white noise fills the TF square and the
+    # chirp algorithm provably loses its corners (~48% L2; the numpy
+    # replica of the algorithm fails identically — ops/frft.py
+    # docstring).  Mirror tests/test_frft.py's Gaussian-envelope signal.
+    g = (np.arange(n) - n // 2) / np.sqrt(n)
+    x = (np.exp(-g * g) * (1 + 0.3 * np.cos(2 * np.pi * g))
+         + 0.1j * np.exp(-((g - 1.0) ** 2))).astype(np.complex64)
     F = ftt.frft(x, 0.7)
     rec = ftt.device_get_complex(ftt.frft(F, -0.7))
     assert _rel(rec, x) < TOL
+    # integer order stays exact for ANY input, including white noise
+    z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
     shft = (np.arange(n) + n // 2) % n
     want = np.empty(n, complex)
-    want[shft] = np.fft.fft(x[shft]) / np.sqrt(n)
-    assert _rel(ftt.device_get_complex(ftt.frft(x, 1.0)), want) < TOL
+    want[shft] = np.fft.fft(z[shft]) / np.sqrt(n)
+    assert _rel(ftt.device_get_complex(ftt.frft(z, 1.0)), want) < TOL
+    # the eigenvector dfrft is the exact-unitary complement for
+    # inadmissible inputs: roundtrip must hold on noise
+    rec2 = ftt.device_get_complex(ftt.dfrft(ftt.dfrft(z, 0.7), -0.7))
+    assert _rel(rec2, z) < TOL
 
 
 def test_short_time_fft_roundtrip(ftt, rng):
