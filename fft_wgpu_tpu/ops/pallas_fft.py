@@ -505,8 +505,10 @@ _BALANCED = {
     1024: (32, 32, (4, 8)),
     2048: (32, 64, (4, 8)),     # 0.158 vs classic 0.167 (probe_r28,
                                 # radix-2^2 chains tipped the tie)
-    4096: (64, 64, (4, 8, 2)),  # 0.633 vs (4,4,4) 0.640, 3 reps (probe_r28)
-                                # ((128,32)+(4,8,4): 0.639 — probe_r31)
+    4096: (256, 16, (4, 8, 8)),  # 0.621 vs (64,64)+(4,8,2) 0.633 and
+                                 # (128,32)+(4,8,4) 0.639 — confirmed 3x
+                                 # interleaved through production routing
+                                 # (probe_r33 + scripts/vcheck_r35.py)
     8192: (256, 32, (4, 8, 8)),   # 0.338; (128,64)+(4,8,4) 0.342,
                                   # old (64,128)+(4,4,4) 0.489 (probe_r29/31)
     16384: (256, 64, (4, 8, 8)),  # 0.770 vs DIT chain 0.869 (probe_r31;
