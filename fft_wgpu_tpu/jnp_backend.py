@@ -38,6 +38,7 @@ _FUNCS = (
 )
 
 _originals: dict[str, object] = {}
+_install_count = 0  # nesting refcount: uninstall only at zero
 
 
 def _dtype_of(a):
@@ -67,11 +68,16 @@ def _wrap(name, ours, orig):
 
 def install() -> None:
     """Patch jax.numpy.fft (and jax.numpy.fft-as-module call sites) so the
-    listed transforms route through fft_wgpu_tpu.  Idempotent."""
+    listed transforms route through fft_wgpu_tpu.  Nestable: each install()
+    must be balanced by one uninstall(); the patch is removed only when
+    the count reaches zero (so an inner accelerated() block cannot strip
+    an outer install())."""
+    global _install_count
     import jax.numpy as jnp
 
     import fft_wgpu_tpu as ftt
 
+    _install_count += 1
     for name in _FUNCS:
         cur = getattr(jnp.fft, name)
         if getattr(cur, "__wrapped_by_fft_wgpu_tpu__", False):
@@ -81,9 +87,15 @@ def install() -> None:
 
 
 def uninstall() -> None:
-    """Restore the stock jax.numpy.fft functions."""
+    """Balance one install(); restore stock jax.numpy.fft at zero."""
+    global _install_count
     import jax.numpy as jnp
 
+    if _install_count == 0:
+        return
+    _install_count -= 1
+    if _install_count > 0:
+        return
     for name, orig in list(_originals.items()):
         setattr(jnp.fft, name, orig)
         del _originals[name]

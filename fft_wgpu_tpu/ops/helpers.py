@@ -631,7 +631,8 @@ def detrend(data, axis: int = -1, type: str = "linear", bp=0):
     bps = np.sort(np.unique(np.concatenate([[0], np.atleast_1d(bp), [N]])))
     if np.any(bps > N) or np.any(bps < 0):
         raise ValueError("breakpoints must lie within the axis length")
-    v = jnp.moveaxis(x, axis, 0).reshape(N, -1)
+    ax = axis % x.ndim
+    moved_shape = (N, *(s for i, s in enumerate(x.shape) if i != ax))
+    v = jnp.moveaxis(x, ax, 0).reshape(N, -1)
     out = _detrend_linear(v, N, tuple(int(b) for b in bps))
-    out = out.reshape(jnp.moveaxis(x, axis, 0).shape)
-    return jnp.moveaxis(out, 0, axis)
+    return jnp.moveaxis(out.reshape(moved_shape), 0, ax)

@@ -48,6 +48,39 @@ __all__ = [
 # FIR design (host-side, float64)
 # ---------------------------------------------------------------------------
 
+def _design_window64(window, numtaps: int) -> np.ndarray:
+    """Symmetric window for FIR design, float64 on the host.
+
+    The framework window zoo returns device float32 tables (fine for
+    spectral analysis); filter DESIGN wants f64 taps and must not issue
+    device dispatches, so the standard design windows are generated here
+    directly.  Exotic windows fall back to the zoo at f32 accuracy."""
+    if numtaps == 1:
+        return np.ones(1, np.float64)
+    name = window if isinstance(window, str) else (
+        window[0] if isinstance(window, tuple) else None)
+    params = window[1:] if isinstance(window, tuple) else ()
+    n = np.arange(numtaps, dtype=np.float64)
+    m = numtaps - 1.0
+    if name in ("boxcar", "rectangular", "ones"):
+        return np.ones(numtaps, np.float64)
+    if name == "hamming":
+        return 0.54 - 0.46 * np.cos(2 * np.pi * n / m)
+    if name in ("hann", "hanning"):
+        return 0.5 - 0.5 * np.cos(2 * np.pi * n / m)
+    if name == "blackman":
+        return (0.42 - 0.5 * np.cos(2 * np.pi * n / m)
+                + 0.08 * np.cos(4 * np.pi * n / m))
+    if name == "bartlett":
+        return np.bartlett(numtaps)
+    if name == "kaiser" and params:
+        return np.kaiser(numtaps, float(params[0]))
+    from .spectral_est import get_window
+
+    return np.asarray(get_window(window, numtaps, periodic=False),
+                      np.float64)
+
+
 def kaiser_atten(numtaps: int, width: float) -> float:
     """Attenuation (dB) of a Kaiser FIR filter given its transition width
     (scipy.signal.kaiser_atten)."""
@@ -73,8 +106,6 @@ def firwin(numtaps: int, cutoff, *, width=None, window="hamming",
     scipy's bool or string forms ('lowpass'/'highpass'/'bandpass'/
     'bandstop').
     """
-    from .spectral_est import get_window
-
     if numtaps < 1:
         raise ValueError("numtaps must be >= 1")
     nyq = 0.5 * fs
@@ -92,10 +123,14 @@ def firwin(numtaps: int, cutoff, *, width=None, window="hamming",
         if pass_zero in ("bandstop", "lowpass"):
             if pass_zero == "lowpass" and cutoff.size != 1:
                 raise ValueError("lowpass takes exactly one cutoff")
+            if pass_zero == "bandstop" and cutoff.size < 2:
+                raise ValueError("bandstop needs at least two cutoffs")
             pass_zero = True
         elif pass_zero in ("bandpass", "highpass"):
             if pass_zero == "highpass" and cutoff.size != 1:
                 raise ValueError("highpass takes exactly one cutoff")
+            if pass_zero == "bandpass" and cutoff.size < 2:
+                raise ValueError("bandpass needs at least two cutoffs")
             pass_zero = False
         else:
             raise ValueError(f"invalid pass_zero {pass_zero!r}")
@@ -120,9 +155,8 @@ def firwin(numtaps: int, cutoff, *, width=None, window="hamming",
     h = np.zeros(numtaps, np.float64)
     for left, right in bands:
         h += right * np.sinc(right * m) - left * np.sinc(left * m)
-    # symmetric (sym=True == periodic=False) window, like scipy fftbins=False
-    win = np.asarray(get_window(window, numtaps, periodic=False), np.float64)
-    h *= win
+    # symmetric (sym=True == scipy fftbins=False) window, f64 on the host
+    h *= _design_window64(window, numtaps)
     if scale:
         left, right = bands[0]
         if left == 0.0:
@@ -146,8 +180,6 @@ def firwin2(numtaps: int, freq, gain, *, nfreqs: int | None = None,
     Host-side float64 design math like :func:`firwin` (the inverse FFT is
     a tiny 1-D table transform, not device compute).
     """
-    from .spectral_est import get_window
-
     nyq = 0.5 * fs
     freq = np.asarray(freq, np.float64)
     gain = np.asarray(gain, np.float64)
@@ -198,8 +230,7 @@ def firwin2(numtaps: int, freq, gain, *, nfreqs: int | None = None,
         shift = shift * 1j
     out_full = np.fft.irfft(fx * shift)
     if window is not None:
-        wind = np.asarray(get_window(window, numtaps, periodic=False),
-                          np.float64)
+        wind = _design_window64(window, numtaps)
     else:
         wind = 1.0
     out = out_full[:numtaps] * wind
@@ -278,14 +309,19 @@ def _extend(x, k: int, axis: int, mode: str, cval):
     if mode in ("edge", "wrap", "symmetric", "reflect"):
         return jnp.pad(x, pad, mode=mode)
     if mode == "antisymmetric":
-        # whole-sample odd extension: sign-flipped symmetric reflection
+        # whole-sample odd extension (sign-flipped symmetric reflection).
+        # The infinite extension is periodic with period 2n:
+        # [x, -flip(x)] (verified against scipy with a delayed-delta
+        # filter) — realize any k, even k > n where the reflection folds
+        # repeatedly, by tiling that period.
         xm = jnp.moveaxis(x, axis, -1)
-        if k > xm.shape[-1]:
-            raise ValueError("antisymmetric extension needs len(x) >= "
-                             "the extension length")
-        left = -xm[..., :k][..., ::-1]
-        right = -xm[..., -k:][..., ::-1]
-        return jnp.moveaxis(jnp.concatenate([left, xm, right], -1), -1, axis)
+        nn = xm.shape[-1]
+        period = jnp.concatenate([xm, -xm[..., ::-1]], -1)  # length 2n
+        base = 2 * nn * ((k + 2 * nn - 1) // (2 * nn))  # multiple of 2n >= k
+        reps = (base + nn + k + 2 * nn - 1) // (2 * nn)
+        tiled = jnp.tile(period, (1,) * (xm.ndim - 1) + (reps,))
+        out = tiled[..., base - k: base + nn + k]
+        return jnp.moveaxis(out, -1, axis)
     if mode == "antireflect":
         return jnp.pad(x, pad, mode="reflect", reflect_type="odd")
     if mode == "smooth":
@@ -387,6 +423,9 @@ def resample_poly(x, up: int, down: int, axis: int = -1,
     down //= g
     x = _as_host_or_device(x)
     if up == down == 1:
+        if _iscomplex(x):  # no complex H2D transfer (CLAUDE.md)
+            from ..core.complex_utils import merge, split
+            return merge(*split(x))
         return jnp.asarray(x)
     n_in = x.shape[axis]
     n_out = n_in * up
@@ -419,13 +458,19 @@ def resample_poly(x, up: int, down: int, axis: int = -1,
             if padtype != "mean":
                 raise ValueError(f"padtype {padtype!r} needs real input "
                                  "(ordering is undefined for complex)")
+            # stay split: eager complex device ops are unsupported on
+            # some runtimes (core/complex_utils.py)
             from ..core.complex_utils import merge, split
             xr, xi = split(x)
-            xd = merge(xr, xi)
+            br = jnp.mean(xr, axis=axis, keepdims=True)
+            bi = jnp.mean(xi, axis=axis, keepdims=True)
+            x = merge(xr - br, xi - bi)
+            background = (br, bi)
         else:
             xd = jnp.asarray(x, jnp.float32)
-        background = _STAT_PADTYPES[padtype](xd, axis=axis, keepdims=True)
-        x = xd - background
+            background = _STAT_PADTYPES[padtype](xd, axis=axis,
+                                                 keepdims=True)
+            x = xd - background
     elif padtype == "constant":
         kwargs = {"mode": "constant", "cval": 0.0 if cval is None else cval}
     elif padtype in _PAD_MODES:
@@ -437,7 +482,10 @@ def resample_poly(x, up: int, down: int, axis: int = -1,
     sl = [slice(None)] * y.ndim
     sl[axis] = slice(n_pre_remove, n_pre_remove + n_out)
     y = y[tuple(sl)]
-    if background is not None:
+    if isinstance(background, tuple):  # complex mean, re-added under jit
+        y = jax.jit(lambda v, a, b: v + jax.lax.complex(a, b))(
+            y, *background)
+    elif background is not None:
         y = y + background
     return y
 

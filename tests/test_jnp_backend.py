@@ -18,7 +18,22 @@ def test_install_uninstall_roundtrip():
     jb.install()
     assert jnp.fft.fft is not stock
     assert getattr(jnp.fft.fft, "__wrapped_by_fft_wgpu_tpu__", False)
-    jb.install()  # idempotent
+    jb.install()  # nested: refcounted
+    jb.uninstall()
+    assert getattr(jnp.fft.fft, "__wrapped_by_fft_wgpu_tpu__", False)
+    jb.uninstall()
+    assert jnp.fft.fft is stock
+    jb.uninstall()  # over-release is a no-op
+    assert jnp.fft.fft is stock
+
+
+def test_nested_accelerated_keeps_outer_install():
+    stock = jnp.fft.fft
+    jb.install()
+    with jb.accelerated():
+        pass
+    # the inner scope must NOT strip the outer global install
+    assert getattr(jnp.fft.fft, "__wrapped_by_fft_wgpu_tpu__", False)
     jb.uninstall()
     assert jnp.fft.fft is stock
 

@@ -253,3 +253,40 @@ def test_detrend_axis_and_complex():
     ours = np.asarray(detrend(z, type="constant"))
     theirs = sps.detrend(z.astype(np.complex128), type="constant")
     assert np.allclose(ours, theirs, atol=1e-4)
+
+
+def test_upfirdn_antisymmetric_short_signal():
+    # signal shorter than the filter: the odd reflection folds repeatedly
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal(20).astype(np.float32)
+    h = rng.standard_normal(41)
+    ours = np.asarray(upfirdn(h, x, 2, 3, mode="antisymmetric"))
+    theirs = sps.upfirdn(h, x.astype(np.float64), 2, 3, mode="antisymmetric")
+    assert ours.shape == theirs.shape
+    assert rel(ours, theirs) < 2e-5
+
+
+def test_firwin_band_string_validation():
+    with pytest.raises(ValueError):
+        firwin(31, 0.3, pass_zero="bandpass")  # needs two cutoffs
+    with pytest.raises(ValueError):
+        firwin(31, 0.3, pass_zero="bandstop")
+
+
+def test_resample_poly_complex_mean_padtype():
+    rng = np.random.default_rng(14)
+    z = (rng.standard_normal(90) + 1j * rng.standard_normal(90)
+         + (2 - 1j)).astype(np.complex64)
+    ours = np.asarray(resample_poly(z, 2, 3, padtype="mean"))
+    theirs = sps.resample_poly(z.astype(np.complex128), 2, 3, padtype="mean")
+    assert ours.shape == theirs.shape
+    assert rel(ours, theirs) < 5e-5
+
+
+def test_firwin_f64_design_accuracy():
+    # the standard design windows are generated in f64: taps must match
+    # scipy to ~1e-12, not just f32 accuracy
+    for w in ("hamming", "hann", "blackman", ("kaiser", 6.5)):
+        ours = firwin(41, 0.3, window=w)
+        theirs = sps.firwin(41, 0.3, window=w)
+        assert rel(ours, theirs) < 1e-12, w
