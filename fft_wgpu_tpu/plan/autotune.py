@@ -24,10 +24,16 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["candidates_for", "measure_executor", "TUNE_CACHE",
-           "load_wisdom", "save_wisdom"]
+           "SPLIT_CACHE", "load_wisdom", "save_wisdom",
+           "split_candidates", "tune_balanced"]
 
 # (backend, n, rows_bucket, axis) -> executor name
 TUNE_CACHE: dict = {}
+
+# (device_kind, n) -> (n1, n2, (chain factors...)) for the balanced row
+# kernel — the _BALANCED pin tables were measured on TPU v5e; other
+# generations re-measure via tune_balanced (FFTW_MEASURE for splits)
+SPLIT_CACHE: dict = {}
 
 _WISDOM_PATH = os.path.expanduser("~/.cache/fft_wgpu_tpu_wisdom.json")
 _wisdom_loaded = False
@@ -53,8 +59,14 @@ def load_wisdom(path: str = _WISDOM_PATH) -> None:
         with open(path) as f:
             data = json.load(f)
         for k, v in data.items():
-            backend, n, rows_b, axis = k.split("|")
-            TUNE_CACHE[(backend, int(n), int(rows_b), int(axis))] = v
+            parts = k.split("|")
+            if parts[0] == "split":
+                _, kind, n = parts
+                SPLIT_CACHE[(kind, int(n))] = (int(v[0]), int(v[1]),
+                                               tuple(int(f) for f in v[2]))
+            else:
+                backend, n, rows_b, axis = parts
+                TUNE_CACHE[(backend, int(n), int(rows_b), int(axis))] = v
     except (OSError, ValueError):
         pass
 
@@ -63,6 +75,8 @@ def save_wisdom(path: str = _WISDOM_PATH) -> None:
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         data = {"|".join(map(str, k)): v for k, v in TUNE_CACHE.items()}
+        for (kind, n), (n1, n2, chain) in SPLIT_CACHE.items():
+            data[f"split|{kind}|{n}"] = [n1, n2, list(chain)]
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(data, f, indent=1)
@@ -173,3 +187,99 @@ def measure_executor(plan, shape, axis: int) -> str:
     TUNE_CACHE[key] = best_ex
     save_wisdom()
     return best_ex
+
+
+# --------------------------------------------------------------------- #
+# Balanced-split tuning (FFTW_MEASURE for the _BALANCED pin tables)
+# --------------------------------------------------------------------- #
+
+# preferred VPU-chain factorization per major factor (probe_r27/r28:
+# radix-4 stages first; f=8 only where it shortens the chain)
+_CHAINS = {8: (8,), 16: (4, 4), 32: (4, 8), 64: (4, 4, 4),
+           128: (4, 8, 4), 256: (4, 8, 8), 512: (4, 8, 4, 4)}
+
+
+def split_candidates(n: int) -> list[tuple[int, int, tuple[int, ...]]]:
+    """Balanced (n1, n2, stage-1 chain) candidates for the fused row
+    kernel at power-of-two n: n1 is the VPU-chain major factor, n2 the
+    single full-rate MXU dot (measured envelope: n2 in [8, 128],
+    n1 <= 512 — larger chains crash this Mosaic, PERFORMANCE.md)."""
+    out = []
+    n1 = 16
+    while n1 <= 512:
+        n2 = n // n1
+        if n1 * n2 == n and 8 <= n2 <= 128 and n1 in _CHAINS:
+            out.append((n1, n2, _CHAINS[n1]))
+        n1 *= 2
+    return out
+
+
+def tune_balanced(n: int, rows: int = 1024, *, verify: bool = True,
+                  persist: bool = True) -> tuple[int, int, tuple[int, ...]]:
+    """Measure the balanced-split candidates for length-n rows on THIS
+    device, pin the winner into the live _BALANCED table, and persist it
+    in the wisdom file keyed by device kind.
+
+    The shipped pins were measured on TPU v5e (PERFORMANCE.md round-2c..g);
+    other TPU generations should call this once per n of interest (or
+    load prior wisdom).  Each candidate is oracle-checked against the XLA
+    executor on-device before it is timed (`verify=True`).
+    """
+    import numpy as np
+
+    from ..ops import pallas_fft as pf
+
+    if jax.default_backend() != "tpu":
+        raise RuntimeError("tune_balanced measures the fused TPU kernels; "
+                           "on CPU the plan layer routes XLA")
+    cands = split_candidates(n)
+    if not cands:
+        raise ValueError(f"no balanced candidates for n={n} (power-of-two "
+                         "n with n/512 <= n2 <= n/16 required)")
+    kind = jax.devices()[0].device_kind
+    if not _wisdom_loaded:
+        load_wisdom()
+    hit = SPLIT_CACHE.get((kind, n))
+    if hit is not None:
+        pf._BALANCED[n] = hit
+        return hit
+
+    from ..ops.stockham import fft_last_axis as _xla_oracle
+
+    re = jax.random.normal(jax.random.PRNGKey(0), (rows, n), jnp.float32)
+    im = jax.random.normal(jax.random.PRNGKey(1), (rows, n), jnp.float32)
+    saved = pf._BALANCED.get(n)
+    best, best_t = None, float("inf")
+    try:
+        for cand in cands:
+            pf._BALANCED[n] = cand
+
+            def fn(a, b, _c=cand):
+                return pf.fft_batched_split(a, b, -1, schedule="balanced")
+
+            try:
+                if verify:
+                    relf = jax.jit(lambda a, b: (lambda g, o: jnp.sqrt(
+                        jnp.sum((g[0] - o[0]) ** 2 + (g[1] - o[1]) ** 2)
+                        / jnp.sum(o[0] ** 2 + o[1] ** 2)))(
+                            fn(a, b), _xla_oracle(a, b, -1)))
+                    rel = float(relf(re[:8], im[:8]))
+                    if not np.isfinite(rel) or rel > 1e-5:
+                        continue
+                t = _slope_time(fn, (rows, n))
+            except Exception:
+                continue  # candidate does not compile on this toolchain
+            if t < best_t:
+                best, best_t = cand, t
+    finally:
+        if saved is not None:
+            pf._BALANCED[n] = saved
+        else:
+            pf._BALANCED.pop(n, None)
+    if best is None:
+        raise RuntimeError(f"no balanced candidate compiled for n={n}")
+    pf._BALANCED[n] = best
+    SPLIT_CACHE[(kind, n)] = best
+    if persist:
+        save_wisdom()
+    return best

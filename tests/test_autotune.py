@@ -107,3 +107,42 @@ class TestPlanIntegration:
     def test_invalid_executor_rejected(self):
         with pytest.raises(ValueError):
             ftt.plan(512, executor="pallas:bogus")
+
+
+# --------------------------------------------------------------------- #
+# balanced-split tuning (tune_balanced)
+# --------------------------------------------------------------------- #
+
+def test_split_candidates_shape():
+    from fft_wgpu_tpu.plan.autotune import split_candidates
+
+    cands = split_candidates(4096)
+    assert (256, 16, (4, 8, 8)) in cands
+    assert (64, 64, (4, 4, 4)) in cands
+    for n1, n2, chain in cands:
+        assert n1 * n2 == 4096
+        assert 8 <= n2 <= 128
+        prod = 1
+        for f in chain:
+            prod *= f
+        assert prod == n1
+    assert split_candidates(97) == []  # non-pow2: nothing
+
+
+def test_tune_balanced_requires_tpu():
+    from fft_wgpu_tpu.plan.autotune import tune_balanced
+
+    with pytest.raises(RuntimeError):
+        tune_balanced(4096)
+
+
+def test_split_wisdom_roundtrip(tmp_path):
+    from fft_wgpu_tpu.plan import autotune as at
+
+    p = str(tmp_path / "wisdom.json")
+    at.SPLIT_CACHE[("TPU v5 lite", 4096)] = (256, 16, (4, 8, 8))
+    at.save_wisdom(p)
+    at.SPLIT_CACHE.clear()
+    at.load_wisdom(p)
+    assert at.SPLIT_CACHE[("TPU v5 lite", 4096)] == (256, 16, (4, 8, 8))
+    del at.SPLIT_CACHE[("TPU v5 lite", 4096)]
