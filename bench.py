@@ -355,7 +355,7 @@ def child_main():
             _ = ftt.device_get_complex(p.forward(x))
         dt2 = (time.perf_counter() - t0) / iters
         gb = 2 * 8e-9 * n2 * b2 / dt2
-        return f"{dt2*1e3:.3f} ms/iter incl. H2D+D2H ({gb:.1f} GB/s effective)"
+        return f"{dt2*1e3:.3f} ms/iter incl. H2D+D2H ({gb:.3f} GB/s effective over the tunnel)"
 
     _row("N=2^20 single-shot (fused big kernel, 1-pass roofline)",
          lambda: _1d(1 << 20, 1, 1), budget=900)

@@ -7,6 +7,8 @@ coded demo; this exposes the framework's operational surface instead:
     selftest     quick oracle check of the core paths on this backend
     export-plan  serialize a plan's executors to an AOT artifact
     bench        full benchmark harness (delegates to bench.py)
+    tune         measure balanced-split candidates for this device and
+                 persist the winners (plan/autotune.tune_balanced)
 """
 
 from __future__ import annotations
@@ -89,6 +91,22 @@ def _cmd_bench(args) -> int:
     return subprocess.run([sys.executable, path]).returncode
 
 
+def _cmd_tune(args) -> int:
+    from fft_wgpu_tpu.plan.autotune import tune_balanced
+    from fft_wgpu_tpu.utils.io import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    rc = 0
+    for n in args.n:
+        try:
+            best = tune_balanced(n, rows=args.rows)
+            print(f"n={n}: {best}")
+        except (RuntimeError, ValueError) as e:
+            print(f"n={n}: {e}", file=sys.stderr)
+            rc = 1
+    return rc
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m fft_wgpu_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -100,9 +118,14 @@ def main(argv=None) -> int:
     ep.add_argument("out")
     ep.add_argument("--batch", type=int, default=8)
     sub.add_parser("bench", help="full benchmark harness")
+    tn = sub.add_parser("tune", help="measure + persist balanced splits "
+                                     "for this device")
+    tn.add_argument("n", type=int, nargs="+")
+    tn.add_argument("--rows", type=int, default=1024)
     args = ap.parse_args(argv)
     return {"info": _cmd_info, "selftest": _cmd_selftest,
-            "export-plan": _cmd_export_plan, "bench": _cmd_bench}[args.cmd](args)
+            "export-plan": _cmd_export_plan, "bench": _cmd_bench,
+            "tune": _cmd_tune}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,8 @@ __all__ = [
     "upfirdn",
     "resample_poly",
     "decimate",
+    "freqz",
+    "group_delay",
 ]
 
 
@@ -518,3 +520,65 @@ def decimate(x, q: int, n: int | None = None, ftype: str = "fir",
     sl = [slice(None)] * y.ndim
     sl[axis] = slice(None, n_out)
     return y[tuple(sl)]
+
+
+# ---------------------------------------------------------------------------
+# Frequency-response analysis (host f64, design-time companions to firwin)
+# ---------------------------------------------------------------------------
+
+def freqz(b, a=1, worN: int | np.ndarray = 512, whole: bool = False,
+          fs: float = 2 * np.pi, include_nyquist: bool = False):
+    """Frequency response of a digital filter (scipy.signal.freqz parity):
+    ``H(e^{jw}) = B(e^{-jw}) / A(e^{-jw})``.
+
+    Host float64 analysis math (like the FIR design functions — this
+    parameterizes/validates filters, it is not device compute).  Returns
+    (w, h) with `w` in the units of `fs`.
+    """
+    b = np.atleast_1d(np.asarray(b))
+    a = np.atleast_1d(np.asarray(a))
+    if b.ndim != 1 or a.ndim != 1:
+        raise ValueError("b and a must be 1-D")
+    if np.isscalar(worN) or np.ndim(worN) == 0:
+        N = int(worN)
+        if N < 0:
+            raise ValueError("worN must be nonnegative")
+        lastpoint = 2 * np.pi if whole else np.pi
+        if include_nyquist and not whole:
+            w = np.linspace(0, lastpoint, N, endpoint=True)
+        else:
+            w = np.linspace(0, lastpoint, N, endpoint=False)
+    else:
+        w = 2 * np.pi * np.atleast_1d(np.asarray(worN, np.float64)) / fs
+    z = np.exp(-1j * w)
+    h = np.polyval(b[::-1], z) / np.polyval(a[::-1], z)
+    return w * (fs / (2 * np.pi)), h
+
+
+def group_delay(system, w: int | np.ndarray = 512, whole: bool = False,
+                fs: float = 2 * np.pi):
+    """Group delay of a digital filter (scipy.signal.group_delay parity):
+    ``-d(angle(H))/dw`` via the Re(C'(z)/C(z)) identity with
+    ``c = conv(b, conj(reversed(a)))``.  Host float64 analysis math."""
+    b, a = map(np.atleast_1d, system)
+    if np.isscalar(w) or np.ndim(w) == 0:
+        N = int(w)
+        last = 2 * np.pi if whole else np.pi
+        w = np.linspace(0, last, N, endpoint=False)
+    else:
+        w = 2 * np.pi * np.atleast_1d(np.asarray(w, np.float64)) / fs
+    c = np.convolve(b, np.conjugate(a[::-1]))
+    cr = c * np.arange(c.size)
+    z = np.exp(-1j * w)
+    num = np.polyval(cr[::-1], z)
+    den = np.polyval(c[::-1], z)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gd = np.real(num / den) - a.size + 1
+    singular = ~np.isfinite(gd)
+    if np.any(singular):
+        import warnings
+
+        gd[singular] = 0
+        warnings.warn("group delay is singular at some frequencies; "
+                      "set to 0 there", stacklevel=2)
+    return w * (fs / (2 * np.pi)), gd

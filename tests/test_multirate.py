@@ -290,3 +290,35 @@ def test_firwin_f64_design_accuracy():
         ours = firwin(41, 0.3, window=w)
         theirs = sps.firwin(41, 0.3, window=w)
         assert rel(ours, theirs) < 1e-12, w
+
+
+def test_freqz_matches_scipy():
+    b = sps.firwin(31, 0.4)
+    w1, h1 = __import__("fft_wgpu_tpu").freqz(b)
+    w2, h2 = sps.freqz(b)
+    assert np.allclose(w1, w2) and np.allclose(h1, h2, atol=1e-12)
+    # IIR + whole + fs + explicit grid
+    bb, aa = [1.0, -0.5], [1.0, 0.2, 0.1]
+    w1, h1 = __import__("fft_wgpu_tpu").freqz(bb, aa, worN=256, whole=True)
+    w2, h2 = sps.freqz(bb, aa, worN=256, whole=True)
+    assert np.allclose(h1, h2, atol=1e-12)
+    grid = np.linspace(10, 400, 17)
+    w1, h1 = __import__("fft_wgpu_tpu").freqz(bb, aa, worN=grid, fs=1000.0)
+    w2, h2 = sps.freqz(bb, aa, worN=grid, fs=1000.0)
+    assert np.allclose(w1, w2) and np.allclose(h1, h2, atol=1e-12)
+
+
+def test_group_delay_matches_scipy():
+    from fft_wgpu_tpu import group_delay
+
+    b = sps.firwin(31, 0.4)
+    w1, g1 = group_delay((b, [1.0]), 128)
+    w2, g2 = sps.group_delay((b, [1.0]), 128)
+    assert np.allclose(g1, g2, atol=1e-9)
+    # linear-phase FIR: constant delay (numtaps-1)/2 away from the
+    # singular stopband nulls
+    assert abs(g1[1] - 15.0) < 1e-6
+    bb, aa = [1.0, -0.5], [1.0, 0.2, 0.1]
+    w1, g1 = group_delay((bb, aa), 64)
+    w2, g2 = sps.group_delay((bb, aa), 64)
+    assert np.allclose(g1, g2, atol=1e-9)
