@@ -10,7 +10,7 @@ smoke:
 	python scripts/hw_smoke.py
 
 native:
-	g++ -O2 -shared -fPIC -std=c++17 fft_wgpu_tpu/native/src/fftcore.cpp \
+	g++ -O2 -shared -fPIC -pthread -std=c++17 fft_wgpu_tpu/native/src/fftcore.cpp \
 	    -o fft_wgpu_tpu/native/libfftcore.so
 
 clean:

@@ -32,10 +32,13 @@ def split(x):
     complex ops can be unsupported even where jitted ones work).
     """
     if isinstance(x, np.ndarray) and np.iscomplexobj(x):
-        return (
-            jnp.asarray(np.ascontiguousarray(x.real, np.float32)),
-            jnp.asarray(np.ascontiguousarray(x.imag, np.float32)),
-        )
+        from ..utils.native import host_split_complex
+
+        pair = host_split_complex(x)  # one-pass threaded C++ deinterleave
+        if pair is None:  # no native core: two-pass numpy fallback
+            pair = (np.ascontiguousarray(x.real, np.float32),
+                    np.ascontiguousarray(x.imag, np.float32))
+        return jnp.asarray(pair[0]), jnp.asarray(pair[1])
     x = jnp.asarray(x)
     if jnp.iscomplexobj(x):
         return _split_device(x)

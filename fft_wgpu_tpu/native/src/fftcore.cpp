@@ -10,8 +10,11 @@
 //
 // Exposed through a plain C ABI and loaded via ctypes (no pybind11).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -134,6 +137,73 @@ extern "C" int64_t fftcore_plan(int64_t n, int64_t max_direct,
     }
   }
   return 3;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Planar codec: host-side complex interleave <-> planar split.
+//
+// The serving boundary moves complex data as planar (re, im) float32
+// (some TPU runtimes cannot transfer complex arrays at all); numpy's
+// z.real/z.imag does two strided passes and the merge allocates complex
+// temporaries.  These do it in one threaded pass each — the native
+// analogue of the reference's staging-buffer pack/unpack
+// (fft_wgpu examples/basic.rs:84-122).
+// ---------------------------------------------------------------------
+
+namespace {
+
+template <typename F>
+void parallel_chunks(int64_t n, int threads, F&& body) {
+  if (threads <= 1 || n < (1LL << 20)) {
+    body(0, n);
+    return;
+  }
+  int64_t chunk = (n + threads - 1) / threads;
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min<int64_t>(n, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back([&, lo, hi] { body(lo, hi); });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+void fftcore_split_c64(const float* z, float* re, float* im, int64_t n,
+                       int threads) {
+  parallel_chunks(n, threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      re[i] = z[2 * i];
+      im[i] = z[2 * i + 1];
+    }
+  });
+}
+
+void fftcore_split_c128(const double* z, float* re, float* im, int64_t n,
+                        int threads) {
+  parallel_chunks(n, threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      re[i] = static_cast<float>(z[2 * i]);
+      im[i] = static_cast<float>(z[2 * i + 1]);
+    }
+  });
+}
+
+void fftcore_merge_c64(const float* re, const float* im, float* z, int64_t n,
+                       int threads) {
+  parallel_chunks(n, threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      z[2 * i] = re[i];
+      z[2 * i + 1] = im[i];
+    }
+  });
 }
 
 }  // extern "C"

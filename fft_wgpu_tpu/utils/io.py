@@ -29,6 +29,11 @@ def device_get_complex(z) -> np.ndarray:
     if not jnp.iscomplexobj(z):
         return np.asarray(z)
     re, im = _split_for_host(z)
+    from .native import host_merge_complex
+
+    out = host_merge_complex(np.asarray(re), np.asarray(im))
+    if out is not None:  # one-pass threaded C++ interleave
+        return out
     return np.asarray(re) + 1j * np.asarray(im)
 
 
@@ -37,8 +42,14 @@ def device_put_complex(x: np.ndarray, device=None):
     x = np.asarray(x)
     if not np.iscomplexobj(x):
         return jax.device_put(x, device)
-    re = jax.device_put(np.ascontiguousarray(x.real, np.float32), device)
-    im = jax.device_put(np.ascontiguousarray(x.imag, np.float32), device)
+    from .native import host_split_complex
+
+    pair = host_split_complex(x)
+    if pair is None:
+        pair = (np.ascontiguousarray(x.real, np.float32),
+                np.ascontiguousarray(x.imag, np.float32))
+    re = jax.device_put(pair[0], device)
+    im = jax.device_put(pair[1], device)
     return jax.jit(jax.lax.complex)(re, im)
 
 

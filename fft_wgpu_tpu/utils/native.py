@@ -31,7 +31,7 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+            ["g++", "-O2", "-shared", "-fPIC", "-pthread", "-std=c++17", _SRC, "-o", _LIB],
             check=True,
             capture_output=True,
             timeout=120,
@@ -80,6 +80,20 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int64),
             ]
             lib.fftcore_plan.restype = ctypes.c_int64
+            try:  # planar codec (absent in pre-codec builds of the .so)
+                fp = ctypes.POINTER(ctypes.c_float)
+                dp = ctypes.POINTER(ctypes.c_double)
+                lib.fftcore_split_c64.argtypes = [fp, fp, fp,
+                                                  ctypes.c_int64,
+                                                  ctypes.c_int]
+                lib.fftcore_split_c128.argtypes = [dp, fp, fp,
+                                                   ctypes.c_int64,
+                                                   ctypes.c_int]
+                lib.fftcore_merge_c64.argtypes = [fp, fp, fp,
+                                                  ctypes.c_int64,
+                                                  ctypes.c_int]
+            except AttributeError:
+                pass
             _lib = lib
         except Exception:
             _lib = None
@@ -141,3 +155,56 @@ def factorize(n: int, max_radix: int):
     if cnt <= 0:
         return None
     return [int(v) for v in out[:cnt]]
+
+
+def _f32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _codec_threads(n: int) -> int:
+    if n < (1 << 20):
+        return 1
+    return min(8, os.cpu_count() or 1)
+
+
+def host_split_complex(x: np.ndarray):
+    """One-pass threaded interleaved->planar split of a host complex array:
+    (re, im) float32 pair, or None without the native core.  The numpy
+    fallback (x.real/x.imag copies) does two strided passes."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fftcore_split_c64"):
+        return None
+    x = np.ascontiguousarray(x)
+    re = np.empty(x.shape, np.float32)
+    im = np.empty(x.shape, np.float32)
+    n = x.size
+    if x.dtype == np.complex64:
+        lib.fftcore_split_c64(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            _f32ptr(re), _f32ptr(im), n, _codec_threads(n))
+    elif x.dtype == np.complex128:
+        lib.fftcore_split_c128(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            _f32ptr(re), _f32ptr(im), n, _codec_threads(n))
+    else:
+        return None
+    return re, im
+
+
+def host_merge_complex(re: np.ndarray, im: np.ndarray):
+    """One-pass threaded planar->interleaved merge to complex64, or None
+    without the native core (fallback: re + 1j*im, two passes + temps)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fftcore_merge_c64"):
+        return None
+    re = np.ascontiguousarray(re, np.float32)
+    im = np.ascontiguousarray(im, np.float32)
+    if re.shape != im.shape:
+        return None
+    z = np.empty(re.shape, np.complex64)
+    n = z.size
+    lib.fftcore_merge_c64(
+        _f32ptr(re), _f32ptr(im),
+        z.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, _codec_threads(n))
+    return z

@@ -47,3 +47,52 @@ def test_native_plan_choice():
         "fourstep", 1024, 1024)
     assert native.plan_choice(1000, 128, 128, 8192, 512)[0] == "xla"
     assert native.plan_choice(4099, 128, 128, 8192, 512)[0] == "xla"  # prime->bluestein via xla
+
+
+# --------------------------------------------------------------------- #
+# planar codec (one-pass threaded split/merge)
+# --------------------------------------------------------------------- #
+
+def test_host_split_merge_roundtrip():
+    from fft_wgpu_tpu.utils.native import (get_lib, host_merge_complex,
+                                           host_split_complex)
+
+    if get_lib() is None:
+        pytest.skip("native core unavailable")
+    rng = np.random.default_rng(0)
+    for dtype in (np.complex64, np.complex128):
+        z = (rng.standard_normal((37, 129))
+             + 1j * rng.standard_normal((37, 129))).astype(dtype)
+        re, im = host_split_complex(z)
+        assert re.dtype == np.float32 and re.shape == z.shape
+        np.testing.assert_array_equal(re, z.real.astype(np.float32))
+        np.testing.assert_array_equal(im, z.imag.astype(np.float32))
+        back = host_merge_complex(re, im)
+        assert back.dtype == np.complex64
+        np.testing.assert_array_equal(back, z.astype(np.complex64))
+
+
+def test_host_split_threaded_path():
+    from fft_wgpu_tpu.utils.native import get_lib, host_split_complex
+
+    if get_lib() is None:
+        pytest.skip("native core unavailable")
+    rng = np.random.default_rng(1)
+    n = 1 << 21  # above the threading threshold
+    z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    re, im = host_split_complex(z)
+    np.testing.assert_array_equal(re, z.real)
+    np.testing.assert_array_equal(im, z.imag)
+
+
+def test_split_via_package_boundary():
+    # complex_utils.split host path routes through the codec
+    from fft_wgpu_tpu.core.complex_utils import split
+
+    rng = np.random.default_rng(2)
+    z = (rng.standard_normal(500) + 1j * rng.standard_normal(500)
+         ).astype(np.complex64)
+    re, im = split(z)
+    np.testing.assert_allclose(np.asarray(re), z.real, rtol=0)
+    np.testing.assert_allclose(np.asarray(im), z.imag, rtol=0)
