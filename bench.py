@@ -384,6 +384,27 @@ def child_main():
 
     _row("R2C 4096 x 4096 rows", lambda: _r2c(4096, 4096))
     _row("C2R 4096 x 4096 rows", lambda: _c2r(4096, 4096))
+    def _vs_xla():
+        """Stock XLA jnp.fft at the headline shape vs this framework
+        (the jnp_backend value proposition; full table: scripts/
+        probe_r36.py + BENCHMARKS.md 'vs stock XLA')."""
+        from fft_wgpu_tpu.ops import pallas_fft as pf
+
+        re = jax.random.normal(jax.random.PRNGKey(7), (4096, 4096),
+                               jnp.float32)
+        im = jax.random.normal(jax.random.PRNGKey(8), (4096, 4096),
+                               jnp.float32)
+        xla = jax.jit(lambda a, b: (lambda X: (jnp.real(X), jnp.imag(X)))(
+            jnp.fft.fft(jax.lax.complex(a, b), axis=-1)))
+        ours = jax.jit(lambda a, b: pf.fft_batched_split(a, b, -1))
+        tx = _device_time(xla, (re, im))
+        to = _device_time(ours, (re, im))
+        if tx is None or to is None:
+            raise RuntimeError("profiler captured no device events")
+        return (f"stock jnp.fft {tx*1e3:.3f} ms vs ours {to*1e3:.3f} ms "
+                f"= {tx/to:.2f}x speedup (N=4096 x 4096)")
+
+    _row("vs stock XLA jnp.fft", _vs_xla, budget=600)
     _row("end-to-end 2500x512 (reference loop)", lambda: _end_to_end(512, 2500))
 
 
