@@ -20,6 +20,9 @@ __all__ = [
     "get_workers",
     "set_workers",
     "fftconvolve",
+    "convolve",
+    "correlate",
+    "choose_conv_method",
     "fftcorrelate",
     "hilbert",
     "hilbert2",
@@ -636,3 +639,29 @@ def detrend(data, axis: int = -1, type: str = "linear", bp=0):
     v = jnp.moveaxis(x, ax, 0).reshape(N, -1)
     out = _detrend_linear(v, N, tuple(int(b) for b in bps))
     return jnp.moveaxis(out.reshape(moved_shape), 0, ax)
+
+
+def choose_conv_method(in1, in2, mode: str = "full", measure: bool = False):
+    """scipy.signal.choose_conv_method parity shim: on this framework the
+    FFT path IS the implementation (the MXU wants batched transforms, not
+    sliding windows), so the answer is always 'fft'.  With measure=True
+    returns ('fft', {}) like scipy's two-tuple form."""
+    return ("fft", {}) if measure else "fft"
+
+
+def convolve(in1, in2, mode: str = "full", method: str = "auto"):
+    """N-D convolution (scipy.signal.convolve drop-in).  `method` accepts
+    'auto'/'fft'/'direct'; all routes run the FFT implementation
+    (:func:`fftconvolve`) — 'direct' has no advantage on TPU and the FFT
+    path matches it to ~1e-6 in f32."""
+    if method not in ("auto", "fft", "direct"):
+        raise ValueError(f"invalid method {method!r}")
+    return fftconvolve(in1, in2, mode=mode)
+
+
+def correlate(in1, in2, mode: str = "full", method: str = "auto"):
+    """N-D correlation (scipy.signal.correlate drop-in) on the FFT path
+    (:func:`fftcorrelate`)."""
+    if method not in ("auto", "fft", "direct"):
+        raise ValueError(f"invalid method {method!r}")
+    return fftcorrelate(in1, in2, mode=mode)

@@ -284,3 +284,28 @@ class TestDHT:
         a = np.asarray(ftt.dht(x, axis=0))
         b = np.asarray(ftt.dht(x.T, axis=-1)).T
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_convolve_correlate_shims():
+    import scipy.signal as sps
+
+    from fft_wgpu_tpu import choose_conv_method, convolve, correlate
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((20, 16)).astype(np.float32)
+    b = rng.standard_normal((5, 7)).astype(np.float32)
+    for mode in ("full", "same", "valid"):
+        got = np.asarray(convolve(a, b, mode=mode))
+        want = sps.convolve(a.astype(np.float64), b.astype(np.float64),
+                            mode=mode)
+        assert got.shape == want.shape
+        assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+        gc = np.asarray(correlate(a, b, mode=mode))
+        wc = sps.correlate(a.astype(np.float64), b.astype(np.float64),
+                           mode=mode)
+        assert gc.shape == wc.shape
+        assert np.linalg.norm(gc - wc) / np.linalg.norm(wc) < 1e-5
+    assert choose_conv_method(a, b) == "fft"
+    assert choose_conv_method(a, b, measure=True) == ("fft", {})
+    with pytest.raises(ValueError):
+        convolve(a, b, method="bogus")
