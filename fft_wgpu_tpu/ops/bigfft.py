@@ -55,6 +55,35 @@ _CHAIN_SCHEDULE = {
     8192: (4, 4, 8, 64),
 }
 
+# Outer-twiddle form (probe_r40).  "direct": one [S, 128] in-register
+# table — S*128 entries of iota+cos/sin (1M transcendental pairs at
+# 2^20, the largest in-kernel table anywhere).  "factored": split
+# k_s = 64 q + p so w_n^(k_s m) = w_{n/64}^(q m) * w_n^(p m) — two
+# in-register tables of [S/64, 128] and [64, 128] (24K entries) and one
+# extra broadcast complex multiply on the state.  Measured on v5e
+# (probe_r40): factored wins at every size — 2^15 1.14x, 2^19 1.28x,
+# 2^20 0.086 vs 0.115 ms (1.33x), 2^21 0.185 vs 0.240 (1.30x); the
+# transcendental polynomial chains on 1M-entry tables were ~25% of the
+# whole transform.  Numerics unchanged (both forms f32-exact index
+# products; rel 1.6e-07 vs f64 oracle).
+TW_FORM = "factored"
+
+
+def _outer_twiddle_mul(br, bi, S, n, sign):
+    if TW_FORM == "factored" and S % 64 == 0 and S >= 128:
+        Q = S // 64
+        t1r, t1i = pf._gen_dft(Q, 128, n // 64, sign)  # w_{n/64}^{q m}
+        t2r, t2i = pf._gen_dft(64, 128, n, sign)       # w_n^{p m}
+        b3r = br.reshape(Q, 64, 128)
+        b3i = bi.reshape(Q, 64, 128)
+        cr = b3r * t2r[None] - b3i * t2i[None]
+        ci = b3r * t2i[None] + b3i * t2r[None]
+        dr = cr * t1r[:, None, :] - ci * t1i[:, None, :]
+        di = cr * t1i[:, None, :] + ci * t1r[:, None, :]
+        return dr.reshape(S, 128), di.reshape(S, 128)
+    twr, twi = pf._gen_twiddle(S, 128, n, sign)
+    return br * twr - bi * twi, br * twi + bi * twr
+
 
 def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, sign, scale):
     """Tall layout [n/128, 128]: sublane DIT chain + one lane-stage Gauss.
@@ -73,10 +102,8 @@ def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, sign, scale):
     br, bi = pf._dft_sublane_chain(ar, ai, S, sign,
                                    factors=_CHAIN_SCHEDULE.get(S))
 
-    # inter-factor twiddle w_n^{k_s * m_l} (direct 2-D generation)
-    twr, twi = pf._gen_twiddle(S, 128, n, sign)
-    cr = br * twr - bi * twi
-    ci = br * twi + bi * twr
+    # inter-factor twiddle w_n^{k_s * m_l} (direct or factored — TW_FORM)
+    cr, ci = _outer_twiddle_mul(br, bi, S, n, sign)
 
     # stage 2: contract the 128 lanes; [k_l, k_s] flattens to the natural
     # index X[k_s + S*k_l]; output scale folded into the stage matrix

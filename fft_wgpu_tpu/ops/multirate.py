@@ -241,9 +241,307 @@ def firwin2(numtaps: int, freq, gain, *, nfreqs: int | None = None,
     return out
 
 
-# ---------------------------------------------------------------------------
-# upfirdn (device, one jitted program per geometry)
-# ---------------------------------------------------------------------------
+def kaiserord(ripple: float, width: float) -> tuple[int, float]:
+    """Kaiser-window FIR order estimate (scipy.signal.kaiserord parity):
+    given the max ripple in dB and the transition width as a fraction of
+    the Nyquist rate, return (numtaps, beta) for `firwin`."""
+    A = abs(float(ripple))
+    if A < 8:
+        raise ValueError("ripple attenuation too small for the Kaiser "
+                         "formula (need at least 8 dB)")
+    beta = kaiser_beta(A)
+    numtaps = (A - 7.95) / 2.285 / (np.pi * float(width)) + 1
+    return int(np.ceil(numtaps)), beta
+
+
+def firls(numtaps: int, bands, desired, *, weight=None,
+          fs: float = 2.0) -> np.ndarray:
+    """Least-squares linear-phase FIR design (scipy.signal.firls parity).
+
+    Minimizes the weighted integrated squared error between the type-I
+    amplitude response A(f) = a0 + sum_k a_k cos(pi k f) and the
+    piecewise-linear desired response over the given bands.  The normal
+    equations have the classic Toeplitz-plus-Hankel structure
+    Q = (T(q) + H(q))/2 with q the band-integrated cosine moments, solved
+    in float64 on the host like every design routine here.
+    """
+    numtaps = int(numtaps)
+    if numtaps % 2 == 0 or numtaps < 1:
+        raise ValueError("numtaps must be odd and >= 1")
+    M = (numtaps - 1) // 2
+    nyq = 0.5 * fs
+    bands = np.asarray(bands, np.float64).ravel() / nyq
+    if bands.size % 2:
+        raise ValueError("bands must contain frequency pairs")
+    if np.any(bands < 0) or np.any(bands > 1):
+        raise ValueError("bands must lie within [0, fs/2]")
+    if np.any(np.diff(bands) < 0):
+        raise ValueError("bands must be monotonically nondecreasing")
+    bands = bands.reshape(-1, 2)
+    desired = np.asarray(desired, np.float64).ravel().reshape(-1, 2)
+    if desired.shape[0] != bands.shape[0]:
+        raise ValueError("desired must have one value per band edge")
+    if weight is None:
+        weight = np.ones(bands.shape[0], np.float64)
+    weight = np.asarray(weight, np.float64).ravel()
+    if weight.size != bands.shape[0]:
+        raise ValueError("weight must have one value per band")
+
+    # q[m] = sum_b w_b * \int_band cos(pi m f) df, m = 0 .. 2M
+    m = np.arange(2 * M + 1, dtype=np.float64)[None, :]
+    f0 = bands[:, :1]
+    f1 = bands[:, 1:]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        integ = (np.sin(np.pi * m * f1) - np.sin(np.pi * m * f0)) \
+            / (np.pi * m)
+    integ[:, 0] = (f1 - f0)[:, 0]
+    q = (weight[:, None] * integ).sum(axis=0)
+
+    # b[j] = sum_b w_b * \int_band D(f) cos(pi j f) df with D linear/band
+    j = np.arange(M + 1, dtype=np.float64)[None, :]
+    d0 = desired[:, :1]
+    d1 = desired[:, 1:]
+    slope = np.where(f1 > f0, (d1 - d0) / np.where(f1 > f0, f1 - f0, 1.0),
+                     0.0)
+    c0 = d0 - slope * f0  # D(f) = c0 + slope * f
+
+    def _int_cos(f, j):  # \int cos(pi j f) df
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = np.sin(np.pi * j * f) / (np.pi * j)
+        return np.where(j == 0, f, v)
+
+    def _int_fcos(f, j):  # \int f cos(pi j f) df
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = (np.cos(np.pi * j * f) / (np.pi * j) ** 2
+                 + f * np.sin(np.pi * j * f) / (np.pi * j))
+        return np.where(j == 0, 0.5 * f * f, v)
+
+    bint = (c0 * (_int_cos(f1, j) - _int_cos(f0, j))
+            + slope * (_int_fcos(f1, j) - _int_fcos(f0, j)))
+    bvec = (weight[:, None] * bint).sum(axis=0)
+
+    # Q_{jk} = (q[|j-k|] + q[j+k]) / 2  (Toeplitz + Hankel)
+    idx = np.arange(M + 1)
+    Q = 0.5 * (q[np.abs(idx[:, None] - idx[None, :])]
+               + q[idx[:, None] + idx[None, :]])
+    a = np.linalg.solve(Q, bvec)
+
+    h = np.empty(numtaps, np.float64)
+    h[M] = a[0]
+    h[M + 1:] = 0.5 * a[1:]
+    h[:M] = 0.5 * a[:0:-1]
+    return h
+
+
+def _bary_gamma(xe):
+    """Barycentric weights 1/prod(x_k - x_j) via logs (overflow-safe for
+    hundreds of nodes), returned scaled by a common factor (all uses are
+    ratios of gamma-weighted sums, so the scale cancels)."""
+    d = xe[:, None] - xe[None, :]
+    np.fill_diagonal(d, 1.0)
+    logg = -np.sum(np.log(np.abs(d)), axis=1)
+    sg = np.prod(np.sign(d), axis=1)
+    return sg * np.exp(logg - logg.max())
+
+
+def _bary_eval(x, xe, ce, gam):
+    """Second-form barycentric interpolation through (xe, ce) at x."""
+    diff = x[:, None] - xe[None, :]
+    hit = np.abs(diff) < 1e-14
+    diff = np.where(hit, 1.0, diff)
+    t = gam[None, :] / diff
+    p = (t @ ce) / t.sum(axis=1)
+    rows = hit.any(axis=1)
+    if rows.any():
+        p[rows] = ce[np.argmax(hit[rows], axis=1)]
+    return p
+
+
+def remez(numtaps: int, bands, desired, *, weight=None, type="bandpass",
+          maxiter: int = 25, grid_density: int = 16,
+          fs: float = 1.0) -> np.ndarray:
+    """Parks-McClellan optimal equiripple FIR design
+    (scipy.signal.remez parity).
+
+    Classic Remez exchange on a dense frequency grid: the amplitude is
+    factored A(f) = G(f) P(f) (G = 1, cos(pi f), sin(2pi f), sin(pi f)
+    for filter types I-IV), P is the degree-(r-1) cosine polynomial that
+    equioscillates through r+1 extremal points, and the exchange
+    iterates barycentric leveled-error fits until the extremal set is
+    stationary.  Taps are recovered by frequency sampling A at k/N.
+    All float64 host math like the other design routines.
+    """
+    numtaps = int(numtaps)
+    if numtaps < 3:
+        raise ValueError("numtaps must be >= 3")
+    if type not in ("bandpass", "differentiator", "hilbert"):
+        raise ValueError(f"invalid filter type {type!r}")
+    bands = np.asarray(bands, np.float64).ravel() / fs  # -> [0, 0.5]
+    if bands.size % 2 or bands.size < 2:
+        raise ValueError("bands must contain frequency pairs")
+    if np.any(np.diff(bands) < 0) or bands[0] < 0 or bands[-1] > 0.5:
+        raise ValueError("bands must be nondecreasing within [0, fs/2]")
+    nb = bands.size // 2
+    desired = np.asarray(desired, np.float64).ravel()
+    if desired.size != nb:
+        raise ValueError("desired must have one value per band")
+    if weight is None:
+        weight = np.ones(nb, np.float64)
+    weight = np.asarray(weight, np.float64).ravel()
+    if weight.size != nb:
+        raise ValueError("weight must have one value per band")
+
+    odd = numtaps % 2
+    if type == "bandpass":
+        L = 1 if odd else 2
+    else:
+        L = 3 if odd else 4
+    r = {1: (numtaps + 1) // 2, 2: numtaps // 2,
+         3: (numtaps - 1) // 2, 4: numtaps // 2}[L]
+    if r < 1:
+        raise ValueError("filter order too small for this type")
+
+    # dense grid (classic construction: step 0.5/(grid_density*r))
+    delf = 0.5 / (grid_density * r)
+    gf, gD, gW = [], [], []
+    for b in range(nb):
+        f0, f1 = bands[2 * b], bands[2 * b + 1]
+        pts = np.arange(f0, f1, delf)
+        if pts.size == 0 or pts[-1] < f1 - 1e-15:
+            pts = np.concatenate([pts, [f1]])
+        if type == "differentiator" and desired[b] >= 1e-4:
+            D = desired[b] * pts
+            W = weight[b] / np.maximum(pts, 1e-20)
+        else:
+            D = np.full(pts.size, desired[b])
+            W = np.full(pts.size, weight[b])
+        gf.append(pts)
+        gD.append(D)
+        gW.append(W)
+    f = np.concatenate(gf)
+    D = np.concatenate(gD)
+    W = np.concatenate(gW)
+
+    # G(f) transform; drop grid points where G ~ 0 (singular endpoints)
+    if L == 1:
+        G = np.ones_like(f)
+    elif L == 2:
+        G = np.cos(np.pi * f)
+    elif L == 3:
+        G = np.sin(2 * np.pi * f)
+    else:
+        G = np.sin(np.pi * f)
+    keep = np.abs(G) > 1e-9
+    f, D, W, G = f[keep], D[keep], W[keep], G[keep]
+    Dp = D / G
+    Wp = W * G if L == 1 else W * np.abs(G)
+    ngrid = f.size
+    if ngrid < r + 1:
+        raise ValueError("grid too coarse for the requested order; "
+                         "increase grid_density")
+    x = np.cos(2 * np.pi * f)
+
+    # band-edge grid indices are always extremal candidates
+    edges = set()
+    for b in range(nb):
+        f0, f1 = bands[2 * b], bands[2 * b + 1]
+        edges.add(int(np.argmin(np.abs(f - f0))))
+        edges.add(int(np.argmin(np.abs(f - f1))))
+
+    ext = np.round(np.linspace(0, ngrid - 1, r + 1)).astype(int)
+    alt = np.array([(-1.0) ** k for k in range(r + 1)])
+    E = np.zeros(ngrid)
+    for _ in range(maxiter):
+        xe = x[ext]
+        gam = _bary_gamma(xe)
+        delta = np.sum(gam * Dp[ext]) / np.sum(gam * alt / Wp[ext])
+        C = Dp[ext] - alt * delta / Wp[ext]
+        P = _bary_eval(x, xe, C, gam)
+        E = Wp * (Dp - P)
+
+        # candidates: local maxima of |E| + band edges + current set
+        aE = np.abs(E)
+        loc = np.zeros(ngrid, bool)
+        loc[1:-1] = (aE[1:-1] >= aE[:-2]) & (aE[1:-1] >= aE[2:])
+        loc[0] = aE[0] >= aE[1]
+        loc[-1] = aE[-1] >= aE[-2]
+        cands = sorted(set(np.flatnonzero(loc)) | edges | set(ext))
+        sel: list[int] = []
+        for i in cands:
+            if aE[i] == 0.0 and len(sel) > 0:
+                continue
+            if sel and np.sign(E[i]) == np.sign(E[sel[-1]]):
+                if aE[i] > aE[sel[-1]]:
+                    sel[-1] = i
+            else:
+                sel.append(i)
+        while len(sel) > r + 1:
+            if aE[sel[0]] < aE[sel[-1]]:
+                sel.pop(0)
+            else:
+                sel.pop()
+        if len(sel) < r + 1:
+            break  # degenerate; keep the current leveled fit
+        new_ext = np.asarray(sel)
+        if np.array_equal(new_ext, ext):
+            break
+        ext = new_ext
+
+    # Taps from the EXACT leveled values at the extremal points:
+    # A(f_e) = G(f_e) C_e (P interpolates C there by construction), so the
+    # (r+1) x r cosine/sine Vandermonde system is consistent and lstsq
+    # recovers the taps at delta-level accuracy.  (Sampling A at k/N and
+    # inverse-FFT'ing instead needs barycentric EXTRAPOLATION far outside
+    # the node hull when the bands are narrow — measured 1e4x noisier on
+    # a [0.025, 0.225] differentiator.)
+    xe = x[ext]
+    gam = _bary_gamma(xe)
+    delta = np.sum(gam * Dp[ext]) / np.sum(gam * alt / Wp[ext])
+    C = Dp[ext] - alt * delta / Wp[ext]
+    fe = f[ext]
+    if L == 1:
+        Ge = np.ones_like(fe)
+    elif L == 2:
+        Ge = np.cos(np.pi * fe)
+    elif L == 3:
+        Ge = np.sin(2 * np.pi * fe)
+    else:
+        Ge = np.sin(np.pi * fe)
+    Ae = Ge * C
+
+    h = np.zeros(numtaps, np.float64)
+    if L == 1:
+        M = (numtaps - 1) // 2
+        V = np.concatenate(
+            [np.ones((fe.size, 1)),
+             2 * np.cos(2 * np.pi * np.outer(fe, np.arange(1, M + 1)))],
+            axis=1)
+        coef = np.linalg.lstsq(V, Ae, rcond=None)[0]
+        h[M] = coef[0]
+        h[M + 1:] = coef[1:]
+        h[:M] = coef[:0:-1]
+    elif L == 2:
+        half = numtaps // 2
+        V = 2 * np.cos(2 * np.pi * np.outer(fe,
+                                            np.arange(1, half + 1) - 0.5))
+        coef = np.linalg.lstsq(V, Ae, rcond=None)[0]
+        h[half:] = coef
+        h[:half] = coef[::-1]
+    elif L == 3:
+        M = numtaps // 2
+        V = 2 * np.sin(2 * np.pi * np.outer(fe, np.arange(1, M + 1)))
+        coef = np.linalg.lstsq(V, Ae, rcond=None)[0]
+        # scipy sign convention (H = i A e^{-i pi f (N-1)})
+        h[M + 1:] = -coef
+        h[:M] = coef[::-1]
+    else:
+        half = numtaps // 2
+        V = 2 * np.sin(2 * np.pi * np.outer(fe,
+                                            np.arange(1, half + 1) - 0.5))
+        coef = np.linalg.lstsq(V, Ae, rcond=None)[0]
+        h[half:] = -coef
+        h[:half] = coef[::-1]
+    return h
 
 def _output_len(n_h: int, n_in: int, up: int, down: int) -> int:
     """Standard upfirdn output length (scipy _upfirdn._output_len)."""

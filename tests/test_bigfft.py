@@ -58,6 +58,20 @@ def test_envelope_rejection():
         bigfft.fft_big_split(r, r, -1)
 
 
+def test_tw_form_parity(rng, assert_close, monkeypatch):
+    # factored outer twiddle (production, probe_r40: 1.3x on hardware)
+    # must agree with the direct [S, 128] table bit-for-tolerance
+    n = 1 << 15
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    monkeypatch.setattr(bigfft, "TW_FORM", "factored")
+    a = _run(x, -1)
+    monkeypatch.setattr(bigfft, "TW_FORM", "direct")
+    b = _run(x, -1)
+    assert_close(a, np.fft.fft(x), what="bigfft factored tw")
+    assert_close(a, b, what="bigfft factored vs direct tw")
+
+
 def test_impulse_natural_order():
     # delta at position p -> X[k] = exp(-2pi i k p / n): catches any output
     # reordering mistakes that a random roundtrip would mask.

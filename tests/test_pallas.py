@@ -121,6 +121,29 @@ def test_rows_transposed_with_outer_twiddle(rng, assert_close):
     assert_close(got, np.fft.fft(x), what="(two-pass 2^18)")
 
 
+def test_rows_transposed_outer_tw_forms(rng, assert_close, monkeypatch):
+    # factored outer four-step twiddle (production, probe_r40: 1.2x on
+    # hardware) must agree with the direct per-step [*, n] table, on both
+    # the balanced (4096 in _BALANCED) and classic kernels
+    for n1, n2 in ((128, 4096), (256, 256)):
+        n = n1 * n2
+        x = crand(rng, n1, n2)
+        b = np.fft.fft(x.reshape(n1, n2), axis=0)
+        args = (np.ascontiguousarray(b.real, np.float32),
+                np.ascontiguousarray(b.imag, np.float32))
+        outs = {}
+        for form in ("factored", "direct"):
+            monkeypatch.setattr(pallas_fft, "OUTER_TW_FORM", form)
+            rr, ii = pallas_fft.fft_rows_transposed_split(
+                *args, -1, None, outer=(n1, n), interpret=True)
+            outs[form] = np.asarray(rr) + 1j * np.asarray(ii)
+        want = np.fft.fft(x.reshape(n))
+        assert_close(outs["factored"].reshape(n), want,
+                     what=f"outer factored n2={n2}")
+        assert_close(outs["factored"], outs["direct"],
+                     what=f"outer factored vs direct n2={n2}")
+
+
 def test_fft2_two_pass(rng, assert_close):
     x = crand(rng, 3, 256, 512)
     re = np.ascontiguousarray(x.real, np.float32)
