@@ -36,8 +36,11 @@ from .helpers import _as_host_or_device, _iscomplex
 __all__ = [
     "kaiser_atten",
     "kaiser_beta",
+    "kaiserord",
     "firwin",
     "firwin2",
+    "firls",
+    "remez",
     "upfirdn",
     "resample_poly",
     "decimate",

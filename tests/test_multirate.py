@@ -322,3 +322,93 @@ def test_group_delay_matches_scipy():
     w1, g1 = group_delay((bb, aa), 64)
     w2, g2 = sps.group_delay((bb, aa), 64)
     assert np.allclose(g1, g2, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# firls / remez / kaiserord (host-f64 design vs the scipy oracle)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("numtaps,bands,desired,kwargs", [
+    (31, [0, 0.2, 0.3, 1.0], [1, 1, 0, 0], {}),
+    (51, [0, 0.1, 0.2, 0.4, 0.45, 1.0], [0, 0, 1, 1, 0, 0],
+     {"weight": [1.0, 2.0, 0.5]}),
+    (73, [0, 200, 250, 500], [1, 0.5, 0, 0], {"fs": 1000.0}),
+    (11, [0, 0.5, 0.6, 1.0], [1, 1, 0, 0], {"weight": [1, 10]}),
+])
+def test_firls_matches_scipy(numtaps, bands, desired, kwargs):
+    from fft_wgpu_tpu.ops.multirate import firls
+
+    ours = firls(numtaps, bands, desired, **kwargs)
+    ref = sps.firls(numtaps, bands, desired, **kwargs)
+    assert rel(ours, ref) < 1e-12
+
+
+def test_firls_validation():
+    from fft_wgpu_tpu.ops.multirate import firls
+
+    with pytest.raises(ValueError):
+        firls(30, [0, 0.2, 0.3, 1.0], [1, 1, 0, 0])  # even numtaps
+    with pytest.raises(ValueError):
+        firls(31, [0, 0.3, 0.2, 1.0], [1, 1, 0, 0])  # non-monotonic
+    with pytest.raises(ValueError):
+        firls(31, [0, 0.2, 0.3, 1.0], [1, 1, 0, 0], weight=[1, 2, 3])
+
+
+@pytest.mark.parametrize("numtaps,bands,desired,kwargs", [
+    (72, [0, 0.1, 0.11, 0.5], [1, 0], {}),                       # type I-ish
+    (21, [0, 0.1, 0.15, 0.5], [1, 0], {}),
+    (65, [0, 0.075, 0.1, 0.2, 0.225, 0.5], [0, 1, 0],
+     {"weight": [1, 2, 5]}),
+    (40, [0, 0.1, 0.125, 0.5], [1, 0], {}),                      # type II
+    (31, [0.025, 0.475], [1], {"type": "hilbert"}),              # type III
+    (20, [0.025, 0.475], [1], {"type": "hilbert"}),              # type IV
+    (55, [0, 0.05, 0.08, 0.15, 0.18, 0.3, 0.33, 0.5],
+     [1, 0, 0.5, 0], {"weight": [1, 10, 3, 10]}),
+    (53, [0, 300, 400, 1000], [1, 0], {"fs": 2000.0}),
+    (255, [0, 0.2, 0.21, 0.5], [1, 0], {}),
+])
+def test_remez_matches_scipy(numtaps, bands, desired, kwargs):
+    from fft_wgpu_tpu.ops.multirate import remez
+
+    ours = remez(numtaps, bands, desired, **kwargs)
+    ref = sps.remez(numtaps, bands, desired, **kwargs)
+    assert rel(ours, ref) < 1e-10
+
+
+def test_remez_differentiator_equiripple():
+    """Narrow-band differentiator: intrinsically ill-conditioned tap
+    recovery (scipy and ours legitimately differ at ~1e-4 taps); the
+    correctness criterion is the weighted equiripple error itself, where
+    the extremal-value reconstruction beats scipy's sampled one."""
+    from fft_wgpu_tpu.ops.multirate import remez
+
+    numtaps, bands, slope = 25, [0.025, 0.225], 2.0
+    h = remez(numtaps, bands, [slope], type="differentiator")
+    ref = sps.remez(numtaps, bands, [slope], type="differentiator")
+    f = np.linspace(bands[0], bands[1], 20001)
+    _, H = sps.freqz(h, worN=2 * np.pi * f)
+    _, Hr = sps.freqz(ref, worN=2 * np.pi * f)
+    ours_rip = np.max(np.abs(np.abs(H) - slope * f) / f)
+    scipy_rip = np.max(np.abs(np.abs(Hr) - slope * f) / f)
+    assert ours_rip <= scipy_rip * 1.5
+    assert ours_rip < 1e-9
+
+
+def test_remez_validation():
+    from fft_wgpu_tpu.ops.multirate import remez
+
+    with pytest.raises(ValueError):
+        remez(31, [0, 0.6], [1])                # edge above fs/2
+    with pytest.raises(ValueError):
+        remez(31, [0, 0.2, 0.3, 0.5], [1])      # desired size mismatch
+    with pytest.raises(ValueError):
+        remez(31, [0, 0.2, 0.3, 0.5], [1, 0], type="nope")
+
+
+def test_kaiserord_matches_scipy():
+    from fft_wgpu_tpu.ops.multirate import kaiserord
+
+    for ripple, width in [(65, 0.05), (21.5, 0.1), (10, 0.02), (80, 0.01)]:
+        assert kaiserord(ripple, width) == sps.kaiserord(ripple, width)
+    with pytest.raises(ValueError):
+        kaiserord(5, 0.1)
