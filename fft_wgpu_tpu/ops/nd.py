@@ -37,24 +37,51 @@ def fftn_split(re, im, axes, sign, scale, executor="auto"):
 
     from ..plan.plan import get_plan
 
-    # TPU fast path: a trailing-2D transform runs as two transposed-rows
-    # Pallas passes with zero explicit transposes (pallas_fft.fft2_split).
+    # TPU fast paths for a trailing-2D block:
+    #  * batched planes (>= 8 rows: the grid pipelines DMA with compute)
+    #    in the fused-plane envelope run BOTH axes in one VMEM residency
+    #    (pallas_fft.fft2_fused_split — one HBM round trip instead of
+    #    two); a 3-D transform then costs 2 round trips total.
+    #  * otherwise two transposed-rows passes with zero explicit
+    #    transposes (pallas_fft.fft2_split).
     nd = re.ndim
+    ax_sorted = sorted(a % nd for a in axes)
     if (
         executor in ("auto", "pallas")
         and _jax.default_backend() == "tpu"
-        and sorted(a % nd for a in axes) == [nd - 2, nd - 1]
-        and len(axes) == 2
+        and len(axes) >= 2
+        and ax_sorted[-2:] == [nd - 2, nd - 1]
     ):
         try:
             from . import pallas_fft
         except ImportError:
-            pass
-        else:
-            try:
-                return pallas_fft.fft2_split(re, im, sign, scale)
-            except pallas_fft.Unsupported:
-                pass
+            pallas_fft = None
+        if pallas_fft is not None:
+            rest = ax_sorted[:-2]
+            lead_rows = math.prod(re.shape[:-2])
+            re2 = im2 = None
+            if lead_rows >= 8 or rest:
+                try:
+                    re2, im2 = pallas_fft.fft2_fused_split(
+                        re, im, sign, scale if not rest else None)
+                except pallas_fft.Unsupported:
+                    re2 = None
+            if re2 is None and not rest:
+                try:
+                    return pallas_fft.fft2_split(re, im, sign, scale)
+                except pallas_fft.Unsupported:
+                    pass
+            if re2 is not None:
+                if not rest:
+                    return re2, im2
+                re, im = re2, im2
+                for ax in rest:
+                    p = get_plan(re.shape[ax], executor)
+                    re, im = p._execute_split_axis(re, im, sign, None, ax)
+                if scale is not None and scale != 1.0:
+                    s = jnp.float32(scale)
+                    re, im = re * s, im * s
+                return re, im
 
     for ax in axes:
         # the plan layer picks the right executor per axis; axis -2 runs

@@ -323,6 +323,13 @@ def _dit_schedule(S: int) -> tuple[int, ...]:
         # realcat32 pairs — 16384 rows 1.133 -> 0.913 ms, bigfft 2^21
         # 0.268 -> 0.241; (4,4,8,128) crashes the compile service
         16384: (4, 4, 4, 4, 64),
+        # 2^22 single-pass (probe_r41): with the factored outer twiddle
+        # the VMEM math suggests the tall [32768, 128] form fits, but the
+        # compile service HANGS >20 min on the kernel (same failure mode
+        # as the R2C 16384 big-n1 kernel, probe_r32) — bigfft keeps
+        # BIG_MAX_N = 2^21.  The schedule stays for the sublane-chain
+        # callers that only slice it.
+        32768: (4, 4, 4, 8, 64),
     }
     if S not in table:
         raise Unsupported(f"no DIT schedule for S={S}")
@@ -799,9 +806,30 @@ def _choose_split_sublane(n: int) -> tuple[int, int]:
 _S1_CHAINS = {4: (4,), 8: (8,), 16: (4, 4), 32: (4, 8), 64: (4, 4, 4)}
 
 
-def _kernel_ax0(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
-    """Columns-FFT tile: block [1, n, 128] transforms each of the 128 lane
-    columns along the sublane axis.
+# Lane tile for the axis(-2) kernel (probe_r43): wider tiles amortize
+# per-step overheads when n is small and the lane extent is huge (3-D
+# axis passes, four-step stage 1).  n -> tile; anything absent uses 128.
+# Measured (v5e, probe_r43): n=256 wins at lt=512 (0.676 -> 0.582 ms on
+# a 65536-lane extent); n in {512, 1024, 4096} all prefer 128 — the win
+# only exists where the sublane chain is short enough that per-grid-step
+# overheads dominate.
+_AX0_LANE_TILES: dict = {256: 512}
+
+
+def _ax0_lane_tile(n: int, m: int) -> int:
+    lt = _AX0_LANE_TILES.get(n, 128)
+    # shrink until the tile divides the (padded) lane extent and the
+    # block fits comfortably in VMEM alongside its working copies
+    while lt > 128 and (m % lt or n * lt > (1 << 21)):
+        lt //= 2
+    return max(lt, 128)
+
+
+def _kernel_ax0(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale,
+                lt=128):
+    """Columns-FFT tile: block [1, n, lt] transforms each of the lt lane
+    columns along the sublane axis (lt a multiple of 128; wider tiles
+    amortize per-step overheads when n is small — see _AX0_LANE_TILES).
 
     With the transform axis in sublanes, every four-step reindexing is a
     sublane split/merge (always supported) and the stage results come out
@@ -809,8 +837,8 @@ def _kernel_ax0(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
     why the planner prefers axis -2 transforms wherever layout allows
     (ND row-column passes, four-step stage 1).
     """
-    ar = xr_ref[0].reshape(n1, n2, 128)
-    ai = xi_ref[0].reshape(n1, n2, 128)
+    ar = xr_ref[0].reshape(n1, n2, lt)
+    ai = xi_ref[0].reshape(n1, n2, lt)
 
     if n1 == 1:  # single-stage DFT
         cr, ci = ar, ai
@@ -848,8 +876,8 @@ def _kernel_ax0(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
             dr, di = res[:n2], res[n2:]
         else:
             dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
-    or_ref[0] = dr.reshape(n, 128)
-    oi_ref[0] = di.reshape(n, 128)
+    or_ref[0] = dr.reshape(n, lt)
+    oi_ref[0] = di.reshape(n, lt)
 
 
 def _fft_axis0_core(re, im, sign, scale=None, *, interpret=False):
@@ -874,12 +902,13 @@ def _fft_axis0_core(re, im, sign, scale=None, *, interpret=False):
     grid_m = 128 if short else m
 
     n1, n2 = _choose_split_sublane(n)
+    lt = _ax0_lane_tile(n, grid_m)
     kern = functools.partial(
         _kernel_ax0, n=n, n1=n1, n2=n2, sign=sign,
-        scale=float(scale) if scale is not None else 1.0,
+        scale=float(scale) if scale is not None else 1.0, lt=lt,
     )
-    grid = (b, pl.cdiv(grid_m, 128))  # ragged lane edges masked natively
-    spec = pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j),
+    grid = (b, pl.cdiv(grid_m, lt))  # ragged lane edges masked natively
+    spec = pl.BlockSpec((1, n, lt), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
 
     flops_per_col = 8 * n * (n1 + n2) + 6 * n
@@ -1511,6 +1540,92 @@ def _irfft_rows_core(Xr, Xi, n, scale=None, *, interpret=False):
     if short:
         out = out[:rows]
     return out.reshape(*lead, n)
+
+
+# Fused whole-plane fft2: both trailing axes in ONE VMEM residency.
+# Envelope: A, B powers of two >= 128 (the in-kernel chain reshapes need
+# 128-multiple minors on both orientations) with a DIT schedule each.
+# Bound = the measured WIN region (probe_r42, v5e): 128^2 1.88x and
+# 256^2 2.49x over the two-pass form, but 512^2 0.95x and 1024^2 0.50x
+# (one whole plane per grid step stops pipelining as planes grow; the
+# two-pass form's tuned 128-row tiles win back).
+_FFT2F_MAX_ELEMS = 1 << 16
+
+
+def _kernel_fft2f(xr_ref, xi_ref, or_ref, oi_ref, *, A, B, sign, scale):
+    """[A, B] plane resident in VMEM: FFT over B (transpose + sublane
+    chain), FFT over A (transpose back + sublane chain, scale folded).
+    One HBM read and one write per element for BOTH axes — the two-pass
+    form (fft2_split fallback) pays two full round trips."""
+    ar = xr_ref[0]
+    ai = xi_ref[0]
+    br, bi = _dft_sublane_chain(ar.T, ai.T, B, sign, 1.0)      # [kb, A]
+    dr, di = _dft_sublane_chain(br.T, bi.T, A, sign, scale)    # [ka, kb]
+    or_ref[0] = dr
+    oi_ref[0] = di
+
+
+def _fft2f_supported(A: int, B: int) -> bool:
+    for n in (A, B):
+        if n < 128 or n & (n - 1):
+            return False
+        try:
+            _dit_schedule(n)
+        except Unsupported:
+            return False
+    return A * B <= _FFT2F_MAX_ELEMS
+
+
+def _fft2_fused_core(re, im, sign, scale=None, *, interpret=False):
+    A, B = re.shape[-2], re.shape[-1]
+    if not _fft2f_supported(A, B):
+        raise Unsupported(f"fft2 plane ({A},{B}) outside fused-plane "
+                          "envelope")
+    lead = re.shape[:-2]
+    rows = int(np.prod(lead)) if lead else 1
+    if rows == 0:
+        return re, im
+    re3 = re.reshape(rows, A, B)
+    im3 = im.reshape(rows, A, B)
+    kern = functools.partial(
+        _kernel_fft2f, A=A, B=B, sign=sign,
+        scale=float(scale) if scale is not None else 1.0,
+    )
+    spec = pl.BlockSpec((1, A, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=(rows,),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, A, B), jnp.float32),
+            jax.ShapeDtypeStruct((rows, A, B), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * rows * A * B * 40,
+            bytes_accessed=4 * rows * A * B * 4,
+            transcendentals=2 * (A + B),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(re3, im3)
+    return out_r.reshape(*lead, A, B), out_i.reshape(*lead, A, B)
+
+
+def fft2_fused_split(re, im, sign, scale=None, *, interpret=False):
+    """Single-round-trip 2-D FFT over the trailing axes (both axes done
+    inside one VMEM residency).  Differentiable both modes (exact linear
+    adjoint: sign-flipped kernel, same scale; _linear2 is defined in the
+    AD section below and resolves at call time)."""
+    return _linear2(
+        lambda a, b: _fft2_fused_core(a, b, sign, scale,
+                                      interpret=interpret),
+        lambda a, b: _fft2_fused_core(a, b, -sign, scale,
+                                      interpret=interpret),
+        re, im)
 
 
 def fft2_split(re, im, sign, scale=None, *, interpret=False):

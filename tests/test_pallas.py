@@ -121,6 +121,36 @@ def test_rows_transposed_with_outer_twiddle(rng, assert_close):
     assert_close(got, np.fft.fft(x), what="(two-pass 2^18)")
 
 
+def test_fft2_fused_plane(rng, assert_close):
+    # single-round-trip fused plane kernel vs numpy.fft2, batched + plain
+    for shape in ((2, 256, 256), (128, 512), (3, 128, 128)):
+        x = crand(rng, *shape)
+        re = np.ascontiguousarray(x.real, np.float32)
+        im = np.ascontiguousarray(x.imag, np.float32)
+        rr, ii = pallas_fft.fft2_fused_split(re, im, -1, None,
+                                             interpret=True)
+        got = np.asarray(rr) + 1j * np.asarray(ii)
+        assert_close(got, np.fft.fft2(x), what=f"fft2 fused {shape}")
+    # inverse with folded scale
+    x = crand(rng, 2, 256, 128)
+    re = np.ascontiguousarray(x.real, np.float32)
+    im = np.ascontiguousarray(x.imag, np.float32)
+    Xr, Xi = pallas_fft.fft2_fused_split(re, im, -1, None, interpret=True)
+    br, bi = pallas_fft.fft2_fused_split(Xr, Xi, +1, 1.0 / (256 * 128),
+                                         interpret=True)
+    back = np.asarray(br) + 1j * np.asarray(bi)
+    assert_close(back, x, what="fft2 fused roundtrip")
+
+
+def test_fft2_fused_envelope():
+    r = np.zeros((8, 64, 256), np.float32)  # A=64 < 128
+    with pytest.raises(pallas_fft.Unsupported):
+        pallas_fft.fft2_fused_split(r, r, -1, interpret=True)
+    r = np.zeros((2, 2048, 2048), np.float32)  # plane too big for VMEM
+    with pytest.raises(pallas_fft.Unsupported):
+        pallas_fft.fft2_fused_split(r, r, -1, interpret=True)
+
+
 def test_rows_transposed_outer_tw_forms(rng, assert_close, monkeypatch):
     # factored outer four-step twiddle (production, probe_r40: 1.2x on
     # hardware) must agree with the direct per-step [*, n] table, on both
