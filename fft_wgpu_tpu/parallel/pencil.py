@@ -58,15 +58,37 @@ def _fft_axis_local(re, im, axis, sign, scale):
     return re, im
 
 
-def _a2a(pair, axis_name, split_axis, concat_axis):
+def _norm_comm_dtype(comm_dtype):
+    """Validate the corner-turn wire dtype (None = full f32)."""
+    if comm_dtype is None:
+        return None
+    dt = jnp.dtype(comm_dtype)
+    if dt not in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)):
+        raise ValueError(
+            f"comm_dtype must be None, float32 or bfloat16, got {comm_dtype}")
+    return None if dt == jnp.dtype(jnp.float32) else dt
+
+
+def _a2a(pair, axis_name, split_axis, concat_axis, comm_dtype=None):
     re, im = pair
+    if comm_dtype is not None:
+        # mixed-precision corner turn: halve the wire bytes of the
+        # dominant (ICI-bound, ~8x on v5e — BENCHMARKS.md) cost.  The
+        # cast costs one VPU pass each way; rel error ~bf16 eps (4e-3)
+        # per turn on the intermediate spectrum — opt-in only.
+        re = re.astype(comm_dtype)
+        im = im.astype(comm_dtype)
     re = jax.lax.all_to_all(re, axis_name, split_axis, concat_axis, tiled=True)
     im = jax.lax.all_to_all(im, axis_name, split_axis, concat_axis, tiled=True)
+    if comm_dtype is not None:
+        re = re.astype(jnp.float32)
+        im = im.astype(jnp.float32)
     return re, im
 
 
 def _fft_then_a2a_chunked(re, im, fft_axis, sign, scale, axis_name,
-                          split_axis, concat_axis, chunk_axis, chunks):
+                          split_axis, concat_axis, chunk_axis, chunks,
+                          comm_dtype=None):
     """FFT along `fft_axis` then all-to-all, pipelined in `chunks` slices
     along `chunk_axis` (an axis participating in neither the FFT nor the
     a2a).  Chunk i's a2a depends only on chunk i's FFT, so XLA's async
@@ -76,7 +98,7 @@ def _fft_then_a2a_chunked(re, im, fft_axis, sign, scale, axis_name,
     the unpipelined baseline."""
     if chunks <= 1 or re.shape[chunk_axis] < chunks:
         re, im = _fft_axis_local(re, im, fft_axis, sign, scale)
-        return _a2a((re, im), axis_name, split_axis, concat_axis)
+        return _a2a((re, im), axis_name, split_axis, concat_axis, comm_dtype)
     assert chunk_axis not in (split_axis, concat_axis)
     n = re.shape[chunk_axis]
     step = -(-n // chunks)
@@ -86,7 +108,8 @@ def _fft_then_a2a_chunked(re, im, fft_axis, sign, scale, axis_name,
         sl[chunk_axis] = slice(s, min(s + step, n))
         cr, ci = re[tuple(sl)], im[tuple(sl)]
         cr, ci = _fft_axis_local(cr, ci, fft_axis, sign, scale)
-        cr, ci = _a2a((cr, ci), axis_name, split_axis, concat_axis)
+        cr, ci = _a2a((cr, ci), axis_name, split_axis, concat_axis,
+                      comm_dtype)
         outs_r.append(cr)
         outs_i.append(ci)
     return (jnp.concatenate(outs_r, chunk_axis),
@@ -96,8 +119,10 @@ def _fft_then_a2a_chunked(re, im, fft_axis, sign, scale, axis_name,
 # --------------------------------------------------------------------- #
 # 3-D pencil FFT
 # --------------------------------------------------------------------- #
-def _fft3d_impl(x, mesh, sign, scale, transposed_output, overlap_chunks=None):
+def _fft3d_impl(x, mesh, sign, scale, transposed_output, overlap_chunks=None,
+                comm_dtype=None):
     ax, ay = mesh.axis_names
+    comm_dtype = _norm_comm_dtype(comm_dtype)
     if overlap_chunks is None:
         # pipeline by default on real meshes; 1 device has no ICI to hide
         overlap_chunks = 4 if mesh.devices.size > 1 else 1
@@ -112,14 +137,14 @@ def _fft3d_impl(x, mesh, sign, scale, transposed_output, overlap_chunks=None):
         o = re.ndim - 3
         re, im = _fft_then_a2a_chunked(                          # Z-FFT
             re, im, o + 2, sign, None, ay, o + 2, o + 1, o,
-            overlap_chunks)                                      # -> [.., X/px, Y, Z/py]
+            overlap_chunks, comm_dtype)                          # -> [.., X/px, Y, Z/py]
         re, im = _fft_then_a2a_chunked(                          # Y-FFT
             re, im, o + 1, sign, None, ax, o + 1, o, o + 2,
-            overlap_chunks)                                      # -> [.., X, Y/px, Z/py]
+            overlap_chunks, comm_dtype)                          # -> [.., X, Y/px, Z/py]
         re, im = _fft_axis_local(re, im, o, sign, scale)         # X-FFT
         if not transposed_output:
-            re, im = _a2a((re, im), ax, o, o + 1)                # -> [.., X/px, Y, Z/py]
-            re, im = _a2a((re, im), ay, o + 1, o + 2)            # -> [.., X/px, Y/py, Z]
+            re, im = _a2a((re, im), ax, o, o + 1, comm_dtype)    # -> [.., X/px, Y, Z/py]
+            re, im = _a2a((re, im), ay, o + 1, o + 2, comm_dtype)  # -> [.., X/px, Y/py, Z]
         return re, im
 
     b = (None,) * lead
@@ -139,27 +164,35 @@ def _fft3d_impl(x, mesh, sign, scale, transposed_output, overlap_chunks=None):
 
 
 def fft3d(x, mesh: Mesh | None = None, norm=None, *, transposed_output=False,
-          overlap_chunks: int | None = None):
+          overlap_chunks: int | None = None, comm_dtype=None):
     """Distributed 3-D forward FFT over the LAST three axes, pencil-
     decomposed over a 2-D mesh (leading axes are replicated batch dims).
 
     `overlap_chunks` pipelines each FFT->all-to-all pair in that many
     chunks so ICI transfers overlap pencil compute (default: 4 on real
-    meshes, 1 single-device)."""
+    meshes, 1 single-device).
+
+    `comm_dtype=jnp.bfloat16` sends the all-to-all corner turns over the
+    wire in bf16 (compute stays f32): the transform is ~8x ICI-bound on
+    v5e (BENCHMARKS.md scaling model), so halving the turn bytes is the
+    single biggest distributed-throughput lever.  Opt-in: each bf16 turn
+    rounds the intermediate spectrum to ~3 decimal digits (measured
+    ~1e-3 rel L2 end to end); default None keeps full f32 wires."""
     mesh = mesh or make_pencil_mesh()
     scale = _nd_scale(jnp.shape(x)[-3:], norm, FORWARD)
     return _fft3d_impl(x, mesh, FORWARD, scale, transposed_output,
-                       overlap_chunks)
+                       overlap_chunks, comm_dtype)
 
 
 def ifft3d(x, mesh: Mesh | None = None, norm=None, *, transposed_output=False,
-           overlap_chunks: int | None = None):
+           overlap_chunks: int | None = None, comm_dtype=None):
     """Distributed 3-D inverse FFT (1/N total scale folded into the last
-    axis pass, mirroring the reference's fused normalize — ifft.wgsl:65-74)."""
+    axis pass, mirroring the reference's fused normalize — ifft.wgsl:65-74).
+    `comm_dtype` as in fft3d (bf16 wire turns, opt-in)."""
     mesh = mesh or make_pencil_mesh()
     scale = _nd_scale(jnp.shape(x)[-3:], norm, INVERSE)
     return _fft3d_impl(x, mesh, INVERSE, scale, transposed_output,
-                       overlap_chunks)
+                       overlap_chunks, comm_dtype)
 
 
 def _nd_scale(shape, norm, sign):
@@ -330,13 +363,15 @@ def fft1d_distributed(x, mesh: Mesh | None = None, *, inverse=False, norm=None):
 # 3-D R2C / C2R pencil transforms (real simulation data)
 # --------------------------------------------------------------------- #
 def rfft3d(x, mesh: Mesh | None = None, norm=None, *,
-           overlap_chunks: int | None = None):
+           overlap_chunks: int | None = None, comm_dtype=None):
     """Distributed 3-D R2C: rfft over Z locally, then complex pencil FFTs
     over Y and X. Input real [X, Y, Z] sharded (px, py, -); output complex
     [X, Y, Z//2+1] with the same (px, py, -) distribution.
-    `overlap_chunks` pipelines the Y/X FFT->a2a pairs (as in fft3d)."""
+    `overlap_chunks` pipelines the Y/X FFT->a2a pairs and `comm_dtype`
+    selects the corner-turn wire dtype (bf16 opt-in), both as in fft3d."""
     mesh = mesh or make_pencil_mesh()
     ax, ay = mesh.axis_names
+    comm = _norm_comm_dtype(comm_dtype)
     shape = jnp.shape(x)
     if len(shape) < 3:
         raise ValueError("rfft3d expects at least 3 dimensions")
@@ -364,12 +399,12 @@ def rfft3d(x, mesh: Mesh | None = None, norm=None, *,
             pads = [(0, 0)] * (re.ndim - 1) + [(0, pad)]
             re = jnp.pad(re, pads)
             im = jnp.pad(im, pads)
-        re, im = _a2a((re, im), ay, o + 2, o + 1)         # [.., Xl, Y, Kz/py]
+        re, im = _a2a((re, im), ay, o + 2, o + 1, comm)   # [.., Xl, Y, Kz/py]
         re, im = _fft_then_a2a_chunked(                   # Y-FFT (pipelined)
-            re, im, o + 1, FORWARD, None, ax, o + 1, o, o + 2, chunks)
+            re, im, o + 1, FORWARD, None, ax, o + 1, o, o + 2, chunks, comm)
         re, im = _fft_axis_local(re, im, o, FORWARD, scale)
-        re, im = _a2a((re, im), ax, o, o + 1)             # [.., X/px, Y, Kz/py]
-        re, im = _a2a((re, im), ay, o + 1, o + 2)         # [.., X/px, Y/py, Kz]
+        re, im = _a2a((re, im), ax, o, o + 1, comm)       # [.., X/px, Y, Kz/py]
+        re, im = _a2a((re, im), ay, o + 1, o + 2, comm)   # [.., X/px, Y/py, Kz]
         return re, im
 
     in_spec = P(*(None,) * lead, ax, ay, None)
@@ -382,12 +417,14 @@ def rfft3d(x, mesh: Mesh | None = None, norm=None, *,
 
 
 def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None, *,
-            overlap_chunks: int | None = None):
+            overlap_chunks: int | None = None, comm_dtype=None):
     """Distributed 3-D C2R inverse of :func:`rfft3d`.
 
     `n_last` is the real length of the Z axis (numpy irfft `n`);
-    `overlap_chunks` pipelines the Y-pass FFT->a2a as in rfft3d."""
+    `overlap_chunks` pipelines the Y-pass FFT->a2a and `comm_dtype` the
+    corner-turn wire dtype (bf16 opt-in), as in rfft3d."""
     mesh = mesh or make_pencil_mesh()
+    comm = _norm_comm_dtype(comm_dtype)
     chunks = (4 if mesh.devices.size > 1 else 1) \
         if overlap_chunks is None else overlap_chunks
     ax, ay = mesh.axis_names
@@ -420,13 +457,13 @@ def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None, *,
             im2 = jnp.pad(im, pads)
         else:
             re2, im2 = re, im
-        re2, im2 = _a2a((re2, im2), ay, o + 2, o + 1)     # [.., Xl, Y, K/py]
+        re2, im2 = _a2a((re2, im2), ay, o + 2, o + 1, comm)  # [.., Xl, Y, K/py]
         re2, im2 = _fft_then_a2a_chunked(                 # Y-FFT (pipelined)
-            re2, im2, o + 1, INVERSE, None, ax, o + 1, o, o + 2, chunks)
+            re2, im2, o + 1, INVERSE, None, ax, o + 1, o, o + 2, chunks, comm)
         # -> [.., X, Y/px, K/py]
         re2, im2 = _fft_axis_local(re2, im2, o, INVERSE, scale)
-        re2, im2 = _a2a((re2, im2), ax, o, o + 1)
-        re2, im2 = _a2a((re2, im2), ay, o + 1, o + 2)     # [.., X/px, Y/py, K]
+        re2, im2 = _a2a((re2, im2), ax, o, o + 1, comm)
+        re2, im2 = _a2a((re2, im2), ay, o + 1, o + 2, comm)  # [.., X/px, Y/py, K]
         re2 = re2[..., :nb]
         im2 = im2[..., :nb]
         if n_last % 2 == 0 and n_last >= 2:

@@ -102,7 +102,8 @@ def ici_bandwidth(device=None) -> float:
 def pencil_fft3d_model(n: int, mesh_shape: tuple[int, int], *, device=None,
                        transposed_output: bool = False,
                        hbm_bw: float | None = None,
-                       ici_bw: float | None = None) -> dict:
+                       ici_bw: float | None = None,
+                       comm_bytes: float = 8.0) -> dict:
     """Lower-bound cost model for the pencil-decomposed 3-D C2C FFT of an
     n^3 cube over a px x py mesh (parallel/pencil.py:_fft3d_impl).
 
@@ -113,7 +114,9 @@ def pencil_fft3d_model(n: int, mesh_shape: tuple[int, int], *, device=None,
         (m-1)/m of the local slice off-chip; the per-axis egress
         bandwidth is the chip aggregate split across the torus axes and
         halved (egress half of bidirectional).  2 corner turns for
-        transposed output, 4 for natural order.
+        transposed output, 4 for natural order.  `comm_bytes` is the
+        wire size per complex point (8 for split f32, 4 for the
+        comm_dtype=bf16 opt-in turns — pencil.py:_a2a).
     With the chunked overlap schedule (`overlap_chunks`) the total floor
     is max(compute, ici) + one chunk of exposed latency ~= max(...).
 
@@ -132,8 +135,9 @@ def pencil_fft3d_model(n: int, mesh_shape: tuple[int, int], *, device=None,
     turns = [(py, "Z->Y"), (px, "Y->X")]
     if not transposed_output:
         turns += [(px, "X out"), (py, "Y out")]
-    ici_bytes = sum(local_bytes * (m - 1) / m for m, _ in turns)
-    ici_s = sum(local_bytes * (m - 1) / m / axis_egress for m, _ in turns)
+    wire_bytes = local_bytes * comm_bytes / 8.0
+    ici_bytes = sum(wire_bytes * (m - 1) / m for m, _ in turns)
+    ici_s = sum(wire_bytes * (m - 1) / m / axis_egress for m, _ in turns)
 
     overlapped_s = max(compute_s, ici_s)
     return {

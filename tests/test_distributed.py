@@ -295,3 +295,56 @@ def test_fno3d_dp_tp_training_step(rng, assert_close):
     ref_leaf = p_ref["blocks"][0]["wr"]
     sh_leaf = p_sh["blocks"][0]["wr"]
     assert_close(np.asarray(sh_leaf), np.asarray(ref_leaf), tol=1e-5)
+
+
+def test_fft3d_bf16_comm_dtype(rng):
+    """bf16 wire corner turns (comm_dtype opt-in): the result must agree
+    with the f32-wire transform to bf16-rounding accuracy, and the exact
+    f32 default must be unaffected."""
+    import jax.numpy as jnp
+
+    m = pencil.make_pencil_mesh()
+    x = (rng.standard_normal((16, 16, 32))
+         + 1j * rng.standard_normal((16, 16, 32))).astype(np.complex64)
+    want = np.fft.fftn(x)
+    exact = np.asarray(pencil.fft3d(x, m))
+    assert np.linalg.norm(exact - want) / np.linalg.norm(want) < 1e-5
+
+    got = np.asarray(pencil.fft3d(x, m, comm_dtype=jnp.bfloat16))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2e-2, rel          # bf16 turns: ~1e-3 typical
+    assert rel > 0.0                # and it genuinely took the bf16 path
+
+    back = np.asarray(pencil.ifft3d(
+        pencil.fft3d(x, m, comm_dtype="bfloat16"), m,
+        comm_dtype="bfloat16"))
+    rel = np.linalg.norm(back - x) / np.linalg.norm(x)
+    assert rel < 2e-2, rel
+
+    with pytest.raises(ValueError):
+        pencil.fft3d(x, m, comm_dtype=np.float16)
+
+
+def test_rfft3d_bf16_comm_dtype(rng):
+    import jax.numpy as jnp
+
+    m = pencil.make_pencil_mesh()
+    x = rng.standard_normal((8, 16, 32)).astype(np.float32)
+    want = np.fft.rfftn(x)
+    got = np.asarray(pencil.rfft3d(x, m, comm_dtype=jnp.bfloat16))
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 2e-2
+    back = np.asarray(pencil.irfft3d(got.astype(np.complex64), n_last=32,
+                                     mesh=m, comm_dtype=jnp.bfloat16))
+    assert np.linalg.norm(back - x) / np.linalg.norm(x) < 3e-2
+
+
+def test_pencil_model_comm_bytes():
+    """The ICI cost model halves the wire floor for bf16 turns and leaves
+    the compute floor alone."""
+    from fft_wgpu_tpu.utils.roofline import pencil_fft3d_model
+
+    f32 = pencil_fft3d_model(512, (4, 2), hbm_bw=0.819e12, ici_bw=7e10)
+    bf16 = pencil_fft3d_model(512, (4, 2), hbm_bw=0.819e12, ici_bw=7e10,
+                              comm_bytes=4.0)
+    assert abs(bf16["ici_s"] - f32["ici_s"] / 2) < 1e-12
+    assert bf16["compute_s"] == f32["compute_s"]
