@@ -268,15 +268,18 @@ def _divisible_factors(n: int, p: int) -> tuple[int, int] | None:
 
 
 
-def fft1d_distributed(x, mesh: Mesh | None = None, *, inverse=False, norm=None):
+def fft1d_distributed(x, mesh: Mesh | None = None, *, inverse=False,
+                       norm=None, comm_dtype=None):
     """1-D FFT of a vector sharded across a 1-D mesh.
 
     The distributed analogue of ops/fourstep.py: view x[n] as A[n1, n2] with
     n1 sharded; the corner turn between the factor FFTs is one all-to-all.
     This is the framework's "sequence parallelism" (SURVEY §5: scaling
-    transform length beyond one device).
+    transform length beyond one device).  `comm_dtype=bfloat16` sends the
+    corner turns in bf16 (see fft3d).
     """
     mesh = mesh or make_mesh()
+    comm = _norm_comm_dtype(comm_dtype)
     (axn,) = mesh.axis_names
     ndev = mesh.devices.size
     n = int(np.prod(jnp.shape(x)))
@@ -326,7 +329,7 @@ def fft1d_distributed(x, mesh: Mesh | None = None, *, inverse=False, norm=None):
         from ..plan.plan import get_plan
 
         # FFT over n1 requires n1 contiguous: corner turn first.
-        re, im = _a2a((re, im), axn, 1, 0)  # -> [n1, n2/p]
+        re, im = _a2a((re, im), axn, 1, 0, comm)  # -> [n1, n2/p]
         p1 = get_plan(n1, "auto")
         rT, iT = jnp.swapaxes(re, 0, 1), jnp.swapaxes(im, 0, 1)  # [n2/p, n1]
         rT, iT = p1._execute_split(rT, iT, sign, None)           # B^T rows
@@ -335,14 +338,14 @@ def fft1d_distributed(x, mesh: Mesh | None = None, *, inverse=False, norm=None):
         ci = rT * twi + iT * twr
 
         # corner turn so n2 is contiguous: [n2/p, n1] -> [n2, n1/p]
-        cr, ci = _a2a((cr, ci), axn, 1, 0)
+        cr, ci = _a2a((cr, ci), axn, 1, 0, comm)
         p2 = get_plan(n2, "auto")
         dr, di = jnp.swapaxes(cr, 0, 1), jnp.swapaxes(ci, 0, 1)  # [n1/p, n2]
         dr, di = p2._execute_split(dr, di, sign, scale)          # D[k1, k2]
 
         # natural order: X[k1 + n1 k2] == flatten of D^T; return D^T rows
         # [n2/p, n1] so the flattened global output is contiguous in k.
-        dr, di = _a2a((dr, di), axn, 1, 0)                       # [n1, n2/p]
+        dr, di = _a2a((dr, di), axn, 1, 0, comm)                 # [n1, n2/p]
         dr, di = jnp.swapaxes(dr, 0, 1), jnp.swapaxes(di, 0, 1)  # [n2/p, n1]
         return dr.reshape(-1), di.reshape(-1)
 

@@ -348,3 +348,15 @@ def test_pencil_model_comm_bytes():
                               comm_bytes=4.0)
     assert abs(bf16["ici_s"] - f32["ici_s"] / 2) < 1e-12
     assert bf16["compute_s"] == f32["compute_s"]
+
+
+def test_fft1d_distributed_bf16_comm(rng):
+    import jax.numpy as jnp
+
+    m = meshlib.make_mesh()
+    n = 1 << 12
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    want = np.fft.fft(x)
+    got = np.asarray(pencil.fft1d_distributed(x, m, comm_dtype=jnp.bfloat16))
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 2e-2

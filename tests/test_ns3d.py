@@ -133,3 +133,22 @@ def test_rollout_cache_replays():
     assert c._jit_cache  # compiled program cached
     b = np.asarray(ns3d_rollout(c, u0, 2))
     np.testing.assert_array_equal(a, b)
+
+
+def test_ns3d_bf16_comm_close_to_exact():
+    """One ABC-flow step with bf16 wire turns stays within bf16 rounding
+    of the exact-f32 step (the comm_dtype plumbing reaches all 18
+    distributed transforms)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from fft_wgpu_tpu.models import abc_flow, ns3d_init, ns3d_rollout
+
+    n = 16
+    u0 = abc_flow(n)
+    exact = ns3d_init(n, nu=0.01, dt=1e-3)
+    bf16 = ns3d_init(n, nu=0.01, dt=1e-3, comm_dtype=jnp.bfloat16)
+    ue = np.asarray(ns3d_rollout(exact, u0, 2))
+    ub = np.asarray(ns3d_rollout(bf16, u0, 2))
+    rel = np.linalg.norm(ub - ue) / np.linalg.norm(ue)
+    assert rel < 2e-2, rel
+    assert rel > 0.0  # the bf16 wire path was genuinely taken
