@@ -74,14 +74,10 @@ def fftn_split(re, im, axes, sign, scale, executor="auto"):
             if re2 is not None:
                 if not rest:
                     return re2, im2
+                # fused plane done; fall through to the generic per-axis
+                # loop for the remaining axes (scale applied there)
                 re, im = re2, im2
-                for ax in rest:
-                    p = get_plan(re.shape[ax], executor)
-                    re, im = p._execute_split_axis(re, im, sign, None, ax)
-                if scale is not None and scale != 1.0:
-                    s = jnp.float32(scale)
-                    re, im = re * s, im * s
-                return re, im
+                axes = rest
 
     for ax in axes:
         # the plan layer picks the right executor per axis; axis -2 runs

@@ -1605,7 +1605,7 @@ def _fft2_fused_core(re, im, sign, scale=None, *, interpret=False):
         cost_estimate=pl.CostEstimate(
             flops=8 * rows * A * B * 40,
             bytes_accessed=4 * rows * A * B * 4,
-            transcendentals=2 * (A + B),
+            transcendentals=0,  # all twiddles are trace-time constants
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,

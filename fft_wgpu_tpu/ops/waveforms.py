@@ -243,6 +243,7 @@ def vectorstrength(events, period):
     period = np.asarray(period, np.float64)
     if events.ndim > 1:
         raise ValueError("events cannot have dimensions more than 1")
+    events = np.atleast_1d(events)  # scalar event is valid (scipy parity)
     if period.ndim > 1:
         raise ValueError("periods cannot have dimensions more than 1")
     scalar = period.ndim == 0

@@ -75,13 +75,9 @@ def main():
             return nd.fftn_split(a, b, (0, 1, 2), -1, None, "auto")
 
         fn = jax.jit(run3d)
-        z = np.asarray(re[:1]) + 1j * np.asarray(im[:1])
-
-        def chk3(out):
-            g = np.asarray(out[0][:1]) + 1j * np.asarray(out[1][:1])
-            # oracle: FFT over axes 1,2 of slab 0 needs the full cube for
-            # axis 0; instead check a single output row cheaply
-            return 0.0
+        # NOTE: these rows are TIMING-ONLY (no in-loop oracle — a full
+        # 3-D numpy oracle at 512^3 is ~2 GiB); correctness of the same
+        # route is asserted below at 128^3/256^3 and in tests/.
 
         t_new = tcase(f"fftn {n}^3 (fused plane route)", fn, (re, im))
         old = pf._FFT2F_MAX_ELEMS
@@ -94,8 +90,8 @@ def main():
         if t_new and t_old:
             print(f"  -> fused route {t_old/t_new:.2f}x", flush=True)
 
-    # correctness of the full 3-D route vs numpy at 64^3 (cheap oracle)
-    n = 64  # below fused envelope (128) — exercises the fallback
+    # correctness of the full 3-D route vs numpy (128^3 rides the fused
+    # plane, 256^3 the fused plane + ax0 pass)
     for n in (128, 256):
         re = jax.random.normal(k0, (n, n, n), jnp.float32)
         im = jax.random.normal(k1, (n, n, n), jnp.float32)

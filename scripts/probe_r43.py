@@ -89,11 +89,9 @@ def main():
         im = jax.random.normal(k1, (n, n, n), jnp.float32)
         fn = jax.jit(lambda a, b: nd.fftn_split(a, b, (0, 1, 2), -1,
                                                 None, "auto"))
-        out = fn(re, im)
-        g = np.asarray(out[0][:1]) + 1j * np.asarray(out[1][:1])
-        want = np.fft.fftn(np.asarray(re) + 1j * np.asarray(im),
-                           axes=(1, 2))
-        # cheap correctness proxy: full 3-D checked in probe_r42 already
+        # timing-only rows: full 3-D correctness is asserted in
+        # probe_r42 / tests (a numpy oracle at 512^3 is ~2 GiB of host
+        # work per iteration and was never compared here anyway)
         tcase(f"fftn {n}^3 (pinned tiles)", fn, (re, im))
 
     for n, rows in ((1 << 22, 4), (1 << 21, 8)):

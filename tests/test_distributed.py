@@ -313,7 +313,8 @@ def test_fft3d_bf16_comm_dtype(rng):
     got = np.asarray(pencil.fft3d(x, m, comm_dtype=jnp.bfloat16))
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 2e-2, rel          # bf16 turns: ~1e-3 typical
-    assert rel > 0.0                # and it genuinely took the bf16 path
+    # it genuinely took the bf16 path: must differ from the exact result
+    assert np.linalg.norm(got - exact) > 0.0
 
     back = np.asarray(pencil.ifft3d(
         pencil.fft3d(x, m, comm_dtype="bfloat16"), m,

@@ -160,6 +160,10 @@ def test_vectorstrength():
     # perfectly phase-locked events -> strength 1
     gs, _ = ftt.vectorstrength(np.arange(10, dtype=float), 1.0)
     assert np.isclose(gs, 1.0)
+    # scalar (0-d) events are valid in scipy — must not crash
+    gs, gp = ftt.vectorstrength(3.0, 1.0)
+    ws, wp = sps.vectorstrength(3.0, 1.0)
+    assert np.isclose(gs, ws) and np.isclose(gp, wp)
     with pytest.raises(ValueError):
         ftt.vectorstrength(ev, -1.0)
     with pytest.raises(ValueError):
