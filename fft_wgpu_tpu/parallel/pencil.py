@@ -209,8 +209,9 @@ def _nd_scale(shape, norm, sign):
 # --------------------------------------------------------------------- #
 # 2-D slab FFT
 # --------------------------------------------------------------------- #
-def _fft2d_impl(x, mesh, sign, scale):
+def _fft2d_impl(x, mesh, sign, scale, comm_dtype=None):
     (ax,) = mesh.axis_names
+    comm = _norm_comm_dtype(comm_dtype)
     lead = len(jnp.shape(x)) - 2  # leading batch dims (replicated)
     if lead < 0:
         raise ValueError("fft2d expects at least 2 dimensions")
@@ -219,9 +220,9 @@ def _fft2d_impl(x, mesh, sign, scale):
         # in: [.., X/p, Y]
         o = re.ndim - 2
         re, im = _fft_axis_local(re, im, o + 1, sign, None)  # Y-FFT
-        re, im = _a2a((re, im), ax, o + 1, o)                # -> [.., X, Y/p]
+        re, im = _a2a((re, im), ax, o + 1, o, comm)          # -> [.., X, Y/p]
         re, im = _fft_axis_local(re, im, o, sign, scale)     # X-FFT
-        re, im = _a2a((re, im), ax, o, o + 1)                # -> [.., X/p, Y]
+        re, im = _a2a((re, im), ax, o, o + 1, comm)          # -> [.., X/p, Y]
         return re, im
 
     spec = P(*(None,) * lead, ax, None)
@@ -233,19 +234,22 @@ def _fft2d_impl(x, mesh, sign, scale):
     return merge(re, im)
 
 
-def fft2d(x, mesh: Mesh | None = None, norm=None):
+def fft2d(x, mesh: Mesh | None = None, norm=None, *, comm_dtype=None):
     """Distributed 2-D forward FFT over the LAST two axes, slab-decomposed
-    over a 1-D mesh (leading axes are replicated batch dims)."""
+    over a 1-D mesh (leading axes are replicated batch dims).
+    `comm_dtype=bfloat16` sends the corner turns in bf16 (see fft3d)."""
     mesh = mesh or make_mesh()
     return _fft2d_impl(x, mesh, FORWARD,
-                       _nd_scale(jnp.shape(x)[-2:], norm, FORWARD))
+                       _nd_scale(jnp.shape(x)[-2:], norm, FORWARD),
+                       comm_dtype)
 
 
-def ifft2d(x, mesh: Mesh | None = None, norm=None):
+def ifft2d(x, mesh: Mesh | None = None, norm=None, *, comm_dtype=None):
     """Distributed 2-D inverse FFT (slab)."""
     mesh = mesh or make_mesh()
     return _fft2d_impl(x, mesh, INVERSE,
-                       _nd_scale(jnp.shape(x)[-2:], norm, INVERSE))
+                       _nd_scale(jnp.shape(x)[-2:], norm, INVERSE),
+                       comm_dtype)
 
 
 # --------------------------------------------------------------------- #

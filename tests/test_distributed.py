@@ -361,3 +361,16 @@ def test_fft1d_distributed_bf16_comm(rng):
     want = np.fft.fft(x)
     got = np.asarray(pencil.fft1d_distributed(x, m, comm_dtype=jnp.bfloat16))
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < 2e-2
+
+
+def test_fft2d_bf16_comm(rng):
+    import jax.numpy as jnp
+
+    m = meshlib.make_mesh()
+    x = (rng.standard_normal((32, 64)) + 1j * rng.standard_normal((32, 64))
+         ).astype(np.complex64)
+    want = np.fft.fft2(x)
+    exact = np.asarray(pencil.fft2d(x, m))
+    got = np.asarray(pencil.fft2d(x, m, comm_dtype=jnp.bfloat16))
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 2e-2
+    assert np.linalg.norm(got - exact) > 0.0
