@@ -120,9 +120,12 @@ def _fft_then_a2a_chunked(re, im, fft_axis, sign, scale, axis_name,
 # 3-D pencil FFT
 # --------------------------------------------------------------------- #
 def _fft3d_impl(x, mesh, sign, scale, transposed_output, overlap_chunks=None,
-                comm_dtype=None):
+                comm_dtype=None, transposed_input=False):
     ax, ay = mesh.axis_names
     comm_dtype = _norm_comm_dtype(comm_dtype)
+    if transposed_input and transposed_output:
+        raise ValueError("transposed_input and transposed_output are "
+                         "mutually exclusive")
     if overlap_chunks is None:
         # pipeline by default on real meshes; 1 device has no ICI to hide
         overlap_chunks = 4 if mesh.devices.size > 1 else 1
@@ -147,14 +150,29 @@ def _fft3d_impl(x, mesh, sign, scale, transposed_output, overlap_chunks=None,
             re, im = _a2a((re, im), ay, o + 1, o + 2, comm_dtype)  # -> [.., X/px, Y/py, Z]
         return re, im
 
+    def local_t(re, im):
+        # transposed-input mirror schedule: in [.., X, Y/px, Z/py] (the
+        # exact layout transposed_output leaves behind) -> natural out.
+        # Each FFT->a2a pair pipelines along the spectator axis.
+        o = re.ndim - 3
+        re, im = _fft_then_a2a_chunked(                          # X-FFT
+            re, im, o, sign, None, ax, o, o + 1, o + 2,
+            overlap_chunks, comm_dtype)                          # -> [.., X/px, Y, Z/py]
+        re, im = _fft_then_a2a_chunked(                          # Y-FFT
+            re, im, o + 1, sign, None, ay, o + 1, o + 2, o,
+            overlap_chunks, comm_dtype)                          # -> [.., X/px, Y/py, Z]
+        re, im = _fft_axis_local(re, im, o + 2, sign, scale)     # Z-FFT
+        return re, im
+
     b = (None,) * lead
-    in_spec = P(*b, ax, ay, None)
-    out_spec = P(*b, ax, ay, None) if not transposed_output \
-        else P(*b, None, ax, ay)
+    natural = P(*b, ax, ay, None)
+    transposed = P(*b, None, ax, ay)
+    in_spec = transposed if transposed_input else natural
+    out_spec = transposed if transposed_output else natural
     re, im = promote_to_split(x)
 
     fn = shard_map(
-        local,
+        local_t if transposed_input else local,
         mesh=mesh,
         in_specs=(in_spec, in_spec),
         out_specs=(out_spec, out_spec),
@@ -164,7 +182,8 @@ def _fft3d_impl(x, mesh, sign, scale, transposed_output, overlap_chunks=None,
 
 
 def fft3d(x, mesh: Mesh | None = None, norm=None, *, transposed_output=False,
-          overlap_chunks: int | None = None, comm_dtype=None):
+          overlap_chunks: int | None = None, comm_dtype=None,
+          transposed_input=False):
     """Distributed 3-D forward FFT over the LAST three axes, pencil-
     decomposed over a 2-D mesh (leading axes are replicated batch dims).
 
@@ -177,22 +196,32 @@ def fft3d(x, mesh: Mesh | None = None, norm=None, *, transposed_output=False,
     v5e (BENCHMARKS.md scaling model), so halving the turn bytes is the
     single biggest distributed-throughput lever.  Opt-in: each bf16 turn
     rounds the intermediate spectrum to ~3 decimal digits (measured
-    ~1e-3 rel L2 end to end); default None keeps full f32 wires."""
+    ~1e-3 rel L2 end to end); default None keeps full f32 wires.
+
+    `transposed_output=True` returns the natural logical array in the
+    TRANSPOSED distribution (X unsharded, Y/px, Z/py), skipping the two
+    restoring corner turns (2 instead of 4 — P3DFFT-style); feed it back
+    through `ifft3d(..., transposed_input=True)` to complete a 4-turn
+    (instead of 8-turn) filter round trip."""
     mesh = mesh or make_pencil_mesh()
     scale = _nd_scale(jnp.shape(x)[-3:], norm, FORWARD)
     return _fft3d_impl(x, mesh, FORWARD, scale, transposed_output,
-                       overlap_chunks, comm_dtype)
+                       overlap_chunks, comm_dtype, transposed_input)
 
 
 def ifft3d(x, mesh: Mesh | None = None, norm=None, *, transposed_output=False,
-           overlap_chunks: int | None = None, comm_dtype=None):
+           overlap_chunks: int | None = None, comm_dtype=None,
+           transposed_input=False):
     """Distributed 3-D inverse FFT (1/N total scale folded into the last
     axis pass, mirroring the reference's fused normalize — ifft.wgsl:65-74).
-    `comm_dtype` as in fft3d (bf16 wire turns, opt-in)."""
+    `comm_dtype` as in fft3d (bf16 wire turns, opt-in); `transposed_input`
+    consumes a `transposed_output` spectrum via the mirror schedule
+    (X-FFT -> turn -> Y-FFT -> turn -> Z-FFT), so the round trip pays 4
+    corner turns total instead of 8."""
     mesh = mesh or make_pencil_mesh()
     scale = _nd_scale(jnp.shape(x)[-3:], norm, INVERSE)
     return _fft3d_impl(x, mesh, INVERSE, scale, transposed_output,
-                       overlap_chunks, comm_dtype)
+                       overlap_chunks, comm_dtype, transposed_input)
 
 
 def _nd_scale(shape, norm, sign):
