@@ -70,14 +70,21 @@ def _wavenumbers(n: int):
 
 def ns3d_init(n: int, nu: float, dt: float, mesh=None,
               overlap_chunks: int | None = None,
-              comm_dtype=None) -> NS3DPlan:
+              comm_dtype=None, transposed_spectra: bool = True) -> NS3DPlan:
     """Precompute spectral constants for an n^3 grid; `mesh` is the 2-D
     pencil mesh (default: all devices, `make_pencil_mesh()`).
 
     `comm_dtype=bfloat16` runs every distributed transform's ICI corner
     turn in bf16 (18 transforms/step are ~8x ICI-bound — see
     parallel/pencil.fft3d): ~2x step throughput on real meshes for
-    ~1e-3 rel spectrum rounding per step.  Default exact f32."""
+    ~1e-3 rel spectrum rounding per step.  Default exact f32.
+
+    `transposed_spectra` (default True) keeps every spectrum in the
+    transposed pencil distribution (rfft3d transposed_output paired with
+    irfft3d transposed_input): each R2C/C2R pair pays 4 corner turns
+    instead of 8 with identical logical values — spectral elementwise
+    math is distribution-agnostic.  Set False to force natural-layout
+    spectra (debug/interop)."""
     from ..parallel.mesh import make_pencil_mesh
 
     kx, ky, kz, ksq, mask = _wavenumbers(n)
@@ -87,6 +94,7 @@ def ns3d_init(n: int, nu: float, dt: float, mesh=None,
         "mesh": mesh or make_pencil_mesh(),
         "chunks": overlap_chunks,
         "comm_dtype": comm_dtype,
+        "transposed": bool(transposed_spectra),
         "kx": f32(kx), "ky": f32(ky), "kz": f32(kz),
         "ksq_safe": f32(np.where(ksq == 0.0, 1.0, ksq)),
         "mask": f32(mask),
@@ -98,14 +106,16 @@ def _rfft3(c, x):
     from ..parallel.pencil import rfft3d
 
     return rfft3d(x, c["mesh"], overlap_chunks=c["chunks"],
-                  comm_dtype=c["comm_dtype"])
+                  comm_dtype=c["comm_dtype"],
+                  transposed_output=c["transposed"])
 
 
 def _irfft3(c, X):
     from ..parallel.pencil import irfft3d
 
     return irfft3d(X, c["n"], c["mesh"], overlap_chunks=c["chunks"],
-                   comm_dtype=c["comm_dtype"])
+                   comm_dtype=c["comm_dtype"],
+                   transposed_input=c["transposed"])
 
 
 def project_divergence_free(c, Fx, Fy, Fz):

@@ -399,12 +399,19 @@ def fft1d_distributed(x, mesh: Mesh | None = None, *, inverse=False,
 # 3-D R2C / C2R pencil transforms (real simulation data)
 # --------------------------------------------------------------------- #
 def rfft3d(x, mesh: Mesh | None = None, norm=None, *,
-           overlap_chunks: int | None = None, comm_dtype=None):
+           overlap_chunks: int | None = None, comm_dtype=None,
+           transposed_output=False):
     """Distributed 3-D R2C: rfft over Z locally, then complex pencil FFTs
     over Y and X. Input real [X, Y, Z] sharded (px, py, -); output complex
     [X, Y, Z//2+1] with the same (px, py, -) distribution.
     `overlap_chunks` pipelines the Y/X FFT->a2a pairs and `comm_dtype`
-    selects the corner-turn wire dtype (bf16 opt-in), both as in fft3d."""
+    selects the corner-turn wire dtype (bf16 opt-in), both as in fft3d.
+
+    `transposed_output=True` returns the natural logical spectrum in the
+    transposed distribution (X unsharded, Y/px, Kz/py), skipping the two
+    restoring corner turns — pair with `irfft3d(transposed_input=True)`
+    for a 4-turn (instead of 8-turn) R2C round trip; the ns3d DNS stepper
+    runs this way."""
     mesh = mesh or make_pencil_mesh()
     ax, ay = mesh.axis_names
     comm = _norm_comm_dtype(comm_dtype)
@@ -439,26 +446,35 @@ def rfft3d(x, mesh: Mesh | None = None, norm=None, *,
         re, im = _fft_then_a2a_chunked(                   # Y-FFT (pipelined)
             re, im, o + 1, FORWARD, None, ax, o + 1, o, o + 2, chunks, comm)
         re, im = _fft_axis_local(re, im, o, FORWARD, scale)
-        re, im = _a2a((re, im), ax, o, o + 1, comm)       # [.., X/px, Y, Kz/py]
-        re, im = _a2a((re, im), ay, o + 1, o + 2, comm)   # [.., X/px, Y/py, Kz]
+        if not transposed_output:
+            re, im = _a2a((re, im), ax, o, o + 1, comm)   # [.., X/px, Y, Kz/py]
+            re, im = _a2a((re, im), ay, o + 1, o + 2, comm)  # [.., X/px, Y/py, Kz]
         return re, im
 
     in_spec = P(*(None,) * lead, ax, ay, None)
+    out_spec = P(*(None,) * lead, None, ax, ay) if transposed_output \
+        else in_spec
     xr = jnp.asarray(x, jnp.float32)
     fn = shard_map(local, mesh=mesh, in_specs=(in_spec,),
-                   out_specs=(in_spec, in_spec))
+                   out_specs=(out_spec, out_spec))
     re, im = jax.jit(fn)(xr)
     nb = Z // 2 + 1
+    # the trailing pad rows are zeros; the slice only truncates the last
+    # shard(s), so it moves no data between devices in either layout
     return merge(re[..., :nb], im[..., :nb])
 
 
 def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None, *,
-            overlap_chunks: int | None = None, comm_dtype=None):
+            overlap_chunks: int | None = None, comm_dtype=None,
+            transposed_input=False):
     """Distributed 3-D C2R inverse of :func:`rfft3d`.
 
     `n_last` is the real length of the Z axis (numpy irfft `n`);
     `overlap_chunks` pipelines the Y-pass FFT->a2a and `comm_dtype` the
-    corner-turn wire dtype (bf16 opt-in), as in rfft3d."""
+    corner-turn wire dtype (bf16 opt-in), as in rfft3d.
+    `transposed_input=True` consumes an `rfft3d(transposed_output=True)`
+    spectrum via the mirror schedule (X-iFFT -> turn -> Y-iFFT -> turn ->
+    C2R), halving the round trip's corner turns."""
     mesh = mesh or make_pencil_mesh()
     comm = _norm_comm_dtype(comm_dtype)
     chunks = (4 if mesh.devices.size > 1 else 1) \
@@ -482,9 +498,22 @@ def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None, *,
     else:
         raise ValueError(f"invalid norm {norm!r}")
 
-    def local(re, im):
+    def _c2r_tail(re2, im2):
+        """Local Z-axis C2R of the [.., Xl, Yl, nb] half-spectrum."""
         from ..ops.rfft import irfft_last_split
 
+        re2 = re2[..., :nb]
+        im2 = im2[..., :nb]
+        if n_last % 2 == 0 and n_last >= 2:
+            return irfft_last_split(re2, im2, n_last, 1.0 / n_last)
+        from ..ops.rfft import _hermitian_extend
+        from ..ops.nd import fftn_split
+
+        fr, fi = _hermitian_extend(re2, im2, n_last)
+        out, _ = fftn_split(fr, fi, (fr.ndim - 1,), INVERSE, 1.0 / n_last)
+        return out
+
+    def local(re, im):
         o = re.ndim - 3
         pad = (-re.shape[-1]) % mesh.devices.shape[1]
         if pad:
@@ -500,20 +529,41 @@ def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None, *,
         re2, im2 = _fft_axis_local(re2, im2, o, INVERSE, scale)
         re2, im2 = _a2a((re2, im2), ax, o, o + 1, comm)
         re2, im2 = _a2a((re2, im2), ay, o + 1, o + 2, comm)  # [.., X/px, Y/py, K]
-        re2 = re2[..., :nb]
-        im2 = im2[..., :nb]
-        if n_last % 2 == 0 and n_last >= 2:
-            out = irfft_last_split(re2, im2, n_last, 1.0 / n_last)
-        else:
-            from ..ops.rfft import _hermitian_extend
-            from ..ops.nd import fftn_split
+        return _c2r_tail(re2, im2)
 
-            fr, fi = _hermitian_extend(re2, im2, n_last)
-            out, _ = fftn_split(fr, fi, (fr.ndim - 1,), INVERSE,
-                                1.0 / n_last)
-        return out
+    def local_t(re2, im2):
+        # mirror schedule from the transposed distribution
+        # [.., X, Y/px, Kp/py] (Kp padded to a py multiple by the caller)
+        o = re2.ndim - 3
+        re2, im2 = _fft_then_a2a_chunked(                 # X-iFFT (scale)
+            re2, im2, o, INVERSE, scale, ax, o, o + 1, o + 2, chunks, comm)
+        re2, im2 = _fft_then_a2a_chunked(                 # Y-iFFT
+            re2, im2, o + 1, INVERSE, None, ay, o + 1, o + 2, o, chunks,
+            comm)                                         # [.., X/px, Y/py, Kp]
+        return _c2r_tail(re2, im2)
 
-    in_spec = P(*(None,) * lead, ax, ay, None)
-    fn = shard_map(local, mesh=mesh, in_specs=(in_spec, in_spec),
-                   out_specs=in_spec)
-    return jax.jit(fn)(re, im)
+    b = (None,) * lead
+    natural = P(*b, ax, ay, None)
+    if not transposed_input:
+        fn = shard_map(local, mesh=mesh, in_specs=(natural, natural),
+                       out_specs=natural)
+        return jax.jit(fn)(re, im)
+
+    transposed = P(*b, None, ax, ay)
+    py = mesh.devices.shape[1]
+    pad = (-nb) % py
+    fn = shard_map(local_t, mesh=mesh, in_specs=(transposed, transposed),
+                   out_specs=natural)
+
+    def padded(a, b2):
+        # re-pad the sliced half-spectrum axis to the a2a-divisible width
+        # (the pad rows are zeros through every linear stage, exactly as
+        # rfft3d produced them); padding at the end of a sharded axis
+        # only grows the last shard — no inter-device movement.
+        if pad:
+            pads = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+            a = jnp.pad(a, pads)
+            b2 = jnp.pad(b2, pads)
+        return fn(a, b2)
+
+    return jax.jit(padded)(re, im)

@@ -396,3 +396,21 @@ def test_fft3d_transposed_roundtrip(rng, assert_close):
     assert np.linalg.norm(got - xb) / np.linalg.norm(xb) < 2e-2
     with pytest.raises(ValueError):
         pencil.fft3d(x, m, transposed_output=True, transposed_input=True)
+
+
+def test_rfft3d_transposed_roundtrip(rng, assert_close):
+    """R2C transposed_output -> C2R transposed_input: 4-turn round trip,
+    natural logical values throughout (incl. a non-divisible half axis
+    that exercises the pad/slice edges: nb = 17 on py = 4)."""
+    m = meshlib.make_pencil_mesh()
+    x = rng.standard_normal((8, 16, 32)).astype(np.float32)
+    X = pencil.rfft3d(x, m, transposed_output=True)
+    assert X.shape == (8, 16, 17)
+    assert_close(X, np.fft.rfftn(x), what="transposed rfft3d spectrum")
+    back = pencil.irfft3d(X, n_last=32, mesh=m, transposed_input=True)
+    assert_close(back, x, what="transposed R2C roundtrip")
+    for norm in ("ortho", "forward"):
+        Xn = pencil.rfft3d(x, m, norm=norm, transposed_output=True)
+        bn = pencil.irfft3d(Xn, n_last=32, mesh=m, norm=norm,
+                            transposed_input=True)
+        assert_close(bn, x, what=f"transposed roundtrip norm={norm}")
