@@ -53,8 +53,13 @@ def solve_poisson(f, lengths=None):
     return jax.jit(impl)(f)
 
 
-def solve_poisson_distributed(f, mesh, lengths=None):
-    """Distributed 3-D Poisson solve via the pencil rfft3d/irfft3d pair."""
+def solve_poisson_distributed(f, mesh, lengths=None, *, comm_dtype=None):
+    """Distributed 3-D Poisson solve via the pencil rfft3d/irfft3d pair.
+
+    Rides the transposed-spectrum round trip (4 ICI corner turns instead
+    of 8 — parallel/pencil.py): the spectral divide is elementwise on the
+    natural logical array, so the distribution never matters.
+    `comm_dtype=bfloat16` additionally halves the wire bytes (see fft3d)."""
     from ..parallel.pencil import irfft3d, rfft3d
 
     f = jnp.asarray(f, jnp.float32)
@@ -62,8 +67,9 @@ def solve_poisson_distributed(f, mesh, lengths=None):
     lengths = lengths or (2 * math.pi,) * 3
     ksq = _ksq_grids(shape, lengths)
 
-    F = rfft3d(f, mesh)
+    F = rfft3d(f, mesh, transposed_output=True, comm_dtype=comm_dtype)
     mask = np.ones(F.shape, np.float32)
     mask[0, 0, 0] = 0.0
     U = -F / ksq.astype(F.dtype) * jnp.asarray(mask)
-    return irfft3d(U, n_last=shape[-1], mesh=mesh)
+    return irfft3d(U, n_last=shape[-1], mesh=mesh, transposed_input=True,
+                   comm_dtype=comm_dtype)
