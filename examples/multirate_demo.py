@@ -7,7 +7,7 @@ full scipy.signal multirate surface on the TPU FFT path —
 firwin/firwin2 design, FFT-based upfirdn, resample_poly, decimate —
 plus the opt-in jnp.fft accelerator.
 
-Run (CPU is fine): PYTHONPATH=/root/repo python examples/multirate_demo.py
+Run (CPU is fine): PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python examples/multirate_demo.py
 """
 
 import os
