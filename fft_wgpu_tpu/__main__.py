@@ -92,7 +92,8 @@ def _cmd_bench(args) -> int:
 
 
 def _cmd_tune(args) -> int:
-    from fft_wgpu_tpu.plan.autotune import tune_balanced
+    from fft_wgpu_tpu.plan.autotune import (tune_ax0_tile, tune_balanced,
+                                            tune_fused_plane)
     from fft_wgpu_tpu.utils.io import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
@@ -103,6 +104,16 @@ def _cmd_tune(args) -> int:
             print(f"n={n}: {best}")
         except (RuntimeError, ValueError) as e:
             print(f"n={n}: {e}", file=sys.stderr)
+            rc = 1
+    if args.extras:
+        try:
+            lim = tune_fused_plane()
+            print(f"fused-plane envelope: {lim}")
+            for n in (256, 512, 1024):
+                lt = tune_ax0_tile(n)
+                print(f"ax0 n={n}: lane tile {lt}")
+        except RuntimeError as e:
+            print(f"extras: {e}", file=sys.stderr)
             rc = 1
     return rc
 
@@ -122,6 +133,9 @@ def main(argv=None) -> int:
                                      "for this device")
     tn.add_argument("n", type=int, nargs="+")
     tn.add_argument("--rows", type=int, default=1024)
+    tn.add_argument("--extras", action="store_true",
+                    help="also tune the ax0 lane tiles + fused-plane "
+                         "envelope for this device kind")
     args = ap.parse_args(argv)
     return {"info": _cmd_info, "selftest": _cmd_selftest,
             "export-plan": _cmd_export_plan, "bench": _cmd_bench,

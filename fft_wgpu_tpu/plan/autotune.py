@@ -24,8 +24,9 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["candidates_for", "measure_executor", "TUNE_CACHE",
-           "SPLIT_CACHE", "load_wisdom", "save_wisdom",
-           "split_candidates", "tune_balanced"]
+           "SPLIT_CACHE", "AX0_CACHE", "PLANE_CACHE", "load_wisdom",
+           "save_wisdom", "split_candidates", "tune_balanced",
+           "tune_ax0_tile", "tune_fused_plane"]
 
 # (backend, n, rows_bucket, axis) -> executor name
 TUNE_CACHE: dict = {}
@@ -34,6 +35,13 @@ TUNE_CACHE: dict = {}
 # kernel — the _BALANCED pin tables were measured on TPU v5e; other
 # generations re-measure via tune_balanced (FFTW_MEASURE for splits)
 SPLIT_CACHE: dict = {}
+
+# (device_kind, n) -> lane tile for the axis(-2) kernel (probe_r43 pins)
+AX0_CACHE: dict = {}
+
+# device_kind -> fused-plane envelope (max A*B where one-residency fft2
+# beats the two-pass form; probe_r42 measured 2^16 on v5e)
+PLANE_CACHE: dict = {}
 
 _WISDOM_PATH = os.path.expanduser("~/.cache/fft_wgpu_tpu_wisdom.json")
 _wisdom_loaded = False
@@ -64,6 +72,11 @@ def load_wisdom(path: str = _WISDOM_PATH) -> None:
                 _, kind, n = parts
                 SPLIT_CACHE[(kind, int(n))] = (int(v[0]), int(v[1]),
                                                tuple(int(f) for f in v[2]))
+            elif parts[0] == "ax0":
+                _, kind, n = parts
+                AX0_CACHE[(kind, int(n))] = int(v)
+            elif parts[0] == "plane":
+                PLANE_CACHE[parts[1]] = int(v)
             else:
                 backend, n, rows_b, axis = parts
                 TUNE_CACHE[(backend, int(n), int(rows_b), int(axis))] = v
@@ -77,6 +90,10 @@ def save_wisdom(path: str = _WISDOM_PATH) -> None:
         data = {"|".join(map(str, k)): v for k, v in TUNE_CACHE.items()}
         for (kind, n), (n1, n2, chain) in SPLIT_CACHE.items():
             data[f"split|{kind}|{n}"] = [n1, n2, list(chain)]
+        for (kind, n), lt in AX0_CACHE.items():
+            data[f"ax0|{kind}|{n}"] = lt
+        for kind, lim in PLANE_CACHE.items():
+            data[f"plane|{kind}"] = lim
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(data, f, indent=1)
@@ -283,3 +300,126 @@ def tune_balanced(n: int, rows: int = 1024, *, verify: bool = True,
     if persist:
         save_wisdom()
     return best
+
+
+def tune_ax0_tile(n: int, lanes: int = 65536, *, persist: bool = True) -> int:
+    """Measure lane-tile candidates for the axis(-2) kernel at length n
+    on THIS device, pin the winner into pallas_fft._AX0_LANE_TILES, and
+    persist per device kind.
+
+    The shipped pin table is v5e-measured (probe_r43: n=256 wins at 512
+    lanes on huge lane extents; larger n keep 128).  Other generations
+    re-measure here.  Candidates are oracle-checked against numpy before
+    timing."""
+    import numpy as np
+
+    from ..ops import pallas_fft as pf
+
+    if jax.default_backend() != "tpu":
+        raise RuntimeError("tune_ax0_tile measures the fused TPU kernels")
+    kind = jax.devices()[0].device_kind
+    if not _wisdom_loaded:
+        load_wisdom()
+    hit = AX0_CACHE.get((kind, n))
+    if hit is not None:
+        pf._AX0_LANE_TILES[n] = hit
+        return hit
+
+    cands = [lt for lt in (128, 256, 512, 1024)
+             if lanes % lt == 0 and n * lt <= (1 << 21)]
+    saved = pf._AX0_LANE_TILES.get(n)
+    want = None
+    best, best_t = None, float("inf")
+    try:
+        for lt in cands:
+            pf._AX0_LANE_TILES[n] = lt
+
+            def fn(a, b):
+                return pf.fft_axis0_split(a, b, -1)
+
+            try:
+                re = jax.random.normal(jax.random.PRNGKey(0), (n, 512),
+                                       jnp.float32)
+                im = jax.random.normal(jax.random.PRNGKey(1), (n, 512),
+                                       jnp.float32)
+                gr, gi = jax.jit(fn)(re, im)
+                got = np.asarray(gr) + 1j * np.asarray(gi)
+                if want is None:
+                    want = np.fft.fft(np.asarray(re) + 1j * np.asarray(im),
+                                      axis=0)
+                rel = (np.linalg.norm(got - want)
+                       / np.linalg.norm(want))
+                if not np.isfinite(rel) or rel > 1e-5:
+                    continue
+                t = _slope_time(fn, (n, lanes))
+            except Exception:
+                continue
+            if t < best_t:
+                best, best_t = lt, t
+    finally:
+        if saved is not None:
+            pf._AX0_LANE_TILES[n] = saved
+        else:
+            pf._AX0_LANE_TILES.pop(n, None)
+    if best is None:
+        raise RuntimeError(f"no ax0 lane tile compiled for n={n}")
+    if best != 128:  # 128 is the structural default; only pin deviations
+        pf._AX0_LANE_TILES[n] = best
+    AX0_CACHE[(kind, n)] = best
+    if persist:
+        save_wisdom()
+    return best
+
+
+def tune_fused_plane(*, rows: int = 64, persist: bool = True) -> int:
+    """Measure the fused whole-plane fft2 crossover on THIS device: the
+    largest square plane A^2 where the one-VMEM-residency kernel beats
+    the two-pass transposed-rows form, pinned into
+    pallas_fft._FFT2F_MAX_ELEMS (v5e measured 2^16 — probe_r42)."""
+    import numpy as np
+
+    from ..ops import pallas_fft as pf
+
+    if jax.default_backend() != "tpu":
+        raise RuntimeError("tune_fused_plane measures the fused TPU kernels")
+    kind = jax.devices()[0].device_kind
+    if not _wisdom_loaded:
+        load_wisdom()
+    hit = PLANE_CACHE.get(kind)
+    if hit is not None:
+        pf._FFT2F_MAX_ELEMS = hit
+        return hit
+
+    limit = 128 * 128  # fused must win at the smallest legal plane too
+    for a in (128, 256, 512, 1024):
+        b = max(rows * (256 // a) ** 2, 2)  # roughly constant total work
+
+        def fused(x, y, _a=a):
+            return pf.fft2_fused_split(x, y, -1)
+
+        def twopass(x, y):
+            return pf.fft2_split(x, y, -1)
+
+        try:
+            re = jax.random.normal(jax.random.PRNGKey(0), (2, a, a),
+                                   jnp.float32)
+            im = jax.random.normal(jax.random.PRNGKey(1), (2, a, a),
+                                   jnp.float32)
+            gr, gi = jax.jit(fused)(re, im)
+            got = np.asarray(gr) + 1j * np.asarray(gi)
+            want = np.fft.fft2(np.asarray(re) + 1j * np.asarray(im))
+            if np.linalg.norm(got - want) / np.linalg.norm(want) > 1e-5:
+                break
+            t_f = _slope_time(fused, (b, a, a))
+            t_2 = _slope_time(twopass, (b, a, a))
+        except Exception:
+            break
+        if t_f < t_2:
+            limit = a * a
+        else:
+            break
+    pf._FFT2F_MAX_ELEMS = limit
+    PLANE_CACHE[kind] = limit
+    if persist:
+        save_wisdom()
+    return limit

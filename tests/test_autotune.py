@@ -146,3 +146,30 @@ def test_split_wisdom_roundtrip(tmp_path):
     at.load_wisdom(p)
     assert at.SPLIT_CACHE[("TPU v5 lite", 4096)] == (256, 16, (4, 8, 8))
     del at.SPLIT_CACHE[("TPU v5 lite", 4096)]
+
+
+def test_tune_extras_require_tpu():
+    from fft_wgpu_tpu.plan.autotune import tune_ax0_tile, tune_fused_plane
+
+    with pytest.raises(RuntimeError):
+        tune_ax0_tile(256)
+    with pytest.raises(RuntimeError):
+        tune_fused_plane()
+
+
+def test_extras_wisdom_roundtrip(tmp_path):
+    from fft_wgpu_tpu.plan import autotune as at
+
+    p = str(tmp_path / "wisdom.json")
+    at.AX0_CACHE[("TPU vX", 256)] = 512
+    at.PLANE_CACHE["TPU vX"] = 65536
+    try:
+        at.save_wisdom(p)
+        at.AX0_CACHE.clear()
+        at.PLANE_CACHE.clear()
+        at.load_wisdom(p)
+        assert at.AX0_CACHE[("TPU vX", 256)] == 512
+        assert at.PLANE_CACHE["TPU vX"] == 65536
+    finally:
+        at.AX0_CACHE.pop(("TPU vX", 256), None)
+        at.PLANE_CACHE.pop("TPU vX", None)
