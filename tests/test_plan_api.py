@@ -162,6 +162,15 @@ class TestCLI:
         assert d["backend"] and d["device_count"] >= 1
         assert main(["selftest", "--n", "256"]) == 0
 
+    def test_tune_extras_cli_cpu_fails_cleanly(self, capsys):
+        # tune (incl. --extras) needs TPU kernels; on CPU it must report
+        # and exit 1, not crash
+        from fft_wgpu_tpu.__main__ import main
+
+        assert main(["tune", "1024", "--extras"]) == 1
+        err = capsys.readouterr().err
+        assert "tune" in err or "TPU" in err or "kernels" in err
+
     def test_export_plan_cli(self, tmp_path):
         from fft_wgpu_tpu.__main__ import main
 
