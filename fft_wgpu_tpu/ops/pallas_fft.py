@@ -610,9 +610,29 @@ def _kernel_rows_bal(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
     """Balanced-split rows kernel: in-kernel transpose, VPU-chain stage 1
     over the major factor, realcat/Gauss stage 2 over the minor.  Output
     digit order [k2, k1] flattens to natural order (one transpose out)."""
-    bt = xr_ref.shape[0]
-    ar = xr_ref[:].T.reshape(n1, n2, bt)
-    ai = xi_ref[:].T.reshape(n1, n2, bt)
+    _rows_bal_math(xr_ref[:], xi_ref[:], or_ref, oi_ref, n=n, n1=n1,
+                   n2=n2, sign=sign, scale=scale, factors=factors)
+
+
+def _kernel_rows_bal_filt(xr_ref, xi_ref, hr_ref, hi_ref, or_ref, oi_ref,
+                          *, n, n1, n2, sign, scale, factors):
+    """Balanced rows kernel with a FUSED input filter multiply (the
+    cuFFT load-callback analogue): x <- x * h elementwise on the
+    VMEM-resident tile before the transform — zero extra HBM traffic."""
+    hr = hr_ref[0]
+    hi = hi_ref[0]
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    _rows_bal_math(xr * hr - xi * hi, xr * hi + xi * hr, or_ref, oi_ref,
+                   n=n, n1=n1, n2=n2, sign=sign, scale=scale,
+                   factors=factors)
+
+
+def _rows_bal_math(xr2, xi2, or_ref, oi_ref, *, n, n1, n2, sign, scale,
+                   factors):
+    bt = xr2.shape[0]
+    ar = xr2.T.reshape(n1, n2, bt)
+    ai = xi2.T.reshape(n1, n2, bt)
 
     br, bi = _vpu_dft_leading(ar, ai, n1, sign, factors)
 
@@ -631,11 +651,28 @@ def _kernel_rows_bal(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
 
 
 def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
-    bt = xr_ref.shape[0]
+    _rows_classic_math(xr_ref[:], xi_ref[:], or_ref, oi_ref, n=n, n1=n1,
+                       n2=n2, sign=sign, scale=scale)
+
+
+def _kernel_filt(xr_ref, xi_ref, hr_ref, hi_ref, or_ref, oi_ref, *, n,
+                 n1, n2, sign, scale):
+    """Classic rows kernel with a fused input filter multiply."""
+    hr = hr_ref[0]
+    hi = hi_ref[0]
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    _rows_classic_math(xr * hr - xi * hi, xr * hi + xi * hr, or_ref,
+                       oi_ref, n=n, n1=n1, n2=n2, sign=sign, scale=scale)
+
+
+def _rows_classic_math(xr2, xi2, or_ref, oi_ref, *, n, n1, n2, sign,
+                       scale):
+    bt = xr2.shape[0]
 
     # Row split n -> (n1, n2): lane-dim split, free.
-    ar = xr_ref[:].reshape(bt, n1, n2)
-    ai = xi_ref[:].reshape(bt, n1, n2)
+    ar = xr2.reshape(bt, n1, n2)
+    ai = xi2.reshape(bt, n1, n2)
 
     if n1 == 1:  # n == 128: single-stage DFT, no inter-factor twiddle
         cr = jnp.swapaxes(ar, 0, 1)
@@ -1706,6 +1743,106 @@ def fft_axis0_split(re, im, sign, scale=None, *, interpret=False):
         lambda a, b: _fft_axis0_core(a, b, sign, scale, interpret=interpret),
         lambda a, b: _fft_axis0_core(a, b, -sign, scale, interpret=interpret),
         re, im)
+
+
+def _fft_filtered_core(re, im, hr, hi, sign, scale=None, *,
+                       interpret=False):
+    """Batched FFT over the last axis with a FUSED elementwise input
+    filter multiply x <- x * h (h broadcast over rows) — the cuFFT
+    load-callback analogue.  The multiply runs on the VMEM-resident tile
+    under the DMA pipeline, so a filter->FFT pass costs the same HBM
+    traffic as a bare FFT (a separate XLA multiply costs a full extra
+    round trip).  Reference analogue: none (fft_wgpu has no callbacks);
+    this is the fast-convolution serving path."""
+    n = re.shape[-1]
+    if not _supported(n):
+        raise Unsupported(f"n={n} outside fused kernel envelope")
+    lead = re.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    if rows == 0:
+        return re, im
+    re2 = re.reshape(rows, n)
+    im2 = im.reshape(rows, n)
+    hr2 = jnp.asarray(hr, jnp.float32).reshape(1, n)
+    hi2 = jnp.asarray(hi, jnp.float32).reshape(1, n)
+
+    balanced = n in _BALANCED
+    tile = 128 if balanced else _row_tile(n)
+    bt = min(tile, _round_up(rows, 128))
+    short = rows < bt
+    if short:
+        re2 = jnp.pad(re2, ((0, bt - rows), (0, 0)))
+        im2 = jnp.pad(im2, ((0, bt - rows), (0, 0)))
+    grid_rows = bt if short else rows
+
+    sc = float(scale) if scale is not None else 1.0
+    if balanced:
+        n1, n2, s1_factors = _BALANCED[n]
+        kern = functools.partial(
+            _kernel_rows_bal_filt, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
+            factors=s1_factors,
+        )
+    else:
+        n1, n2 = _choose_split(n)
+        kern = functools.partial(
+            _kernel_filt, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
+        )
+    grid = (pl.cdiv(grid_rows, bt),)
+    spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    flops_per_row = 8 * n * (n1 + n2) + 12 * n
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec, spec, hspec, hspec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
+            jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * rows,
+            bytes_accessed=4 * rows * n * 4 + 8 * n,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(re2, im2, hr2, hi2)
+    if short:
+        out_r = out_r[:rows]
+        out_i = out_i[:rows]
+    return out_r.reshape(*lead, n), out_i.reshape(*lead, n)
+
+
+def fft_filtered_split(re, im, hr, hi, sign, scale=None, *,
+                       interpret=False):
+    """y = scale * FFT_sign(h * x) with the h-multiply fused into the
+    kernel's load stage.  Linear in (re, im) with h constant;
+    differentiable both modes.  Adjoint: conj(h) * (scale *
+    FFT_{-sign}(ct)) — an output-side multiply, applied as XLA
+    elementwise on the (rare) backward path."""
+
+    def fwd(res, lin):
+        a, b = lin
+        hr_, hi_ = res
+        return _fft_filtered_core(a, b, hr_, hi_, sign, scale,
+                                  interpret=interpret)
+
+    def tr(res, ct):
+        g, h = ct
+        hr_, hi_ = res
+        gr, gi = _fft_batched_core(g, h, -sign, scale,
+                                   interpret=interpret)
+        hr_ = jnp.asarray(hr_, jnp.float32)
+        hi_ = jnp.asarray(hi_, jnp.float32)
+        return gr * hr_ + gi * hi_, gi * hr_ - gr * hi_
+
+    return _cd.linear_call(fwd, tr, (jnp.asarray(hr, jnp.float32),
+                                     jnp.asarray(hi, jnp.float32)),
+                           (re, im))
 
 
 def _outer_tw_conj(R, n, sign, outer):
