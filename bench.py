@@ -384,6 +384,57 @@ def child_main():
 
     _row("R2C 4096 x 4096 rows", lambda: _r2c(4096, 4096))
     _row("C2R 4096 x 4096 rows", lambda: _c2r(4096, 4096))
+
+    def _filt(n2, b2):
+        """Fused spectral filter loop (ops/fastconv.py): ifft(fft(x)*H)
+        as two Pallas passes, the cuFFT-callback analogue."""
+        from fft_wgpu_tpu.ops import pallas_fft as pf
+
+        re = jax.random.normal(jax.random.PRNGKey(9), (b2, n2), jnp.float32)
+        im = jax.random.normal(jax.random.PRNGKey(10), (b2, n2), jnp.float32)
+        hr = jax.random.normal(jax.random.PRNGKey(11), (n2,), jnp.float32)
+        hi = jax.random.normal(jax.random.PRNGKey(12), (n2,), jnp.float32)
+
+        def fused(a, b):
+            Xr, Xi = pf.fft_batched_split(a, b, -1, None)
+            return pf.fft_filtered_split(Xr, Xi, hr, hi, +1, 1.0 / n2)
+
+        fn = jax.jit(fused)
+        yr, yi = fn(re, im)
+        ref = jnp.fft.ifft(jnp.fft.fft(jax.lax.complex(re, im), axis=-1)
+                           * jax.lax.complex(hr, hi), axis=-1)
+        err = float(jnp.sqrt(
+            jnp.sum((yr - jnp.real(ref)) ** 2 + (yi - jnp.imag(ref)) ** 2)
+            / jnp.sum(jnp.real(ref) ** 2 + jnp.imag(ref) ** 2)))
+        dt2 = _device_time(fn, (re, im))
+        if dt2 is None:
+            raise RuntimeError("profiler captured no device events")
+        return (f"{dt2*1e3:.3f} ms (= 2 fused passes; composed ops pay a "
+                f"3rd HBM trip), vs_xla={err:.2e}")
+
+    _row("fused spectral filter 4096 x 4096", lambda: _filt(4096, 4096))
+
+    def _fftn3d(n3):
+        from fft_wgpu_tpu.ops.nd import fftn_split
+
+        re = jax.random.normal(jax.random.PRNGKey(13), (n3, n3, n3),
+                               jnp.float32)
+        im = jax.random.normal(jax.random.PRNGKey(14), (n3, n3, n3),
+                               jnp.float32)
+        fn = jax.jit(lambda a, b: fftn_split(a, b, (0, 1, 2), -1, None))
+        out = fn(re, im)
+        ref = jax.jit(lambda a, b: jnp.fft.fftn(jax.lax.complex(a, b)))(
+            re, im)
+        err = float(jnp.sqrt(jnp.sum(
+            (out[0] - jnp.real(ref)) ** 2 + (out[1] - jnp.imag(ref)) ** 2)
+            / jnp.sum(jnp.real(ref) ** 2 + jnp.imag(ref) ** 2)))
+        dt2 = _device_time(fn, (re, im))
+        if dt2 is None:
+            raise RuntimeError("profiler captured no device events")
+        return (f"{dt2*1e3:.3f} ms (fused trailing plane + tiled axis "
+                f"pass), vs_xla={err:.2e}")
+
+    _row("3-D C2C 256^3", lambda: _fftn3d(256), budget=600)
     def _vs_xla():
         """Stock XLA jnp.fft at the headline shape vs this framework
         (the jnp_backend value proposition; full table: scripts/
