@@ -1817,6 +1817,122 @@ def _fft_filtered_core(re, im, hr, hi, sign, scale=None, *,
     return out_r.reshape(*lead, n), out_i.reshape(*lead, n)
 
 
+def _kernel_rows_bal_bank(xr_ref, xi_ref, hr_ref, hi_ref, or_ref,
+                          oi_ref, *, n, n1, n2, sign, scale, factors):
+    """Filter-BANK kernel: ONE broadcast signal row x per-row filters
+    (y[s] = FFT(x * h[s])) — the CWT/channelizer shape."""
+    xr = xr_ref[0]
+    xi = xi_ref[0]
+    hr = hr_ref[:]
+    hi = hi_ref[:]
+    _rows_bal_math(hr * xr - hi * xi, hr * xi + hi * xr, or_ref, oi_ref,
+                   n=n, n1=n1, n2=n2, sign=sign, scale=scale,
+                   factors=factors)
+
+
+def _kernel_bank(xr_ref, xi_ref, hr_ref, hi_ref, or_ref, oi_ref, *, n,
+                 n1, n2, sign, scale):
+    xr = xr_ref[0]
+    xi = xi_ref[0]
+    hr = hr_ref[:]
+    hi = hi_ref[:]
+    _rows_classic_math(hr * xr - hi * xi, hr * xi + hi * xr, or_ref,
+                       oi_ref, n=n, n1=n1, n2=n2, sign=sign, scale=scale)
+
+
+def _fft_bank_core(re, im, hr, hi, sign, scale=None, *, interpret=False):
+    """y[s, :] = scale * FFT_sign(x * h[s]): one signal row against a
+    whole filter bank, the multiply fused into each tile's load stage.
+    x: [n]; h: [S, n]; out [S, n].  The signal block rides a constant
+    index map, so it is NEVER materialized at [S, n] in HBM — the bank
+    transform costs ONE bank-sized round trip."""
+    n = re.shape[-1]
+    if not _supported(n):
+        raise Unsupported(f"n={n} outside fused kernel envelope")
+    if re.ndim != 1 or hr.shape[-1] != n:
+        raise Unsupported("bank kernel expects x [n], h [S, n]")
+    S = hr.shape[0]
+    re2 = re.reshape(1, n)
+    im2 = im.reshape(1, n)
+
+    balanced = n in _BALANCED
+    tile = 128 if balanced else _row_tile(n)
+    bt = min(tile, _round_up(S, 128))
+    short = S < bt
+    hr2, hi2 = hr, hi
+    if short:
+        hr2 = jnp.pad(hr, ((0, bt - S), (0, 0)))
+        hi2 = jnp.pad(hi, ((0, bt - S), (0, 0)))
+    grid_rows = bt if short else S
+
+    sc = float(scale) if scale is not None else 1.0
+    if balanced:
+        n1, n2, s1_factors = _BALANCED[n]
+        kern = functools.partial(
+            _kernel_rows_bal_bank, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
+            factors=s1_factors,
+        )
+    else:
+        n1, n2 = _choose_split(n)
+        kern = functools.partial(
+            _kernel_bank, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
+        )
+    grid = (pl.cdiv(grid_rows, bt),)
+    spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    flops_per_row = 8 * n * (n1 + n2) + 12 * n
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[xspec, xspec, spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
+            jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * S,
+            bytes_accessed=4 * S * n * 3 + 8 * n,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(re2, im2, hr2, hi2)
+    if short:
+        out_r = out_r[:S]
+        out_i = out_i[:S]
+    return out_r, out_i
+
+
+def fft_bank_split(re, im, hr, hi, sign, scale=None, *, interpret=False):
+    """Filter-bank transform y[s] = scale * FFT_sign(x * h[s]) with the
+    per-row multiply fused into each tile's load stage (x [n] broadcast
+    by index map — never materialized at bank size).  Linear in the
+    signal (re, im); the bank is constant.  Adjoint: sum_s conj(h[s]) *
+    (scale * FFT_{-sign}(ct[s]))."""
+
+    def fwd(res, lin):
+        a, b = lin
+        hr_, hi_ = res
+        return _fft_bank_core(a, b, hr_, hi_, sign, scale,
+                              interpret=interpret)
+
+    def tr(res, ct):
+        g, h = ct
+        hr_, hi_ = res
+        gr, gi = _fft_batched_core(g, h, -sign, scale,
+                                   interpret=interpret)
+        return (jnp.sum(gr * hr_ + gi * hi_, axis=0),
+                jnp.sum(gi * hr_ - gr * hi_, axis=0))
+
+    return _cd.linear_call(fwd, tr, (jnp.asarray(hr, jnp.float32),
+                                     jnp.asarray(hi, jnp.float32)),
+                           (re, im))
+
+
 def fft_filtered_split(re, im, hr, hi, sign, scale=None, *,
                        interpret=False):
     """y = scale * FFT_sign(h * x) with the h-multiply fused into the
