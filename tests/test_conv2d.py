@@ -178,3 +178,53 @@ def test_morlet():
     assert np.allclose(got, want, atol=1e-12)
     # admissibility: the complete wavelet has (near-)zero mean
     assert abs(morlet(257, w=5.0).mean()) < 1e-6
+
+
+def test_wiener_even_window_matches_scipy():
+    # even mysize: scipy's correlate(im, box, 'same') of the SYMMETRIC
+    # box equals convolve's (k-1)//2 crop (measured against the scipy
+    # oracle; ADVICE r2's k//2 claim was falsified by this test)
+    im = RNG.standard_normal((20, 24)).astype(np.float32)
+    got = np.asarray(wiener(im, mysize=(4, 6)))
+    want = sps.wiener(im.astype(np.float64), mysize=(4, 6))
+    assert _rel(got, want) < 1e-4
+
+
+def test_wiener_rejects_complex():
+    z = (RNG.standard_normal((8, 8)) + 1j * RNG.standard_normal((8, 8)))
+    with pytest.raises(ValueError):
+        wiener(z.astype(np.complex64))
+
+
+@pytest.mark.parametrize("boundary", ["fill", "wrap", "symm"])
+def test_convolve2d_complex_boundaries(boundary):
+    # host numpy complex input + non-trivial boundary: must split on the
+    # host (no complex H2D transfer) and still match scipy
+    a = (RNG.standard_normal((13, 11))
+         + 1j * RNG.standard_normal((13, 11))).astype(np.complex64)
+    k = (RNG.standard_normal((4, 3))
+         + 1j * RNG.standard_normal((4, 3))).astype(np.complex64)
+    got = np.asarray(convolve2d(a, k, mode="same", boundary=boundary))
+    want = sps.convolve2d(a, k, mode="same", boundary=boundary)
+    assert _rel(got, want) < 1e-4
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_correlate2d_complex_even_kernel(mode):
+    a = (RNG.standard_normal((16, 12))
+         + 1j * RNG.standard_normal((16, 12))).astype(np.complex64)
+    k = (RNG.standard_normal((4, 6))
+         + 1j * RNG.standard_normal((4, 6))).astype(np.complex64)
+    got = np.asarray(correlate2d(a, k, mode=mode))
+    want = sps.correlate2d(a, k, mode=mode)
+    assert _rel(got, want) < 1e-4
+
+
+def test_convolve2d_complex_fillvalue():
+    a = RNG.standard_normal((9, 9)).astype(np.float32)
+    k = RNG.standard_normal((3, 3)).astype(np.float32)
+    fv = 1.5 + 0.5j
+    got = np.asarray(convolve2d(a, k, mode="same", fillvalue=fv))
+    want = sps.convolve2d(a.astype(np.complex128), k, mode="same",
+                          fillvalue=fv)
+    assert _rel(got, want) < 1e-4
