@@ -127,8 +127,10 @@ def _fft3d_impl(x, mesh, sign, scale, transposed_output, overlap_chunks=None,
         raise ValueError("transposed_input and transposed_output are "
                          "mutually exclusive")
     if overlap_chunks is None:
-        # pipeline by default on real meshes; 1 device has no ICI to hide
-        overlap_chunks = 4 if mesh.devices.size > 1 else 1
+        # measured pin for (device kind, mesh size) when available, else
+        # 4 on real meshes / 1 single-device (plan/autotune wisdom)
+        from ..plan.autotune import default_overlap_chunks
+        overlap_chunks = default_overlap_chunks(mesh)
     lead = len(jnp.shape(x)) - 3  # leading batch dims (replicated)
     if lead < 0:
         raise ValueError("fft3d expects at least 3 dimensions")
@@ -421,7 +423,8 @@ def rfft3d(x, mesh: Mesh | None = None, norm=None, *,
     X, Y, Z = shape[-3:]
     lead = len(shape) - 3
     scale = _nd_scale((X, Y, Z), norm, FORWARD)
-    chunks = (4 if mesh.devices.size > 1 else 1) \
+    from ..plan.autotune import default_overlap_chunks
+    chunks = default_overlap_chunks(mesh) \
         if overlap_chunks is None else overlap_chunks
 
     def local(xr):
@@ -477,7 +480,8 @@ def irfft3d(X, n_last: int, mesh: Mesh | None = None, norm=None, *,
     C2R), halving the round trip's corner turns."""
     mesh = mesh or make_pencil_mesh()
     comm = _norm_comm_dtype(comm_dtype)
-    chunks = (4 if mesh.devices.size > 1 else 1) \
+    from ..plan.autotune import default_overlap_chunks
+    chunks = default_overlap_chunks(mesh) \
         if overlap_chunks is None else overlap_chunks
     ax, ay = mesh.axis_names
     re, im = promote_to_split(X)

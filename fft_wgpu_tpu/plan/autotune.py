@@ -24,9 +24,10 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["candidates_for", "measure_executor", "TUNE_CACHE",
-           "SPLIT_CACHE", "AX0_CACHE", "PLANE_CACHE", "load_wisdom",
-           "save_wisdom", "split_candidates", "tune_balanced",
-           "tune_ax0_tile", "tune_fused_plane"]
+           "SPLIT_CACHE", "AX0_CACHE", "PLANE_CACHE", "OVERLAP_CACHE",
+           "load_wisdom", "save_wisdom", "split_candidates",
+           "tune_balanced", "tune_ax0_tile", "tune_fused_plane",
+           "tune_overlap_chunks", "default_overlap_chunks"]
 
 # (backend, n, rows_bucket, axis) -> executor name
 TUNE_CACHE: dict = {}
@@ -42,6 +43,10 @@ AX0_CACHE: dict = {}
 # device_kind -> fused-plane envelope (max A*B where one-residency fft2
 # beats the two-pass form; probe_r42 measured 2^16 on v5e)
 PLANE_CACHE: dict = {}
+
+# (device_kind, ndev) -> FFT->a2a pipeline chunk count for the
+# distributed transforms (tune_overlap_chunks measures it per mesh)
+OVERLAP_CACHE: dict = {}
 
 _WISDOM_PATH = os.path.expanduser("~/.cache/fft_wgpu_tpu_wisdom.json")
 _wisdom_loaded = False
@@ -94,6 +99,9 @@ def load_wisdom(path: str = _WISDOM_PATH) -> None:
                 AX0_CACHE[(kind, int(n))] = int(v)
             elif parts[0] == "plane":
                 PLANE_CACHE[parts[1]] = int(v)
+            elif parts[0] == "overlap":
+                _, kind, ndev = parts
+                OVERLAP_CACHE[(kind, int(ndev))] = int(v)
             else:
                 backend, n, rows_b, axis = parts
                 TUNE_CACHE[(backend, int(n), int(rows_b), int(axis))] = v
@@ -111,6 +119,8 @@ def save_wisdom(path: str = _WISDOM_PATH) -> None:
             data[f"ax0|{kind}|{n}"] = lt
         for kind, lim in PLANE_CACHE.items():
             data[f"plane|{kind}"] = lim
+        for (kind, ndev), c in OVERLAP_CACHE.items():
+            data[f"overlap|{kind}|{ndev}"] = c
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"__toolchain__": _toolchain_stamp(),
@@ -441,3 +451,69 @@ def tune_fused_plane(*, rows: int = 64, persist: bool = True) -> int:
     if persist:
         save_wisdom()
     return limit
+
+
+# --------------------------------------------------------------------- #
+# FFT->all-to-all pipeline depth (overlap_chunks) tuning
+# --------------------------------------------------------------------- #
+
+def default_overlap_chunks(mesh) -> int:
+    """Pipeline chunk count for a distributed FFT on `mesh`: the measured
+    pin for (device kind, mesh size) when tune_overlap_chunks has run (or
+    prior wisdom exists), else 4 on real meshes / 1 on a single device
+    (nothing to hide without ICI)."""
+    if mesh is None or mesh.devices.size <= 1:
+        return 1
+    if not _wisdom_loaded:
+        load_wisdom()
+    kind = mesh.devices.flat[0].device_kind
+    return OVERLAP_CACHE.get((kind, int(mesh.devices.size)), 4)
+
+
+def tune_overlap_chunks(mesh, shape=(256, 256, 256),
+                        candidates=(1, 2, 4, 8), repeats=3, *,
+                        persist: bool = True) -> int:
+    """Measure fft3d wall time per pipeline depth on THIS mesh and pin
+    the winner for (device kind, mesh size).
+
+    Timing uses a device-side scalar reduction read back per run (full
+    execution forced without a complex D2H).  On a real multi-chip mesh
+    this measures true ICI/compute overlap; on the virtual CPU mesh it
+    measures the chunking overhead floor (still the right default when
+    no hardware measurement exists — see tests/test_distributed.py for
+    the structural overlap proof).
+    """
+    from ..parallel import pencil
+
+    kind = mesh.devices.flat[0].device_kind
+    ndev = int(mesh.devices.size)
+    key = (kind, ndev)
+    if not _wisdom_loaded:
+        load_wisdom()
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = jax.device_put(
+        jnp.zeros(shape, jnp.float32),
+        NamedSharding(mesh, P(*mesh.axis_names, None)))
+    best_c, best_t = candidates[0], float("inf")
+    for c in candidates:
+        fn = jax.jit(lambda v, _c=c: jnp.sum(jnp.real(
+            pencil.fft3d(v, mesh=mesh, overlap_chunks=_c))))
+        try:
+            _ = float(fn(x))  # compile + warm
+            t = min(_timed_scalar(fn, x) for _ in range(repeats))
+        except Exception:
+            continue
+        if t < best_t:
+            best_c, best_t = c, t
+    OVERLAP_CACHE[key] = best_c
+    if persist:
+        save_wisdom()
+    return best_c
+
+
+def _timed_scalar(fn, x) -> float:
+    t0 = time.perf_counter()
+    _ = float(fn(x))
+    return time.perf_counter() - t0
