@@ -291,6 +291,18 @@ class set_workers:
         return False
 
 
+def _conv_fast_len(l: int) -> int:
+    """Transform length for spectral convolution: on TPU prefer the
+    power of two (fused Pallas kernels run several times faster than
+    the XLA mixed-radix path, more than paying for the <=2x padding —
+    BENCHMARKS.md "vs stock XLA"); elsewhere scipy's 5-smooth even
+    choice."""
+    p2 = 1 << max(l - 1, 1).bit_length()
+    if jax.default_backend() == "tpu" and p2 <= (1 << 21):
+        return p2
+    return next_fast_len(l, real=True)
+
+
 def fftconvolve(a, b, mode: str = "full", axes=None):
     """N-D linear convolution via FFTs (scipy.signal.fftconvolve).
 
@@ -327,7 +339,7 @@ def fftconvolve(a, b, mode: str = "full", axes=None):
             "for mode='valid' one input must be at least as large as the "
             "other in every convolved dimension")  # scipy parity
     lfull = [a.shape[ax] + b.shape[ax] - 1 for ax in axes]
-    shape = [next_fast_len(l, real=True) for l in lfull]
+    shape = [_conv_fast_len(l) for l in lfull]
 
     sl = [slice(None)] * nd
     for ax, lf in zip(axes, lfull):
@@ -359,10 +371,57 @@ def fftconvolve(a, b, mode: str = "full", axes=None):
 
         return jax.jit(impl)(ar, ai, br_, bi_)
 
+    # Real path: split padded-spectrum pipeline (probe_r45) — the R2C
+    # writes the lane-aligned serving form [.., pad_bins(L)], the
+    # spectral multiply and any other-axis C2C passes stay padded
+    # (aligned minors), and the C2R consumes it directly; only the
+    # Pallas envelope benefits, but the shape is correct everywhere
+    # (fallbacks pad/slice internally).
+    from ..core.twiddle import FORWARD, INVERSE
+    from .nd import fftn_split
+    from .rfft import irfft_last_split, rfft_last_split
+
+    last = axes[-1]
+    rest = axes[:-1]
+    n_last = shape[-1]
+
+    def _pad_to(v):
+        pads = [(0, 0)] * nd
+        for ax, L in zip(axes, shape):
+            pads[ax] = (0, L - v.shape[ax])
+        return jnp.pad(v, pads)
+
+    def _rfwd(v):
+        moved = last != nd - 1
+        if moved:
+            v = jnp.moveaxis(v, last, -1)
+        Xr, Xi = rfft_last_split(v, None, pad_out=True)
+        if moved:
+            Xr = jnp.moveaxis(Xr, -1, last)
+            Xi = jnp.moveaxis(Xi, -1, last)
+        if rest:
+            Xr, Xi = fftn_split(Xr, Xi, rest, FORWARD, None)
+        return Xr, Xi
+
     def impl(av, bv):
-        fa = rfftn(av, s=shape, axes=axes)
-        fb = rfftn(bv, s=shape, axes=axes)
-        return irfftn(fa * fb, s=shape, axes=axes)[sl]
+        far, fai = _rfwd(_pad_to(av))
+        fbr, fbi = _rfwd(_pad_to(bv))
+        pr = far * fbr - fai * fbi
+        pi = far * fbi + fai * fbr
+        if rest:
+            inv_scale = 1.0
+            for ax in rest:
+                inv_scale /= shape[axes.index(ax)]
+            pr, pi = fftn_split(pr, pi, rest, INVERSE, inv_scale)
+        moved = last != nd - 1
+        if moved:
+            pr = jnp.moveaxis(pr, last, -1)
+            pi = jnp.moveaxis(pi, last, -1)
+        out = irfft_last_split(pr, pi, n_last, 1.0 / n_last,
+                               padded_in=True)
+        if moved:
+            out = jnp.moveaxis(out, -1, last)
+        return out[sl]
 
     return jax.jit(impl)(jnp.asarray(a, jnp.float32),
                          jnp.asarray(b, jnp.float32))

@@ -57,7 +57,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fft_batched_split", "Unsupported", "FUSED_MIN_N", "FUSED_MAX_N"]
+__all__ = ["fft_batched_split", "Unsupported", "FUSED_MIN_N",
+           "FUSED_MAX_N", "pad_bins"]
 
 FUSED_MIN_N = 128
 FUSED_MAX_N = 16384  # fits VMEM since the real-matrix stage-1 slimmed liveness
@@ -614,6 +615,56 @@ def _kernel_rows_bal(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
                    n2=n2, sign=sign, scale=scale, factors=factors)
 
 
+# Sizes where the cross-tile pipelined form (256-row block processed as
+# two 128-row halves: half B's VPU chain overlaps half A's MXU dot in the
+# Mosaic schedule) beats the plain 128-row kernel (probe_r45/r46, v5e):
+# 512 0.055->0.044, 1024 0.082->0.074, 2048 0.158->0.149, 4096
+# 0.621->0.611 ms.  8192 measured WORSE (0.338->0.402: the bigger block
+# degrades Pallas's cross-step DMA pipelining once the per-half working
+# set is large) and 16384 exceeds the compile service's VMEM budget.
+# This is the harvest of the VERDICT r2 "cross-tile MXU/VPU software
+# pipelining" family: distinct from the failed within-tile m2-half-split
+# (whose half-K dots paid MXU fill penalties — these are full dots on
+# independent row halves).
+_PIPE2 = {512, 1024, 2048, 4096}
+
+
+def _kernel_rows_bal_pipe(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2,
+                          sign, scale, factors):
+    """Two 128-row halves per grid step, ordered chainA, dotA, chainB,
+    dotB — independent halves let the scheduler hide half B's VPU chain
+    under half A's full-rate realcat dot (and vice versa for the
+    output-side transposes)."""
+    bt = xr_ref.shape[0]
+    h = bt // 2
+    twr, twi = _gen_twiddle(n1, n2, n, sign)
+    if 2 * n2 <= 128:
+        wr, wi = _gen_dft(n2, n2, n2, sign, scale)
+        wbig = jnp.concatenate(
+            [jnp.concatenate([wr, -wi], axis=1),
+             jnp.concatenate([wi, wr], axis=1)], axis=0)
+    else:
+        w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
+
+    for p in range(2):
+        ar = xr_ref[p * h:(p + 1) * h, :].T.reshape(n1, n2, h)
+        ai = xi_ref[p * h:(p + 1) * h, :].T.reshape(n1, n2, h)
+        br, bi = _vpu_dft_leading(ar, ai, n1, sign, factors)
+        cr = br * twr[:, :, None] - bi * twi[:, :, None]
+        ci = br * twi[:, :, None] + bi * twr[:, :, None]
+        if 2 * n2 <= 128:
+            xcat = jnp.concatenate([cr, ci], axis=1)
+            res = jax.lax.dot_general(
+                wbig, xcat, ((((1,), (1,))), ((), ())),
+                precision=_MM_PREC, preferred_element_type=jnp.float32)
+            dr, di = res[:n2], res[n2:]
+        else:
+            dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci,
+                           ((1,), (1,)))
+        or_ref[p * h:(p + 1) * h, :] = dr.reshape(n, h).T
+        oi_ref[p * h:(p + 1) * h, :] = di.reshape(n, h).T
+
+
 def _kernel_rows_bal_filt(xr_ref, xi_ref, hr_ref, hi_ref, or_ref, oi_ref,
                           *, n, n1, n2, sign, scale, factors):
     """Balanced rows kernel with a FUSED input filter multiply (the
@@ -755,8 +806,13 @@ def _fft_batched_core(re, im, sign, scale=None, *, row_tile=None,
     im2 = im.reshape(rows, n)
 
     # balanced tiles were measured at 128 rows (the in-kernel transpose
-    # wants square-ish vreg blocks); classic keeps its per-n tile choice
-    tile = 128 if schedule == "balanced" else (row_tile or _row_tile(n))
+    # wants square-ish vreg blocks), except the _PIPE2 sizes which run
+    # 256-row blocks as two software-pipelined halves; classic keeps its
+    # per-n tile choice
+    if schedule == "balanced":
+        tile = 256 if n in _PIPE2 else 128
+    else:
+        tile = row_tile or _row_tile(n)
     bt = min(row_tile or tile, _round_up(rows, 128))
     short = rows < bt
     if short:
@@ -770,8 +826,9 @@ def _fft_batched_core(re, im, sign, scale=None, *, row_tile=None,
     if schedule == "balanced":
         n1, n2, s1_factors = _BALANCED[n]
         kern = functools.partial(
-            _kernel_rows_bal, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
-            factors=s1_factors,
+            _kernel_rows_bal_pipe if bt == 256 and n in _PIPE2
+            else _kernel_rows_bal,
+            n=n, n1=n1, n2=n2, sign=sign, scale=sc, factors=s1_factors,
         )
     elif use_dit:
         n1, n2 = _choose_split(n)
@@ -1211,7 +1268,31 @@ def _vpu_chain_tail(xr, xi, S, sign, factors, K0):
 # --------------------------------------------------------------------- #
 # Single-pass R2C rows kernel.
 # --------------------------------------------------------------------- #
-def _kernel_r2c(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp):
+def _r2c_store(or_ref, oi_ref, dr, di, mp, mp_out, bt):
+    """Write the pre-transpose half-spectrum rows [rows>=mp, bt] into a
+    [bt, mp_out] output block.  mp_out > mp is the PADDED serving form
+    (probe_r45: the ragged n/2+1 minor breaks HBM stride alignment for
+    every row — R2C 4096 drops 0.657 -> 0.452 ms with a 128-multiple
+    block); pad columns are explicitly ZEROED so downstream consumers
+    (and the AD transpose) can treat the padded spectrum as exact."""
+    if dr.shape[0] < mp_out:
+        z = jnp.zeros((mp_out - dr.shape[0], bt), jnp.float32)
+        dr = jnp.concatenate([dr, z], axis=0)
+        di = jnp.concatenate([di, z], axis=0)
+    else:
+        dr = dr[:mp_out]
+        di = di[:mp_out]
+    if mp_out > mp:
+        keep = (jax.lax.broadcasted_iota(jnp.int32, (mp_out, bt), 0)
+                < mp).astype(jnp.float32)
+        dr = dr * keep
+        di = di * keep
+    or_ref[:] = dr.T
+    oi_ref[:] = di.T
+
+
+def _kernel_r2c(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp,
+                mp_out):
     """Real-input rows FFT writing only the half spectrum.
 
     The XLA-level packed R2C (ops/rfft.py) pays ~5 HBM passes in
@@ -1244,12 +1325,12 @@ def _kernel_r2c(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp):
     w2r, w2i = _gen_dft(k2_rows, n2, n2, sign, scale)
     dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (2,)))
 
-    or_ref[:] = dr.reshape(k2_rows * n1, bt)[:mp].T
-    oi_ref[:] = di.reshape(k2_rows * n1, bt)[:mp].T
+    _r2c_store(or_ref, oi_ref, dr.reshape(k2_rows * n1, bt),
+               di.reshape(k2_rows * n1, bt), mp, mp_out, bt)
 
 
 def _kernel_r2c_bal(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp,
-                    factors):
+                    mp_out, factors):
     """Balanced-split R2C rows kernel: transpose-in, REAL-specialized VPU
     chain stage 1 (no MXU, half the butterfly adds), stage 2 as one
     realcat dot cut to the half-spectrum output rows k2 <= mp//n1."""
@@ -1273,8 +1354,8 @@ def _kernel_r2c_bal(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp,
         preferred_element_type=jnp.float32)
     dr, di = res[:k2_rows], res[k2_rows:]
 
-    or_ref[:] = dr.reshape(k2_rows * n1, bt)[:mp].T
-    oi_ref[:] = di.reshape(k2_rows * n1, bt)[:mp].T
+    _r2c_store(or_ref, oi_ref, dr.reshape(k2_rows * n1, bt),
+               di.reshape(k2_rows * n1, bt), mp, mp_out, bt)
 
 
 # R2C balanced-split routing: n -> (n1, n2, stage-1 VPU factors).  Only
@@ -1288,20 +1369,37 @@ _BALANCED_R2C: dict = {
     2048: (64, 32, (4, 4, 4)),  # (128,16)+(4,8,4): 0.388 — keep (probe_r31)
     4096: (64, 64, (4, 4, 4)),  # (128,32)+(4,8,4): 0.693 — keep (probe_r31)
     8192: (128, 64, (4, 8, 4)),  # 0.698 vs (64,128)+(4,4,4) 0.813 (probe_r31)
+    16384: (256, 64, (4, 8, 8)),  # 0.794 vs classic 0.954 and (128,128)
+                                  # 0.935 (probe_r46 — the r2 VERDICT's
+                                  # missing balanced 16384 entry)
 }
 
 
-def _rfft_rows_core(xr, scale=None, *, interpret=False):
+def pad_bins(n: int) -> int:
+    """Lane-aligned bin count of the PADDED half-spectrum serving form:
+    round_up(n//2+1, 128).  Pad columns are exact zeros."""
+    return _round_up(n // 2 + 1, 128)
+
+
+def _rfft_rows_core(xr, scale=None, *, interpret=False, pad_out=False):
     """Batched R2C FFT over the last axis: real float32 [..., n] ->
     split complex [..., n//2+1], one HBM round trip (fused kernel
-    envelope; callers fall back to the packed XLA path outside it)."""
+    envelope; callers fall back to the packed XLA path outside it).
+
+    pad_out=True writes the PADDED serving form [..., pad_bins(n)]
+    (zeros beyond bin n//2): the ragged n/2+1 minor misaligns every HBM
+    row and measured 1.45x slower (probe_r45: 4096x4096 0.657 vs 0.452
+    ms).  Round-trip pipelines keep the padded form end-to-end; the
+    public numpy-parity API slices at the boundary."""
     n = xr.shape[-1]
     if not _supported(n):
         raise Unsupported(f"n={n} outside fused kernel envelope")
     lead = xr.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
+    m_out = n // 2 + 1
+    mp_out = pad_bins(n) if pad_out else m_out
     if rows == 0:
-        z = jnp.zeros((*lead, n // 2 + 1), jnp.float32)
+        z = jnp.zeros((*lead, mp_out), jnp.float32)
         return z, z
     x2 = xr.reshape(rows, n)
 
@@ -1312,23 +1410,23 @@ def _rfft_rows_core(xr, scale=None, *, interpret=False):
         x2 = jnp.pad(x2, ((0, bt - rows), (0, 0)))
     grid_rows = bt if short else rows
 
-    m_out = n // 2 + 1
-    mp = m_out  # ragged minor is fine when the block spans the whole dim
+    mp = m_out  # logical bins (the k2 output cut)
     sc = float(scale) if scale is not None else 1.0
     if n in _BALANCED_R2C:
         n1, n2, s1_factors = _BALANCED_R2C[n]
         kern = functools.partial(
             _kernel_r2c_bal, n=n, n1=n1, n2=n2, sign=-1, scale=sc, mp=mp,
-            factors=s1_factors,
+            mp_out=mp_out, factors=s1_factors,
         )
     else:
         n1, n2 = _choose_split(n)
         kern = functools.partial(
             _kernel_r2c, n=n, n1=n1, n2=n2, sign=-1, scale=sc, mp=mp,
+            mp_out=mp_out,
         )
     grid = (pl.cdiv(grid_rows, bt),)
     in_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((bt, mp), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((bt, mp_out), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_r, out_i = pl.pallas_call(
         kern,
@@ -1336,12 +1434,12 @@ def _rfft_rows_core(xr, scale=None, *, interpret=False):
         in_specs=[in_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((grid_rows, mp), jnp.float32),
-            jax.ShapeDtypeStruct((grid_rows, mp), jnp.float32),
+            jax.ShapeDtypeStruct((grid_rows, mp_out), jnp.float32),
+            jax.ShapeDtypeStruct((grid_rows, mp_out), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=(8 * n * (n1 + n2) + 6 * n) * rows,
-            bytes_accessed=4 * rows * (n + 2 * mp),
+            bytes_accessed=4 * rows * (n + 2 * mp_out),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -1350,9 +1448,10 @@ def _rfft_rows_core(xr, scale=None, *, interpret=False):
         interpret=interpret,
     )(x2)
 
-    out_r = out_r[:rows, :m_out] if short else out_r[:, :m_out]
-    out_i = out_i[:rows, :m_out] if short else out_i[:, :m_out]
-    return out_r.reshape(*lead, m_out), out_i.reshape(*lead, m_out)
+    if short:
+        out_r = out_r[:rows]
+        out_i = out_i[:rows]
+    return out_r.reshape(*lead, mp_out), out_i.reshape(*lead, mp_out)
 
 
 # --------------------------------------------------------------------- #
@@ -1444,11 +1543,14 @@ def _kernel_c2r_bal(xr_ref, xi_ref, o_ref, *, n, n1, n2, scale,
     ai = xi_ref[:].T
 
     # input-side mask: halve DC/Nyquist real parts (makes 2*Re exact),
-    # discard their imaginary parts (C2R semantics); caller zero-pads
-    # rows beyond the Nyquist bin.
+    # discard their imaginary parts (C2R semantics), and ZERO any rows
+    # beyond the Nyquist bin — the padded-spectrum serving form
+    # guarantees zeros there, but self-masking keeps the kernel correct
+    # for arbitrary pad contents (defense costs one fused multiply).
     ri = jax.lax.broadcasted_iota(jnp.int32, ar.shape, 0)
     ends = (ri == 0) | (ri == h)
-    ar = ar * jnp.where(ends, 0.5, 1.0).astype(jnp.float32)
+    ar = ar * jnp.where(ri > h, 0.0,
+                        jnp.where(ends, 0.5, 1.0)).astype(jnp.float32)
     ai = ai * ((ri > 0) & (ri < h)).astype(jnp.float32)
 
     xr = ar[:rows_in].reshape(n1 // 2 + 1, n2, bt)
@@ -1504,21 +1606,29 @@ _BALANCED_C2R: dict = {
     2048: (32, 64, (4, 8)),
     4096: (64, 64, (4, 8, 2)),   # (4,4,4): 0.681; (128,32)+(4,8,4): 0.696
     8192: (128, 64, (4, 8, 4)),  # realcat-A (64,128): 0.781
+    16384: (256, 64, (4, 8, 8)),  # 0.785 vs classic 1.226 and (128,128)
+                                  # 0.904 (probe_r46)
 }
 
 
-def _irfft_rows_core(Xr, Xi, n, scale=None, *, interpret=False):
+def _irfft_rows_core(Xr, Xi, n, scale=None, *, interpret=False,
+                     padded_in=False):
     """Batched C2R over the last axis: split half spectrum [..., n//2+1]
     -> real float32 [..., n] in one HBM round trip.
 
     `scale` multiplies the result; numpy's backward norm is scale=1/n.
     Requires power-of-two n with n/128 even (n >= 256) in the fused
     envelope; callers fall back to the packed XLA path otherwise.
+
+    padded_in=True accepts the PADDED serving form [..., pad_bins(n)]
+    (zeros beyond bin n//2, e.g. from rfft pad_out=True) and skips the
+    explicit jnp.pad pass — a full extra HBM round trip on the input
+    (probe_r45: C2R 4096 0.678 with the pad pass vs 0.436 without).
     """
     if not _supported(n) or (n // 128) % 2:
         raise Unsupported(f"n={n} outside C2R kernel envelope")
     m = n // 2
-    bins = m + 1
+    bins = pad_bins(n) if padded_in else m + 1
     if Xr.shape[-1] != bins:
         raise Unsupported(f"expected {bins} bins, got {Xr.shape[-1]}")
     balanced = n in _BALANCED_C2R
@@ -1532,9 +1642,13 @@ def _irfft_rows_core(Xr, Xi, n, scale=None, *, interpret=False):
     rows = int(np.prod(lead)) if lead else 1
     if rows == 0:
         return jnp.zeros((*lead, n), jnp.float32)
-    pad = [(0, 0)] * (Xr.ndim - 1) + [(0, mp_in - bins)]
-    Xr2 = jnp.pad(Xr, pad).reshape(rows, mp_in)
-    Xi2 = jnp.pad(Xi, pad).reshape(rows, mp_in)
+    if mp_in == bins:
+        Xr2 = Xr.reshape(rows, mp_in)
+        Xi2 = Xi.reshape(rows, mp_in)
+    else:
+        pad = [(0, 0)] * (Xr.ndim - 1) + [(0, mp_in - bins)]
+        Xr2 = jnp.pad(Xr, pad).reshape(rows, mp_in)
+        Xi2 = jnp.pad(Xi, pad).reshape(rows, mp_in)
 
     bt = min(128 if balanced else _row_tile(n), _round_up(rows, 128))
     short = rows < bt
@@ -1999,28 +2113,39 @@ def fft_rows_transposed_split(re, im, sign, scale=None, *, outer=None,
         transpose, re, im)
 
 
-def rfft_rows_split(xr, scale=None, *, interpret=False):
+def rfft_rows_split(xr, scale=None, *, interpret=False, pad_out=False):
     """Batched R2C FFT over the last axis: real float32 [..., n] ->
-    split complex [..., n//2+1], one HBM round trip (fused kernel
-    envelope; callers fall back to the packed XLA path outside it).
-    Differentiable (adjoint: zero-padded +sign C2C, real part)."""
+    split complex [..., n//2+1] (or the padded serving form
+    [..., pad_bins(n)] with pad_out=True — exact zeros past bin n//2).
+    One HBM round trip (fused kernel envelope; callers fall back to the
+    packed XLA path outside it).  Differentiable (adjoint: zero-padded
+    +sign C2C, real part; the padded form writes zeros in its pad
+    columns, so their cotangents are discarded)."""
     n = xr.shape[-1]
+    mp = n // 2 + 1
 
     def transpose(_, ct):
         ctr, cti = ct
-        pad = [(0, 0)] * (ctr.ndim - 1) + [(0, n - ctr.shape[-1])]
+        if ctr.shape[-1] > mp:  # padded form: pad columns are zeros
+            ctr = ctr[..., :mp]
+            cti = cti[..., :mp]
+        pad = [(0, 0)] * (ctr.ndim - 1) + [(0, n - mp)]
         gr, _gi = _fft_batched_core(jnp.pad(ctr, pad), jnp.pad(cti, pad),
                                     +1, scale, interpret=interpret)
         return (gr,)
 
     return _cd.linear_call(
-        lambda _, lin: _rfft_rows_core(lin[0], scale, interpret=interpret),
+        lambda _, lin: _rfft_rows_core(lin[0], scale, interpret=interpret,
+                                       pad_out=pad_out),
         transpose, (), (xr,))
 
 
-def irfft_rows_split(Xr, Xi, n, scale=None, *, interpret=False):
+def irfft_rows_split(Xr, Xi, n, scale=None, *, interpret=False,
+                     padded_in=False):
     """Batched C2R over the last axis: split half spectrum [..., n//2+1]
-    -> real float32 [..., n] in one HBM round trip.  Differentiable.
+    (or the padded serving form [..., pad_bins(n)] with padded_in=True —
+    skips the explicit input pad pass) -> real float32 [..., n] in one
+    HBM round trip.  Differentiable.
 
     `scale` multiplies the result; numpy's backward norm is scale=1/n.
     Requires power-of-two n with n/128 even (n >= 256) in the fused
@@ -2029,13 +2154,18 @@ def irfft_rows_split(Xr, Xi, n, scale=None, *, interpret=False):
     def transpose(_, ct):
         # adjoint of x = 2k * Re sum' eps_b X[b] w^{+jb}:
         # g[b] = 2k * eps_b * (forward R2C of ct)[b], eps=1/2 at DC/Nyquist
-        gr, gi = _rfft_rows_core(ct, None, interpret=interpret)
+        # (the kernel self-masks bins beyond Nyquist, so the padded form
+        # gets exactly-zero pad-column cotangents)
+        gr, gi = _rfft_rows_core(ct, None, interpret=interpret,
+                                 pad_out=padded_in)
         k = 2.0 * (1.0 if scale is None else float(scale))
         m = n // 2
-        eps = jnp.ones((m + 1,), jnp.float32).at[0].set(0.5).at[m].set(0.5)
+        eps = jnp.zeros((gr.shape[-1],), jnp.float32)
+        eps = eps.at[:m + 1].set(1.0).at[0].set(0.5).at[m].set(0.5)
         return k * eps * gr, k * eps * gi
 
     return _cd.linear_call(
         lambda _, lin: _irfft_rows_core(lin[0], lin[1], n, scale,
-                                        interpret=interpret),
+                                        interpret=interpret,
+                                        padded_in=padded_in),
         transpose, (), (Xr, Xi))
