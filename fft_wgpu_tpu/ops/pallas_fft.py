@@ -1033,6 +1033,122 @@ def _fft_axis0_core(re, im, sign, scale=None, *, interpret=False):
 
 
 # --------------------------------------------------------------------- #
+# Axis(-3) kernel: transform down the LEADING axis of [.., n, Y, Z]
+# blocks read straight from the rank-3 tiled layout — no relayout.
+# --------------------------------------------------------------------- #
+#
+# Why it exists (probe_r48): transforming a leading axis used to flatten
+# the trailing dims ([X, Y, Z] -> [X, Y*Z]) for the axis(-2) kernel, but
+# merging into the MINOR dim changes the (8,128) tiling — a physical XLA
+# relayout costing a full extra HBM round trip (512^3 leading pass:
+# 12.4 ms, of which ~7.7 was the relayout).  This kernel reads
+# (n, st, 128) blocks directly (contiguous (st,128) tiles at stride
+# Y*Z), runs the stage-1 chain on rank-4 state (the bigfft-proven form),
+# and applies the inter-factor twiddle on a merged [n1, n2*st, 128] view
+# against a 2-D iota table broadcast [:, :, None] — the one rank-4
+# twiddle shape this Mosaic accepts ((.., 1, 1) unit-lane broadcasts
+# crash it).  Measured: 512^3 leading pass 12.4 -> 4.22 ms, making
+# fftn 512^3 a 13.7 ms transform (was 20.9).
+
+_AX3_SUBTILE = 8
+
+
+def _kernel_ax3(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
+                scale, st, lt):
+    ar = xr_ref[0].reshape(n1, n2, st, lt)
+    ai = xi_ref[0].reshape(n1, n2, st, lt)
+    if n1 in _S1_CHAINS:
+        br, bi = _vpu_dft_leading(ar, ai, n1, sign, _S1_CHAINS[n1])
+    elif 2 * n1 <= 128:
+        br, bi = _cdot_realcat(n1, sign, ar, ai, 0, ((1,), (0,)))
+    else:
+        w1r, w1i = _gen_dft(n1, n1, n1, sign)
+        br, bi = _cdot(w1r, w1r + w1i, w1i - w1r, ar, ai, ((1,), (0,)))
+    # twiddle w_n^{k1 m2} on the merged view: the table value depends on
+    # (k1, idx // st) only — 2-D iota, rank-3 trailing-unit broadcast
+    k = jax.lax.broadcasted_iota(jnp.int32, (n1, n2 * st), 0
+                                 ).astype(jnp.float32)
+    m = (jax.lax.broadcasted_iota(jnp.int32, (n1, n2 * st), 1) // st
+         ).astype(jnp.float32)
+    t = k * m
+    r = t - n * jnp.floor(t / n)
+    th = (sign * 2.0 * math.pi / n) * r
+    twr = jnp.cos(th)[:, :, None]
+    twi = jnp.sin(th)[:, :, None]
+    b2r = br.reshape(n1, n2 * st, lt)
+    b2i = bi.reshape(n1, n2 * st, lt)
+    cr = (b2r * twr - b2i * twi).reshape(n1, n2, st, lt)
+    ci = (b2r * twi + b2i * twr).reshape(n1, n2, st, lt)
+    if 2 * n2 <= 128 and scale == 1.0:
+        dr, di = _cdot_realcat(n2, sign, cr, ci, 1, ((1,), (1,)))
+    else:
+        w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
+        dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
+    or_ref[0] = dr.reshape(n, st, lt)
+    oi_ref[0] = di.reshape(n, st, lt)
+
+
+def _fft_axis3_core(re, im, sign, scale=None, *, interpret=False):
+    """Batched FFT along axis -3 of [..., n, Y, Z]: zero relayouts (the
+    trailing (Y, Z) tiling is read as-is).  Y must be a multiple of the
+    8-sublane tile and Z of 128 lanes; callers fall back to the
+    flatten + axis(-2) route otherwise."""
+    if re.ndim < 3:
+        raise Unsupported("axis -3 kernel needs rank >= 3")
+    n, Y, Z = re.shape[-3:]
+    st = _AX3_SUBTILE
+    if not _supported(n) or Y % st or Z % 128:
+        raise Unsupported(f"axis -3 shape ({n},{Y},{Z}) unsupported")
+    # block = n*st*128 f32 x2 arrays x2 in/out, double-buffered
+    if n * st * 128 * 4 * 8 > 100 * 1024 * 1024:
+        raise Unsupported(f"axis -3 block too large at n={n}")
+    lead = re.shape[:-3]
+    b = int(np.prod(lead)) if lead else 1
+    if b == 0:
+        return re, im
+    re4 = re.reshape(b, n, Y, Z)
+    im4 = im.reshape(b, n, Y, Z)
+    n1, n2 = _choose_split_sublane(n)
+    kern = functools.partial(
+        _kernel_ax3, n=n, n1=n1, n2=n2, sign=sign,
+        scale=float(scale) if scale is not None else 1.0, st=st, lt=128)
+    spec = pl.BlockSpec((1, n, st, 128), lambda i, j, l: (i, 0, j, l),
+                        memory_space=pltpu.VMEM)
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=(b, Y // st, Z // 128),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, Y, Z), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, Y, Z), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(8 * n * (n1 + n2) + 6 * n) * b * Y * Z,
+            bytes_accessed=4 * b * n * Y * Z * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(re4, im4)
+    return (out_r.reshape(*lead, n, Y, Z),
+            out_i.reshape(*lead, n, Y, Z))
+
+
+def fft_axis3_split(re, im, sign, scale=None, *, interpret=False):
+    """Batched FFT along axis -3 of [..., n, Y, Z] with no relayouts.
+    Differentiable both modes (sign-flipped adjoint)."""
+    return _linear2(
+        lambda a, b: _fft_axis3_core(a, b, sign, scale,
+                                     interpret=interpret),
+        lambda a, b: _fft_axis3_core(a, b, -sign, scale,
+                                     interpret=interpret),
+        re, im)
+
+
+# --------------------------------------------------------------------- #
 # Four-step companion: rows-FFT with fused outer twiddle and transposed
 # block output (the two HBM-pass large-N path).
 # --------------------------------------------------------------------- #

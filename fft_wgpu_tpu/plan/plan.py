@@ -197,6 +197,22 @@ class Plan:
                     shape = re.shape
                     if ax == nd - 2:
                         return pallas_fft.fft_axis0_split(re, im, sign, scale)
+                    # ax <= nd-3: merge the dims BETWEEN ax and the minor
+                    # (a non-minor regroup — free view, unlike the
+                    # minor-merging flatten below) and run the axis(-3)
+                    # kernel: zero relayouts (probe_r48: the flatten
+                    # route's hidden relayout cost a full HBM round trip).
+                    mid = 1
+                    for d in shape[ax + 1: nd - 1]:
+                        mid *= d
+                    try:
+                        re3 = re.reshape(*shape[: ax + 1], mid, shape[-1])
+                        im3 = im.reshape(*shape[: ax + 1], mid, shape[-1])
+                        rr, ii = pallas_fft.fft_axis3_split(re3, im3, sign,
+                                                            scale)
+                        return rr.reshape(shape), ii.reshape(shape)
+                    except pallas_fft.Unsupported:
+                        pass
                     trail = 1
                     for d in shape[ax + 1:]:
                         trail *= d
