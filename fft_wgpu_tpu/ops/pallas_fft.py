@@ -910,6 +910,15 @@ _S1_CHAINS = {4: (4,), 8: (8,), 16: (4, 4), 32: (4, 8), 64: (4, 4, 4)}
 _AX0_LANE_TILES: dict = {256: 512}
 
 
+# Sizes where the lane-pipelined two-half ax0 form (see _kernel_ax0_pipe)
+# beats both the plain 128-lane kernel and the wide-tile pins above
+# (probe_r54, v5e, bit-exact): n=512 -6.6%, n=256 -5.1% (vs its lt=512
+# pin), n=128 -27% (6.949 -> 5.065 ms on 16384 lanes).  n >= 1024 ties
+# or loses (bigger blocks degrade cross-step DMA pipelining, the same
+# lesson as pipe2 at 8192).
+_PIPE_AX0 = {128, 256, 512}
+
+
 def _ax0_lane_tile(n: int, m: int) -> int:
     lt = _AX0_LANE_TILES.get(n, 128)
     # shrink until the tile divides the (padded) lane extent and the
@@ -919,21 +928,11 @@ def _ax0_lane_tile(n: int, m: int) -> int:
     return max(lt, 128)
 
 
-def _kernel_ax0(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale,
-                lt=128):
-    """Columns-FFT tile: block [1, n, lt] transforms each of the lt lane
-    columns along the sublane axis (lt a multiple of 128; wider tiles
-    amortize per-step overheads when n is small — see _AX0_LANE_TILES).
-
-    With the transform axis in sublanes, every four-step reindexing is a
-    sublane split/merge (always supported) and the stage results come out
-    already corner-turned — this kernel has NO transposes at all, which is
-    why the planner prefers axis -2 transforms wherever layout allows
-    (ND row-column passes, four-step stage 1).
-    """
-    ar = xr_ref[0].reshape(n1, n2, lt)
-    ai = xi_ref[0].reshape(n1, n2, lt)
-
+def _ax0_tile_math(ar, ai, *, n, n1, n2, sign, scale):
+    """Sublane-axis FFT math on one [n1, n2, L] tile pair; returns the
+    transformed ([n, L], [n, L]) planes.  Shared by the plain ax0 kernel
+    and its lane-pipelined two-half variant."""
+    lt = ar.shape[-1]
     if n1 == 1:  # single-stage DFT
         cr, ci = ar, ai
     else:
@@ -970,8 +969,46 @@ def _kernel_ax0(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale,
             dr, di = res[:n2], res[n2:]
         else:
             dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
-    or_ref[0] = dr.reshape(n, lt)
-    oi_ref[0] = di.reshape(n, lt)
+    return dr.reshape(n, lt), di.reshape(n, lt)
+
+
+def _kernel_ax0(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale,
+                lt=128):
+    """Columns-FFT tile: block [1, n, lt] transforms each of the lt lane
+    columns along the sublane axis (lt a multiple of 128; wider tiles
+    amortize per-step overheads when n is small — see _AX0_LANE_TILES).
+
+    With the transform axis in sublanes, every four-step reindexing is a
+    sublane split/merge (always supported) and the stage results come out
+    already corner-turned — this kernel has NO transposes at all, which is
+    why the planner prefers axis -2 transforms wherever layout allows
+    (ND row-column passes, four-step stage 1).
+    """
+    dr, di = _ax0_tile_math(
+        xr_ref[0].reshape(n1, n2, lt), xi_ref[0].reshape(n1, n2, lt),
+        n=n, n1=n1, n2=n2, sign=sign, scale=scale)
+    or_ref[0] = dr
+    oi_ref[0] = di
+
+
+def _kernel_ax0_pipe(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
+                     scale):
+    """Lane-pipelined ax0: a (1, n, 256) block processed as two
+    independent 128-lane halves in one body, so half B's VPU chain
+    overlaps half A's MXU dot (probe_r54 — the pipe2 structure on the
+    lane axis).  Wins only where the chain dominates a small block:
+    n=512 4.350 -> 4.062 ms on the 512^3 pass, n=256 4.635 -> 4.400 (vs
+    the lt=512 pin); n=1024 ties and n=4096 LOSES (0.592 -> 0.617 — the
+    bigger block degrades cross-step DMA pipelining, the same lesson as
+    pipe2 at 8192)."""
+    for p in range(2):
+        sl = slice(p * 128, (p + 1) * 128)
+        dr, di = _ax0_tile_math(
+            xr_ref[0][:, sl].reshape(n1, n2, 128),
+            xi_ref[0][:, sl].reshape(n1, n2, 128),
+            n=n, n1=n1, n2=n2, sign=sign, scale=scale)
+        or_ref[0, :, sl] = dr
+        oi_ref[0, :, sl] = di
 
 
 def _fft_axis0_core(re, im, sign, scale=None, *, interpret=False):
@@ -996,11 +1033,15 @@ def _fft_axis0_core(re, im, sign, scale=None, *, interpret=False):
     grid_m = 128 if short else m
 
     n1, n2 = _choose_split_sublane(n)
-    lt = _ax0_lane_tile(n, grid_m)
-    kern = functools.partial(
-        _kernel_ax0, n=n, n1=n1, n2=n2, sign=sign,
-        scale=float(scale) if scale is not None else 1.0, lt=lt,
-    )
+    sc = float(scale) if scale is not None else 1.0
+    if n in _PIPE_AX0 and grid_m >= 256:
+        lt = 256  # two software-pipelined 128-lane halves per step
+        kern = functools.partial(
+            _kernel_ax0_pipe, n=n, n1=n1, n2=n2, sign=sign, scale=sc)
+    else:
+        lt = _ax0_lane_tile(n, grid_m)
+        kern = functools.partial(
+            _kernel_ax0, n=n, n1=n1, n2=n2, sign=sign, scale=sc, lt=lt)
     grid = (b, pl.cdiv(grid_m, lt))  # ragged lane edges masked natively
     spec = pl.BlockSpec((1, n, lt), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
@@ -1052,11 +1093,17 @@ def _fft_axis0_core(re, im, sign, scale=None, *, interpret=False):
 
 _AX3_SUBTILE = 8
 
+# Sizes where the sub-tile-pipelined ax3 form (two st-halves per
+# (1, n, 16, 128) block — see _kernel_ax3_pipe) beats the plain st=8
+# kernel (probe_r54, v5e, bit-exact): n=512 4.221 -> 3.841 ms (-9%),
+# n=256 0.505 -> 0.454 (-10%).  st=32 as 2x16 loses at 512 (4.493).
+_PIPE_AX3 = {256, 512}
 
-def _kernel_ax3(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
-                scale, st, lt):
-    ar = xr_ref[0].reshape(n1, n2, st, lt)
-    ai = xi_ref[0].reshape(n1, n2, st, lt)
+
+def _ax3_tile_math(ar, ai, *, n, n1, n2, sign, scale, st, lt):
+    """Leading-axis FFT math on one [n1, n2, st, lt] tile pair; returns
+    the transformed ([n, st, lt], [n, st, lt]) planes.  Shared by the
+    plain ax3 kernel and its sub-tile-pipelined two-half variant."""
     if n1 in _S1_CHAINS:
         br, bi = _vpu_dft_leading(ar, ai, n1, sign, _S1_CHAINS[n1])
     elif 2 * n1 <= 128:
@@ -1084,8 +1131,34 @@ def _kernel_ax3(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
     else:
         w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
         dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
-    or_ref[0] = dr.reshape(n, st, lt)
-    oi_ref[0] = di.reshape(n, st, lt)
+    return dr.reshape(n, st, lt), di.reshape(n, st, lt)
+
+
+def _kernel_ax3(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
+                scale, st, lt):
+    dr, di = _ax3_tile_math(
+        xr_ref[0].reshape(n1, n2, st, lt),
+        xi_ref[0].reshape(n1, n2, st, lt),
+        n=n, n1=n1, n2=n2, sign=sign, scale=scale, st=st, lt=lt)
+    or_ref[0] = dr
+    oi_ref[0] = di
+
+
+def _kernel_ax3_pipe(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
+                     scale, st, lt):
+    """Sub-tile-pipelined ax3: a (1, n, 2*st, 128) block processed as two
+    independent st-halves in one body so one half's VPU chain overlaps
+    the other's MXU dot (probe_r54: 512^3 pass 4.221 -> 3.841 ms with
+    st=8 halves in a 16-wide block; splitting the EXISTING 8-wide block
+    into 2x4 loses — the halves must stay DMA-efficient)."""
+    for p in range(2):
+        sl = slice(p * st, (p + 1) * st)
+        dr, di = _ax3_tile_math(
+            xr_ref[0][:, sl, :].reshape(n1, n2, st, lt),
+            xi_ref[0][:, sl, :].reshape(n1, n2, st, lt),
+            n=n, n1=n1, n2=n2, sign=sign, scale=scale, st=st, lt=lt)
+        or_ref[0, :, sl, :] = dr
+        oi_ref[0, :, sl, :] = di
 
 
 def _fft_axis3_core(re, im, sign, scale=None, *, interpret=False):
@@ -1109,9 +1182,18 @@ def _fft_axis3_core(re, im, sign, scale=None, *, interpret=False):
     re4 = re.reshape(b, n, Y, Z)
     im4 = im.reshape(b, n, Y, Z)
     n1, n2 = _choose_split_sublane(n)
-    kern = functools.partial(
-        _kernel_ax3, n=n, n1=n1, n2=n2, sign=sign,
-        scale=float(scale) if scale is not None else 1.0, st=st, lt=128)
+    sc = float(scale) if scale is not None else 1.0
+    if (n in _PIPE_AX3 and Y % (2 * st) == 0
+            and n * 2 * st * 128 * 4 * 8 <= 100 * 1024 * 1024):
+        # two software-pipelined st-halves per (1, n, 2*st, 128) block
+        kern = functools.partial(
+            _kernel_ax3_pipe, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
+            st=st, lt=128)
+        st = 2 * st
+    else:
+        kern = functools.partial(
+            _kernel_ax3, n=n, n1=n1, n2=n2, sign=sign, scale=sc, st=st,
+            lt=128)
     spec = pl.BlockSpec((1, n, st, 128), lambda i, j, l: (i, 0, j, l),
                         memory_space=pltpu.VMEM)
     out_r, out_i = pl.pallas_call(

@@ -82,6 +82,30 @@ def test_axis0_kernel_matches_numpy(shape, rng, assert_close):
     assert_close(np.asarray(rr) + 1j * np.asarray(ii), np.fft.ifft(x, axis=-2))
 
 
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (512, 256),       # pipe: two 128-lane halves
+        (2, 256, 384),    # pipe with a lane count not a 256-multiple
+        (128, 300),       # pipe at n=128, ragged masked edge
+        (512, 320),       # pipe, ragged masked edge
+        (2, 1024, 256),   # NOT in _PIPE_AX0: classic route at >=256 lanes
+    ],
+)
+def test_axis0_pipe_routing_matches_numpy(shape, rng, assert_close):
+    """The lane-pipelined ax0 form (probe_r54) through production
+    routing: n in _PIPE_AX0 with >= 256 lanes takes the two-half kernel;
+    everything else keeps the classic path."""
+    x = crand(rng, *shape)
+    re = np.ascontiguousarray(x.real, np.float32)
+    im = np.ascontiguousarray(x.imag, np.float32)
+    rr, ii = pallas_fft.fft_axis0_split(re, im, -1, None, interpret=True)
+    assert_close(np.asarray(rr) + 1j * np.asarray(ii), np.fft.fft(x, axis=-2))
+    n = shape[-2]
+    rr, ii = pallas_fft.fft_axis0_split(re, im, +1, 1.0 / n, interpret=True)
+    assert_close(np.asarray(rr) + 1j * np.asarray(ii), np.fft.ifft(x, axis=-2))
+
+
 def test_axis0_kernel_unsupported():
     rng = np.random.default_rng(0)
     x = crand(rng, 100, 64)  # 100 not in envelope
@@ -385,6 +409,22 @@ def test_axis3_kernel(shape, rng, assert_close):
                                         interpret=True)
     back = np.asarray(br) + 1j * np.asarray(bi)
     assert_close(back, x, what=f"ax3 roundtrip {shape}")
+
+
+@pytest.mark.parametrize("shape", [(512, 16, 128), (512, 24, 128),
+                                   (256, 40, 128)])
+def test_axis3_pipe_routing(shape, rng, assert_close):
+    """The sub-tile-pipelined ax3 form (probe_r54) through production
+    routing: n in _PIPE_AX3 with Y a 16-multiple takes the two-half
+    kernel; Y = 24/40 (8-multiples only) falls back to the plain st=8
+    form on the same sizes."""
+    import jax.numpy as jnp
+
+    x = crand(rng, *shape)
+    re, im = jnp.asarray(x.real), jnp.asarray(x.imag)
+    rr, ii = pallas_fft.fft_axis3_split(re, im, -1, interpret=True)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    assert_close(got, np.fft.fft(x, axis=-3), what=f"ax3 pipe {shape}")
 
 
 def test_axis3_unsupported_shapes():
