@@ -1466,13 +1466,15 @@ def _vpu_chain_tail(xr, xi, S, sign, factors, K0):
 # --------------------------------------------------------------------- #
 # Single-pass R2C rows kernel.
 # --------------------------------------------------------------------- #
-def _r2c_store(or_ref, oi_ref, dr, di, mp, mp_out, bt):
+def _r2c_store(or_ref, oi_ref, dr, di, mp, mp_out, bt, sl=slice(None)):
     """Write the pre-transpose half-spectrum rows [rows>=mp, bt] into a
     [bt, mp_out] output block.  mp_out > mp is the PADDED serving form
     (probe_r45: the ragged n/2+1 minor breaks HBM stride alignment for
     every row — R2C 4096 drops 0.657 -> 0.452 ms with a 128-multiple
     block); pad columns are explicitly ZEROED so downstream consumers
-    (and the AD transpose) can treat the padded spectrum as exact."""
+    (and the AD transpose) can treat the padded spectrum as exact.
+    `sl` restricts the write to a row slice (the pipe kernels store one
+    half per call; bt is then the half height)."""
     if dr.shape[0] < mp_out:
         z = jnp.zeros((mp_out - dr.shape[0], bt), jnp.float32)
         dr = jnp.concatenate([dr, z], axis=0)
@@ -1485,8 +1487,8 @@ def _r2c_store(or_ref, oi_ref, dr, di, mp, mp_out, bt):
                 < mp).astype(jnp.float32)
         dr = dr * keep
         di = di * keep
-    or_ref[:] = dr.T
-    oi_ref[:] = di.T
+    or_ref[sl, :] = dr.T
+    oi_ref[sl, :] = di.T
 
 
 def _kernel_r2c(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp,
@@ -1556,6 +1558,44 @@ def _kernel_r2c_bal(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp,
                di.reshape(k2_rows * n1, bt), mp, mp_out, bt)
 
 
+# Sizes where the two-half pipelined R2C form (256-row block as two
+# independent 128-row halves — the pipe2 structure on the balanced R2C
+# kernel) beats the plain 128-row kernel (probe_r55, v5e, padded serving
+# form): 512 0.067->0.054, 1024 0.123->0.112, 2048 0.247->0.235, 4096
+# 0.451->0.441 ms, all bit-exact.  8192 measured WORSE (0.463->0.544 —
+# the block-growth lesson of pipe2/_PIPE_AX0 again).
+_PIPE_R2C = {512, 1024, 2048, 4096}
+
+
+def _kernel_r2c_pipe(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale,
+                     mp, mp_out, factors):
+    """Two 128-row halves per grid step: half B's real VPU chain overlaps
+    half A's half-spectrum realcat dot in the Mosaic schedule (the
+    _kernel_rows_bal_pipe structure applied to _kernel_r2c_bal)."""
+    bt = xr_ref.shape[0]
+    h = bt // 2
+    twr, twi = _gen_twiddle(n1, n2, n, sign)
+    k2_rows = _round_up(mp // n1 + 1, 8)
+    w2r, w2i = _gen_dft(k2_rows, n2, n2, sign, scale)
+    wbig = jnp.concatenate(
+        [jnp.concatenate([w2r, -w2i], axis=1),
+         jnp.concatenate([w2i, w2r], axis=1)], axis=0)
+    for p in range(2):
+        sl = slice(p * h, (p + 1) * h)
+        ar = xr_ref[sl, :].T.reshape(n1, n2, h)
+        br, bi = _vpu_dft_leading_real(ar, n1, sign, factors)
+        cr = br * twr[:, :, None] - bi * twi[:, :, None]
+        ci = br * twi[:, :, None] + bi * twr[:, :, None]
+        xcat = jnp.concatenate([cr, ci], axis=1)
+        res = jax.lax.dot_general(
+            wbig, xcat, ((((1,), (1,))), ((), ())), precision=_MM_PREC,
+            preferred_element_type=jnp.float32)
+        _r2c_store(or_ref, oi_ref,
+                   res[:k2_rows].reshape(k2_rows * n1, h),
+                   res[k2_rows:].reshape(k2_rows * n1, h),
+                   mp, mp_out, h, sl)
+
+
 # R2C balanced-split routing: n -> (n1, n2, stage-1 VPU factors).  Only
 # sizes where the balanced kernel measured faster than the classic lane
 # split on v5e (probe_r19: 4096x4096 rows 0.871 -> 0.656 ms, 8192x2048
@@ -1601,7 +1641,10 @@ def _rfft_rows_core(xr, scale=None, *, interpret=False, pad_out=False):
         return z, z
     x2 = xr.reshape(rows, n)
 
-    tile = 128 if n in _BALANCED_R2C else _row_tile(n)
+    if n in _BALANCED_R2C:
+        tile = 256 if n in _PIPE_R2C else 128
+    else:
+        tile = _row_tile(n)
     bt = min(tile, _round_up(rows, 128))
     short = rows < bt
     if short:
@@ -1613,7 +1656,9 @@ def _rfft_rows_core(xr, scale=None, *, interpret=False, pad_out=False):
     if n in _BALANCED_R2C:
         n1, n2, s1_factors = _BALANCED_R2C[n]
         kern = functools.partial(
-            _kernel_r2c_bal, n=n, n1=n1, n2=n2, sign=-1, scale=sc, mp=mp,
+            _kernel_r2c_pipe if bt == 256 and n in _PIPE_R2C
+            else _kernel_r2c_bal,
+            n=n, n1=n1, n2=n2, sign=-1, scale=sc, mp=mp,
             mp_out=mp_out, factors=s1_factors,
         )
     else:
@@ -1789,6 +1834,49 @@ def _kernel_c2r_bal(xr_ref, xi_ref, o_ref, *, n, n1, n2, scale,
     o_ref[:] = out.reshape(n, bt).T
 
 
+# Sizes where the two-half pipelined C2R form beats the plain 128-row
+# balanced kernel (probe_r55, v5e, padded-in serving form): 512
+# 0.061->0.049, 1024 0.115->0.102, 2048 0.211->0.200, 4096 0.435->0.432
+# ms, bit-exact.  8192 WORSE (0.467->0.530).  Requires a chain stage A
+# (every _PIPE_C2R entry has factors).
+_PIPE_C2R = {512, 1024, 2048, 4096}
+
+
+def _kernel_c2r_pipe(xr_ref, xi_ref, o_ref, *, n, n1, n2, scale, factors):
+    """Two 128-row halves per grid step: half B's zero-extended VPU chain
+    (stage A) overlaps half A's real-output stacked dot (stage B) — the
+    _kernel_rows_bal_pipe structure applied to _kernel_c2r_bal."""
+    bt = xr_ref.shape[0]
+    hh = bt // 2
+    h = n // 2
+    rows_in = (n1 // 2 + 1) * n2
+    twr, twi = _gen_twiddle(n1, n2, n, +1)
+    wbr, wbi = _gen_dft(n2, n2, n2, +1, 2.0 * scale)
+    wcat = jnp.concatenate([wbr, -wbi], axis=1)
+    for p in range(2):
+        sl = slice(p * hh, (p + 1) * hh)
+        ar = xr_ref[sl, :].T
+        ai = xi_ref[sl, :].T
+        ri = jax.lax.broadcasted_iota(jnp.int32, ar.shape, 0)
+        ends = (ri == 0) | (ri == h)
+        ar = ar * jnp.where(ri > h, 0.0,
+                            jnp.where(ends, 0.5, 1.0)).astype(jnp.float32)
+        ai = ai * ((ri > 0) & (ri < h)).astype(jnp.float32)
+        xr = ar[:rows_in].reshape(n1 // 2 + 1, n2, hh)
+        xi = ai[:rows_in].reshape(n1 // 2 + 1, n2, hh)
+        z = jnp.zeros((n1 - (n1 // 2 + 1), n2, hh), jnp.float32)
+        yr, yi = _vpu_dft_leading(
+            jnp.concatenate([xr, z], axis=0),
+            jnp.concatenate([xi, z], axis=0), n1, +1, factors)
+        zr = yr * twr[:, :, None] - yi * twi[:, :, None]
+        zi = yr * twi[:, :, None] + yi * twr[:, :, None]
+        zcat = jnp.concatenate([zr, zi], axis=1)
+        out = jax.lax.dot_general(
+            wcat, zcat, ((((1,), (1,))), ((), ())), precision=_MM_PREC,
+            preferred_element_type=jnp.float32)
+        o_ref[sl, :] = out.reshape(n, hh).T
+
+
 # C2R balanced-split routing: n -> (n1, n2) with n1 the contracted input
 # factor; filled only where measured faster than _kernel_c2r on v5e
 # (probe_r20b: 4096x4096 rows 1.177 -> 0.885 ms, 8192x2048 1.387 -> 1.161,
@@ -1848,7 +1936,11 @@ def _irfft_rows_core(Xr, Xi, n, scale=None, *, interpret=False,
         Xr2 = jnp.pad(Xr, pad).reshape(rows, mp_in)
         Xi2 = jnp.pad(Xi, pad).reshape(rows, mp_in)
 
-    bt = min(128 if balanced else _row_tile(n), _round_up(rows, 128))
+    if balanced:
+        tile = 256 if n in _PIPE_C2R else 128
+    else:
+        tile = _row_tile(n)
+    bt = min(tile, _round_up(rows, 128))
     short = rows < bt
     if short:
         Xr2 = jnp.pad(Xr2, ((0, bt - rows), (0, 0)))
@@ -1860,8 +1952,12 @@ def _irfft_rows_core(Xr, Xi, n, scale=None, *, interpret=False,
         ent = _BALANCED_C2R[n]
         n1, n2 = ent[0], ent[1]
         factors = ent[2] if len(ent) > 2 else None
-        kern = functools.partial(_kernel_c2r_bal, n=n, n1=n1, n2=n2,
-                                 scale=sc, factors=factors)
+        if bt == 256 and n in _PIPE_C2R and factors is not None:
+            kern = functools.partial(_kernel_c2r_pipe, n=n, n1=n1, n2=n2,
+                                     scale=sc, factors=factors)
+        else:
+            kern = functools.partial(_kernel_c2r_bal, n=n, n1=n1, n2=n2,
+                                     scale=sc, factors=factors)
     else:
         kern = functools.partial(
             _kernel_c2r, n=n, Q=Q, K2=K2, nyq=m // 128, scale=sc,

@@ -335,10 +335,11 @@ def tune_ax0_tile(n: int, lanes: int = 65536, *, persist: bool = True) -> int:
     on THIS device, pin the winner into pallas_fft._AX0_LANE_TILES, and
     persist per device kind.
 
-    The shipped pin table is v5e-measured (probe_r43: n=256 wins at 512
-    lanes on huge lane extents; larger n keep 128).  Other generations
-    re-measure here.  Candidates are oracle-checked against numpy before
-    timing."""
+    The shipped pin tables are v5e-measured (probe_r43 lane tiles,
+    probe_r54 pipe sizes).  Other generations re-measure here; the
+    lane-pipelined two-half form races as pseudo-tile 1 (wisdom value 1
+    => pin n into _PIPE_AX0 instead of _AX0_LANE_TILES).  Candidates are
+    oracle-checked against numpy before timing."""
     import numpy as np
 
     from ..ops import pallas_fft as pf
@@ -350,17 +351,32 @@ def tune_ax0_tile(n: int, lanes: int = 65536, *, persist: bool = True) -> int:
         load_wisdom()
     hit = AX0_CACHE.get((kind, n))
     if hit is not None:
-        pf._AX0_LANE_TILES[n] = hit
+        if hit == 1:  # 1 = the lane-pipelined two-half form (probe_r54)
+            pf._PIPE_AX0.add(n)
+        else:
+            pf._PIPE_AX0.discard(n)
+            pf._AX0_LANE_TILES[n] = hit
         return hit
 
+    # candidate 1 is the lane-pipelined two-half form (_kernel_ax0_pipe);
+    # plain lane tiles are measured with the pipe routing disabled so the
+    # tile actually varies.
     cands = [lt for lt in (128, 256, 512, 1024)
              if lanes % lt == 0 and n * lt <= (1 << 21)]
+    if lanes % 256 == 0 and n * 256 <= (1 << 21):
+        cands.append(1)
     saved = pf._AX0_LANE_TILES.get(n)
+    saved_pipe = n in pf._PIPE_AX0
     want = None
     best, best_t = None, float("inf")
     try:
         for lt in cands:
-            pf._AX0_LANE_TILES[n] = lt
+            if lt == 1:
+                pf._PIPE_AX0.add(n)
+                pf._AX0_LANE_TILES.pop(n, None)
+            else:
+                pf._PIPE_AX0.discard(n)
+                pf._AX0_LANE_TILES[n] = lt
 
             def fn(a, b):
                 return pf.fft_axis0_split(a, b, -1)
@@ -389,10 +405,18 @@ def tune_ax0_tile(n: int, lanes: int = 65536, *, persist: bool = True) -> int:
             pf._AX0_LANE_TILES[n] = saved
         else:
             pf._AX0_LANE_TILES.pop(n, None)
+        if saved_pipe:
+            pf._PIPE_AX0.add(n)
+        else:
+            pf._PIPE_AX0.discard(n)
     if best is None:
         raise RuntimeError(f"no ax0 lane tile compiled for n={n}")
-    if best != 128:  # 128 is the structural default; only pin deviations
-        pf._AX0_LANE_TILES[n] = best
+    if best == 1:
+        pf._PIPE_AX0.add(n)
+    else:
+        pf._PIPE_AX0.discard(n)
+        if best != 128:  # 128 is the structural default; pin deviations
+            pf._AX0_LANE_TILES[n] = best
     AX0_CACHE[(kind, n)] = best
     if persist:
         save_wisdom()

@@ -365,6 +365,29 @@ def test_c2r_padded_in_round_trip(n, rng, assert_close):
     assert_close(np.asarray(back2), want2, what=f"pad-mask n={n}")
 
 
+@pytest.mark.parametrize("rows", [256, 300])
+def test_r2c_c2r_pipe_routing(rows, rng, assert_close):
+    """The two-half pipelined R2C/C2R forms (probe_r55) engage through
+    production routing at >= 256 rows (bt=256: two 128-row halves per
+    grid step; rows=300 covers the ragged trailing block) and match
+    numpy + round-trip exactly."""
+    import jax.numpy as jnp
+
+    n = 512
+    assert n in pallas_fft._PIPE_R2C and n in pallas_fft._PIPE_C2R
+    x = rng.standard_normal((rows, n)).astype(np.float32)
+    mp = n // 2 + 1
+    pr, pi = pallas_fft._rfft_rows_core(jnp.asarray(x), pad_out=True,
+                                        interpret=True)
+    want = np.fft.rfft(x, axis=-1)
+    got = np.asarray(pr[:, :mp]) + 1j * np.asarray(pi[:, :mp])
+    assert_close(got, want, what=f"pipe R2C rows={rows}")
+    assert np.all(np.asarray(pr[:, mp:]) == 0.0)
+    back = pallas_fft._irfft_rows_core(pr, pi, n, scale=1.0 / n,
+                                       padded_in=True, interpret=True)
+    assert_close(np.asarray(back), x, what=f"pipe C2R rows={rows}")
+
+
 def test_r2c_padded_grad(rng, assert_close):
     """jax.grad flows through the padded serving forms (linear_call
     transposes handle the pad columns)."""
