@@ -629,6 +629,15 @@ def _kernel_rows_bal(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
 _PIPE2 = {512, 1024, 2048, 4096}
 
 
+def _pick_pipe_tile(rows: int) -> int:
+    """Row tile for the two-half pipelined kernels: 256 when it costs no
+    extra batch padding over the plain 128-row tile, else 128.  (Ragged
+    edge blocks fault the TPU worker — probe_r57 — so batches are always
+    padded to whole blocks; a 256 tile on e.g. rows=300 would waste 212
+    pad rows where 128 wastes 84.)"""
+    return 256 if _round_up(rows, 256) == _round_up(rows, 128) else 128
+
+
 def _kernel_rows_bal_pipe(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2,
                           sign, scale, factors):
     """Two 128-row halves per grid step, ordered chainA, dotA, chainB,
@@ -810,17 +819,17 @@ def _fft_batched_core(re, im, sign, scale=None, *, row_tile=None,
     # 256-row blocks as two software-pipelined halves; classic keeps its
     # per-n tile choice
     if schedule == "balanced":
-        tile = 256 if n in _PIPE2 else 128
+        tile = _pick_pipe_tile(rows) if n in _PIPE2 else 128
     else:
         tile = row_tile or _row_tile(n)
     bt = min(row_tile or tile, _round_up(rows, 128))
-    short = rows < bt
-    if short:
-        # Mosaic faults when a block exceeds the whole dim; pad the (small)
-        # batch up to one tile. Ragged EDGE blocks (rows >= bt) are fine.
-        re2 = jnp.pad(re2, ((0, bt - rows), (0, 0)))
-        im2 = jnp.pad(im2, ((0, bt - rows), (0, 0)))
-    grid_rows = bt if short else rows
+    # Ragged edge blocks FAULT the TPU worker on this Mosaic (probe_r57:
+    # irfft rows=300 crashed even with full-ref stores) — never present
+    # one: pad the batch to a whole number of blocks and slice after.
+    grid_rows = _round_up(rows, bt)
+    if grid_rows != rows:
+        re2 = jnp.pad(re2, ((0, grid_rows - rows), (0, 0)))
+        im2 = jnp.pad(im2, ((0, grid_rows - rows), (0, 0)))
 
     sc = float(scale) if scale is not None else 1.0
     if schedule == "balanced":
@@ -841,8 +850,6 @@ def _fft_batched_core(re, im, sign, scale=None, *, row_tile=None,
         kern = functools.partial(
             _kernel, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
         )
-    # non-divisible batches ride Pallas's native ragged-grid masking —
-    # no pad/slice copies (they cost more than the FFT at small n)
     grid = (pl.cdiv(grid_rows, bt),)
     spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
@@ -870,7 +877,7 @@ def _fft_batched_core(re, im, sign, scale=None, *, row_tile=None,
         interpret=interpret,
     )(re2, im2)
 
-    if short:
+    if grid_rows != rows:
         out_r = out_r[:rows]
         out_i = out_i[:rows]
     return out_r.reshape(*lead, n), out_i.reshape(*lead, n)
@@ -1026,23 +1033,23 @@ def _fft_axis0_core(re, im, sign, scale=None, *, interpret=False):
     b = int(np.prod(lead)) if lead else 1
     re3 = re.reshape(b, n, m)
     im3 = im.reshape(b, n, m)
-    short = m < 128
-    if short:
-        re3 = jnp.pad(re3, ((0, 0), (0, 0), (0, 128 - m)))
-        im3 = jnp.pad(im3, ((0, 0), (0, 0), (0, 128 - m)))
-    grid_m = 128 if short else m
-
+    # Ragged edge blocks fault the TPU worker on this Mosaic (probe_r57)
+    # — pad the lane extent to a whole number of tiles and slice after.
+    grid_m = _round_up(m, 128)
     n1, n2 = _choose_split_sublane(n)
     sc = float(scale) if scale is not None else 1.0
-    if n in _PIPE_AX0 and grid_m >= 256:
+    if n in _PIPE_AX0 and grid_m >= 256 and grid_m % 256 == 0:
         lt = 256  # two software-pipelined 128-lane halves per step
         kern = functools.partial(
             _kernel_ax0_pipe, n=n, n1=n1, n2=n2, sign=sign, scale=sc)
     else:
-        lt = _ax0_lane_tile(n, grid_m)
+        lt = _ax0_lane_tile(n, grid_m)  # shrinks until it divides grid_m
         kern = functools.partial(
             _kernel_ax0, n=n, n1=n1, n2=n2, sign=sign, scale=sc, lt=lt)
-    grid = (b, pl.cdiv(grid_m, lt))  # ragged lane edges masked natively
+    if grid_m != m:
+        re3 = jnp.pad(re3, ((0, 0), (0, 0), (0, grid_m - m)))
+        im3 = jnp.pad(im3, ((0, 0), (0, 0), (0, grid_m - m)))
+    grid = (b, pl.cdiv(grid_m, lt))
     spec = pl.BlockSpec((1, n, lt), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
 
@@ -1067,7 +1074,7 @@ def _fft_axis0_core(re, im, sign, scale=None, *, interpret=False):
         interpret=interpret,
     )(re3, im3)
 
-    if short:
+    if grid_m != m:
         out_r = out_r[..., :m]
         out_i = out_i[..., :m]
     return out_r.reshape(*lead, n, m), out_i.reshape(*lead, n, m)
@@ -1327,11 +1334,12 @@ def _fft_rows_t_core(re, im, sign, scale=None, *, outer=None,
     im3 = im.reshape(b, R, n)
 
     bt = 128
-    short = R < bt
-    if short:
-        re3 = jnp.pad(re3, ((0, 0), (0, bt - R), (0, 0)))
-        im3 = jnp.pad(im3, ((0, 0), (0, bt - R), (0, 0)))
-    grid_R = bt if short else R
+    # no ragged edge blocks (fault the TPU worker — probe_r57): pad R to
+    # whole tiles, slice after
+    grid_R = _round_up(R, bt)
+    if grid_R != R:
+        re3 = jnp.pad(re3, ((0, 0), (0, grid_R - R), (0, 0)))
+        im3 = jnp.pad(im3, ((0, 0), (0, grid_R - R), (0, 0)))
 
     sc = float(scale) if scale is not None else 1.0
     if n in _BALANCED:
@@ -1346,7 +1354,7 @@ def _fft_rows_t_core(re, im, sign, scale=None, *, outer=None,
             _kernel_rows_t, n=n, n1=n1, n2=n2, sign=sign, scale=sc, bt=bt,
             outer=outer,
         )
-    grid = (b, pl.cdiv(grid_R, bt))  # ragged row edges masked natively
+    grid = (b, pl.cdiv(grid_R, bt))
     in_spec = pl.BlockSpec((1, bt, n), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, n, bt), lambda i, j: (i, 0, j),
@@ -1371,7 +1379,7 @@ def _fft_rows_t_core(re, im, sign, scale=None, *, outer=None,
         interpret=interpret,
     )(re3, im3)
 
-    if short:
+    if grid_R != R:
         out_r = out_r[..., :R]
         out_i = out_i[..., :R]
     return out_r.reshape(*lead, n, R), out_i.reshape(*lead, n, R)
@@ -1642,14 +1650,15 @@ def _rfft_rows_core(xr, scale=None, *, interpret=False, pad_out=False):
     x2 = xr.reshape(rows, n)
 
     if n in _BALANCED_R2C:
-        tile = 256 if n in _PIPE_R2C else 128
+        tile = _pick_pipe_tile(rows) if n in _PIPE_R2C else 128
     else:
         tile = _row_tile(n)
     bt = min(tile, _round_up(rows, 128))
-    short = rows < bt
-    if short:
-        x2 = jnp.pad(x2, ((0, bt - rows), (0, 0)))
-    grid_rows = bt if short else rows
+    # no ragged edge blocks (fault the TPU worker — probe_r57): pad the
+    # batch to whole tiles, slice after
+    grid_rows = _round_up(rows, bt)
+    if grid_rows != rows:
+        x2 = jnp.pad(x2, ((0, grid_rows - rows), (0, 0)))
 
     mp = m_out  # logical bins (the k2 output cut)
     sc = float(scale) if scale is not None else 1.0
@@ -1691,7 +1700,7 @@ def _rfft_rows_core(xr, scale=None, *, interpret=False, pad_out=False):
         interpret=interpret,
     )(x2)
 
-    if short:
+    if grid_rows != rows:
         out_r = out_r[:rows]
         out_i = out_i[:rows]
     return out_r.reshape(*lead, mp_out), out_i.reshape(*lead, mp_out)
@@ -1937,15 +1946,17 @@ def _irfft_rows_core(Xr, Xi, n, scale=None, *, interpret=False,
         Xi2 = jnp.pad(Xi, pad).reshape(rows, mp_in)
 
     if balanced:
-        tile = 256 if n in _PIPE_C2R else 128
+        tile = _pick_pipe_tile(rows) if n in _PIPE_C2R else 128
     else:
         tile = _row_tile(n)
     bt = min(tile, _round_up(rows, 128))
-    short = rows < bt
-    if short:
-        Xr2 = jnp.pad(Xr2, ((0, bt - rows), (0, 0)))
-        Xi2 = jnp.pad(Xi2, ((0, bt - rows), (0, 0)))
-    grid_rows = bt if short else rows
+    # no ragged edge blocks (fault the TPU worker — probe_r57: the plain
+    # C2R kernel's ragged last block crashed it even with full-ref
+    # stores): pad the batch to whole tiles, slice after
+    grid_rows = _round_up(rows, bt)
+    if grid_rows != rows:
+        Xr2 = jnp.pad(Xr2, ((0, grid_rows - rows), (0, 0)))
+        Xi2 = jnp.pad(Xi2, ((0, grid_rows - rows), (0, 0)))
 
     sc = float(scale) if scale is not None else 1.0
     if balanced:
@@ -1982,7 +1993,7 @@ def _irfft_rows_core(Xr, Xi, n, scale=None, *, interpret=False,
         ),
         interpret=interpret,
     )(Xr2, Xi2)
-    if short:
+    if grid_rows != rows:
         out = out[:rows]
     return out.reshape(*lead, n)
 
@@ -2177,11 +2188,11 @@ def _fft_filtered_core(re, im, hr, hi, sign, scale=None, *,
     balanced = n in _BALANCED
     tile = 128 if balanced else _row_tile(n)
     bt = min(tile, _round_up(rows, 128))
-    short = rows < bt
-    if short:
-        re2 = jnp.pad(re2, ((0, bt - rows), (0, 0)))
-        im2 = jnp.pad(im2, ((0, bt - rows), (0, 0)))
-    grid_rows = bt if short else rows
+    # no ragged edge blocks (fault the TPU worker — probe_r57)
+    grid_rows = _round_up(rows, bt)
+    if grid_rows != rows:
+        re2 = jnp.pad(re2, ((0, grid_rows - rows), (0, 0)))
+        im2 = jnp.pad(im2, ((0, grid_rows - rows), (0, 0)))
 
     sc = float(scale) if scale is not None else 1.0
     if balanced:
@@ -2219,7 +2230,7 @@ def _fft_filtered_core(re, im, hr, hi, sign, scale=None, *,
         ),
         interpret=interpret,
     )(re2, im2, hr2, hi2)
-    if short:
+    if grid_rows != rows:
         out_r = out_r[:rows]
         out_i = out_i[:rows]
     return out_r.reshape(*lead, n), out_i.reshape(*lead, n)
@@ -2266,12 +2277,12 @@ def _fft_bank_core(re, im, hr, hi, sign, scale=None, *, interpret=False):
     balanced = n in _BALANCED
     tile = 128 if balanced else _row_tile(n)
     bt = min(tile, _round_up(S, 128))
-    short = S < bt
+    # no ragged edge blocks (fault the TPU worker — probe_r57)
+    grid_rows = _round_up(S, bt)
     hr2, hi2 = hr, hi
-    if short:
-        hr2 = jnp.pad(hr, ((0, bt - S), (0, 0)))
-        hi2 = jnp.pad(hi, ((0, bt - S), (0, 0)))
-    grid_rows = bt if short else S
+    if grid_rows != S:
+        hr2 = jnp.pad(hr, ((0, grid_rows - S), (0, 0)))
+        hi2 = jnp.pad(hi, ((0, grid_rows - S), (0, 0)))
 
     sc = float(scale) if scale is not None else 1.0
     if balanced:
@@ -2309,7 +2320,7 @@ def _fft_bank_core(re, im, hr, hi, sign, scale=None, *, interpret=False):
         ),
         interpret=interpret,
     )(re2, im2, hr2, hi2)
-    if short:
+    if grid_rows != S:
         out_r = out_r[:S]
         out_i = out_i[:S]
     return out_r, out_i

@@ -86,9 +86,11 @@ def test_axis0_kernel_matches_numpy(shape, rng, assert_close):
     "shape",
     [
         (512, 256),       # pipe: two 128-lane halves
-        (2, 256, 384),    # pipe with a lane count not a 256-multiple
-        (128, 300),       # pipe at n=128, ragged masked edge
-        (512, 320),       # pipe, ragged masked edge
+        (2, 256, 384),    # lanes not a 256-multiple: classic at 384
+        (128, 300),       # ragged lanes: padded to 384 whole tiles
+                          # (ragged edge blocks fault the TPU worker —
+                          # probe_r57 — so the core pads, never masks)
+        (512, 320),       # ragged lanes: padded to 384
         (2, 1024, 256),   # NOT in _PIPE_AX0: classic route at >=256 lanes
     ],
 )
@@ -368,9 +370,10 @@ def test_c2r_padded_in_round_trip(n, rng, assert_close):
 @pytest.mark.parametrize("rows", [256, 300])
 def test_r2c_c2r_pipe_routing(rows, rng, assert_close):
     """The two-half pipelined R2C/C2R forms (probe_r55) engage through
-    production routing at >= 256 rows (bt=256: two 128-row halves per
-    grid step; rows=300 covers the ragged trailing block) and match
-    numpy + round-trip exactly."""
+    production routing at >= 256 rows.  Ragged batches are PADDED to
+    whole tiles (ragged edge blocks fault the TPU worker — probe_r57):
+    rows=300 pads to 384 on the plain kernel (less waste than the 256
+    pipe tile) and must still match numpy + round-trip exactly."""
     import jax.numpy as jnp
 
     n = 512
@@ -386,6 +389,22 @@ def test_r2c_c2r_pipe_routing(rows, rng, assert_close):
     back = pallas_fft._irfft_rows_core(pr, pi, n, scale=1.0 / n,
                                        padded_in=True, interpret=True)
     assert_close(np.asarray(back), x, what=f"pipe C2R rows={rows}")
+
+
+@pytest.mark.parametrize("rows", [256, 300, 400, 512])
+def test_rows_pipe_routing(rows, rng, assert_close):
+    """C2C routing across the ragged-batch pad logic: rows=256/512 run
+    the pipe2 form on exact blocks, rows=300 pads to 384 on the plain
+    kernel (less pad waste than a 256 tile), rows=400 pads to 512 and
+    STILL runs pipe2 (equal pad either way — _pick_pipe_tile).  Ragged
+    edge blocks are never presented to Mosaic (they fault the TPU
+    worker — probe_r57).  All routes must match numpy."""
+    n = 512
+    assert n in pallas_fft._PIPE2
+    x = crand(rng, rows, n)
+    assert_close(run(x, -1), np.fft.fft(x, axis=-1), what=f"rows={rows}")
+    assert_close(run(x, +1, 1.0 / n), np.fft.ifft(x, axis=-1),
+                 what=f"rows={rows} inverse")
 
 
 def test_r2c_padded_grad(rng, assert_close):
