@@ -225,3 +225,30 @@ def test_aot_artifact_replays_on_tpu(ftt, rng, tmp_path):
     # wrong shape fails clearly, not with a tracing error
     with pytest.raises(ValueError):
         sp.forward_split(re[:32], im[:32])
+
+
+def test_ragged_batches_never_fault(ftt, rng):
+    """Ragged (non-tile-multiple) batches through every row-kernel
+    family.  Ragged EDGE grid blocks fault the TPU worker on this
+    Mosaic (probe_r57: irfft rows=300 crashed the process even with
+    full-ref stores), so the cores pad every grid to whole tiles —
+    this is the regression guard for that fault class on real
+    hardware (CPU interpret/compile never reproduced it)."""
+    n = 512
+    for rows in (300, 400):
+        x = (rng.standard_normal((rows, n))
+             + 1j * rng.standard_normal((rows, n))).astype(np.complex64)
+        assert _rel(ftt.device_get_complex(ftt.fft(x)),
+                    np.fft.fft(x, axis=-1)) < TOL, f"fft rows={rows}"
+        r = rng.standard_normal((rows, n)).astype(np.float32)
+        assert _rel(ftt.device_get_complex(ftt.rfft(r)),
+                    np.fft.rfft(r, axis=-1)) < TOL, f"rfft rows={rows}"
+        spec = np.fft.rfft(r, axis=-1).astype(np.complex64)
+        sr = ftt.utils.io.device_put_complex(spec)
+        assert _rel(np.asarray(ftt.irfft(sr)),
+                    r) < TOL, f"irfft rows={rows}"
+    # ragged lane extents on the axis-0 kernel (pads m to whole tiles)
+    y = (rng.standard_normal((n, 300))
+         + 1j * rng.standard_normal((n, 300))).astype(np.complex64)
+    assert _rel(ftt.device_get_complex(ftt.fft(y, axis=0)),
+                np.fft.fft(y, axis=0)) < TOL, "fft axis=0 m=300"
