@@ -292,8 +292,16 @@ def _apply_nd(fn1d, x, type, s, axes, norm):
     (CLAUDE.md: no eager op chains on remote runtimes)."""
     nd = jnp.ndim(x)
     if axes is None:
+        if s is not None and len(s) > nd:
+            raise ValueError(
+                f"shape requires {len(s)} axes but input has {nd} "
+                f"dimensions")
         axes = tuple(range(nd - len(s), nd)) if s is not None \
             else tuple(range(nd))
+    for a in axes:
+        if not -nd <= a < nd:
+            raise ValueError(
+                f"axis {a} is out of bounds for array of dimension {nd}")
     axes = tuple(a % nd for a in axes)
     if s is not None and len(s) != len(axes):
         raise ValueError("s and axes must have the same length")

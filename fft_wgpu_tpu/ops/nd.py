@@ -22,7 +22,17 @@ __all__ = ["fft2", "ifft2", "fftn", "ifftn", "fftn_split"]
 
 def _norm_axes(ndim, s, axes):
     if axes is None:
+        if s is not None and len(s) > ndim:
+            # numpy maps s to the LAST len(s) axes; more entries than
+            # dims is an out-of-range axis there, not a silent wrap
+            raise ValueError(
+                f"shape requires {len(s)} axes but input has {ndim} "
+                f"dimensions")
         axes = list(range(ndim)) if s is None else list(range(ndim - len(s), ndim))
+    for a in axes:
+        if not -ndim <= a < ndim:
+            raise ValueError(
+                f"axis {a} is out of bounds for array of dimension {ndim}")
     axes = [a % ndim for a in axes]
     if s is None:
         s = [None] * len(axes)

@@ -100,3 +100,38 @@ class TestPlanEdges:
         p = ftt.plan(64)
         with pytest.raises(ValueError):
             p.forward(np.zeros((2, 65), np.complex64))
+
+
+class TestAxisValidation:
+    """Out-of-range axes must raise, never silently wrap (found by the
+    round-3 CPU parity fuzz: `a % ndim` wrapped fftn(axes=(5,)) onto
+    axis 2 of a 3-D array and transformed the wrong axis)."""
+
+    def test_fftn_axis_oob(self, rng):
+        x = crand(rng, 3, 4, 5)
+        with pytest.raises(ValueError):
+            ftt.fftn(x, axes=(5,))
+        with pytest.raises(ValueError):
+            ftt.fftn(x, axes=(-4,))
+
+    def test_fftn_s_longer_than_ndim(self, rng):
+        x = crand(rng, 3, 4, 5)
+        with pytest.raises(ValueError):
+            ftt.fftn(x, s=(1, 2, 3, 4))
+
+    def test_rfftn_axis_oob(self, rng):
+        r = rng.standard_normal((3, 4, 5)).astype(np.float32)
+        with pytest.raises(ValueError):
+            ftt.rfftn(r, axes=(3,))
+
+    def test_dctn_axis_oob(self, rng):
+        r = rng.standard_normal((3, 4)).astype(np.float32)
+        with pytest.raises(ValueError):
+            ftt.dctn(r, axes=(2,))
+        with pytest.raises(ValueError):
+            ftt.dctn(r, s=(1, 2, 3))
+
+    def test_negative_axes_still_work(self, rng):
+        x = crand(rng, 3, 4, 8)
+        got = np.asarray(ftt.fftn(x, axes=(-1, -3)))
+        assert _rel(got, np.fft.fftn(x, axes=(-1, -3))) < 1e-5
