@@ -452,13 +452,18 @@ def fftcorrelate(a, b, mode: str = "full", axes=None):
     return fftconvolve(a, br, mode=mode, axes=axes)
 
 
-def hilbert(x, n: int = None, axis: int = -1):
+def hilbert(x, n: int = None, axis: int = -1, *, N: int = None):
     """Analytic signal via the FFT (scipy.signal.hilbert): real input ->
     complex x + i*H(x) — one jitted program; the spectrum weighting
-    h = [1, 2, .., 2, (1), 0, ..] zeroes negative frequencies."""
+    h = [1, 2, .., 2, (1), 0, ..] zeroes negative frequencies.  scipy
+    spells the length argument N=; both are accepted."""
     from ..core.complex_utils import merge
     from ..plan.plan import get_plan
 
+    if N is not None:
+        if n is not None and n != N:
+            raise ValueError("pass only one of n= and N=")
+        n = N
     x0 = _as_host_or_device(x)
     if _iscomplex(x0):  # checked BEFORE any device transfer
         raise ValueError("hilbert requires a real input")

@@ -187,6 +187,9 @@ _WINDOWS = {
     "sinc": _windows.lanczos_window,
     "exponential": _windows.exponential_window,
     "poisson": _windows.exponential_window,
+    # parameterized windows whose defaults scipy also accepts bare
+    "tukey": tukey_window,
+    "taylor": _windows.taylor_window,
 }
 
 # Parameterized windows usable via the (name, *params) tuple form.
@@ -207,10 +210,14 @@ _PARAM_WINDOWS = {
 }
 
 
-def get_window(window, nperseg: int, *, periodic: bool = True):
+def get_window(window, nperseg: int, fftbins=None, *,
+               periodic: bool = True):
     """Resolve a window spec (name, (name, param), or array) to a float32
     array of length nperseg (scipy.signal.get_window-style; scipy's
-    fftbins=True corresponds to periodic=True)."""
+    fftbins= is accepted positionally/by keyword and aliases
+    periodic=)."""
+    if fftbins is not None:
+        periodic = bool(fftbins)
     if isinstance(window, str):
         if window in ("boxcar", "rectangular", "ones"):
             return jnp.ones((nperseg,), jnp.float32)

@@ -113,3 +113,30 @@ def test_get_window_param_window_as_string_raises():
 def test_chebwin_low_attenuation_warns():
     with pytest.warns(UserWarning):
         ft.chebwin_window(64, 40.0)
+
+
+def test_get_window_scipy_fftbins_arg():
+    """scipy spells periodic= as fftbins= (positional third arg) — both
+    must work for drop-in call sites (round-3 parity fuzz)."""
+    import scipy.signal as ss
+
+    for w in ("hann", "tukey", "taylor", "exponential"):
+        got = np.asarray(get_window(w, 65, True))
+        want = ss.get_window(w, 65, fftbins=True)
+        assert np.allclose(got, want, atol=1e-6), w
+        got_sym = np.asarray(get_window(w, 64, fftbins=False))
+        want_sym = ss.get_window(w, 64, fftbins=False)
+        assert np.allclose(got_sym, want_sym, atol=1e-6), w
+
+
+def test_hilbert_scipy_N_kwarg(rng):
+    """scipy.signal.hilbert spells the length argument N= (round-3
+    parity fuzz); n= stays supported, passing both mismatched raises."""
+    import scipy.signal as ss
+
+    x = rng.standard_normal(500).astype(np.float32)
+    got = np.asarray(ft.hilbert(x, N=512))
+    want = ss.hilbert(x.astype(np.float64), N=512)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-4
+    with pytest.raises(ValueError):
+        ft.hilbert(x, n=256, N=512)
