@@ -78,16 +78,33 @@ def _frame(x, frame_len: int, hop: int):
     return x[..., idx]
 
 
+def _prep_window(window, n_fft, win_length):
+    """Resolve the analysis window to length n_fft: default hann of
+    win_length (or n_fft), and any window shorter than n_fft is padded
+    centered (torch.stft win_length semantics)."""
+    if window is None:
+        window = hann_window(win_length or n_fft)
+    window = jnp.asarray(window, jnp.float32)
+    wl = window.shape[0]
+    if win_length is not None and wl != win_length:
+        raise ValueError(f"window length {wl} != win_length {win_length}")
+    if wl > n_fft:
+        raise ValueError(f"window length {wl} exceeds n_fft {n_fft}")
+    if wl < n_fft:
+        left = (n_fft - wl) // 2
+        window = jnp.pad(window, (left, n_fft - wl - left))
+    return window
+
+
 def stft(x, n_fft: int = 512, hop_length: int | None = None, window=None,
-         center: bool = True):
+         center: bool = True, win_length: int | None = None):
     """Short-time Fourier transform of a real signal.
 
     Returns complex [..., n_fft//2 + 1, num_frames] (librosa-style layout).
     """
     hop = hop_length or n_fft // 4
     x = jnp.asarray(x, jnp.float32)
-    if window is None:
-        window = hann_window(n_fft)
+    window = _prep_window(window, n_fft, win_length)
     if center:
         pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         x = jnp.pad(x, pad, mode="reflect")
@@ -101,11 +118,11 @@ def stft(x, n_fft: int = 512, hop_length: int | None = None, window=None,
 
 
 def istft(Z, n_fft: int = 512, hop_length: int | None = None, window=None,
-          center: bool = True, length: int | None = None):
+          center: bool = True, length: int | None = None,
+          win_length: int | None = None):
     """Inverse STFT via windowed overlap-add (COLA normalization)."""
     hop = hop_length or n_fft // 4
-    if window is None:
-        window = hann_window(n_fft)
+    window = _prep_window(window, n_fft, win_length)
 
     def impl(zr, zi):
         # merged inside jit: complex arrays never cross host<->device
@@ -147,7 +164,15 @@ def istft(Z, n_fft: int = 512, hop_length: int | None = None, window=None,
     zr, zi = promote_to_split(Z)  # host complex split on host (CLAUDE.md)
     y = jax.jit(impl)(zr, zi)
     if center:
-        y = y[..., n_fft // 2 : y.shape[-1] - n_fft // 2]
+        # trim the left reflect-pad; the RIGHT trim happens via length
+        # below when given — torch serves length= from the right-pad
+        # region's reconstructed samples before it would ever zero-pad
+        y = y[..., n_fft // 2:]
+        if length is None:
+            y = y[..., : y.shape[-1] - n_fft // 2]
     if length is not None:
+        if y.shape[-1] < length:
+            pad = [(0, 0)] * (y.ndim - 1) + [(0, length - y.shape[-1])]
+            y = jnp.pad(y, pad)
         y = y[..., :length]
     return y

@@ -43,3 +43,31 @@ def test_stft_batched(rng):
 def test_stft_too_short_raises():
     with pytest.raises(ValueError, match="shorter than n_fft"):
         st.stft(np.zeros(100, np.float32), n_fft=256, center=False)
+
+
+def test_stft_istft_torch_win_length_parity(rng):
+    """torch.stft/istft drop-in semantics (round-3 parity fuzz):
+    win_length < n_fft pads the window centered; istft(length=) serves
+    the tail from the right-pad region's reconstructed samples (it
+    never zero-fills samples the OLA actually covers)."""
+    torch = pytest.importorskip("torch")
+
+    x = rng.standard_normal(5000).astype(np.float32)
+    for n_fft, hop, wl in ((512, 128, 400), (400, 100, 300)):
+        w = np.hanning(wl).astype(np.float32)
+        T = torch.stft(torch.from_numpy(x), n_fft=n_fft, hop_length=hop,
+                       win_length=wl, window=torch.from_numpy(w),
+                       center=True, return_complex=True).numpy()
+        G = np.asarray(st.stft(x, n_fft=n_fft, hop_length=hop,
+                               window=w, win_length=wl))
+        assert np.linalg.norm(G - T) / np.linalg.norm(T) < 1e-4
+        xr = torch.istft(torch.from_numpy(T), n_fft=n_fft,
+                         hop_length=hop, win_length=wl,
+                         window=torch.from_numpy(w), center=True,
+                         length=5000).numpy()
+        gr = np.asarray(st.istft(G, n_fft, hop, window=w,
+                                 length=5000, win_length=wl))
+        assert np.linalg.norm(gr - xr) / np.linalg.norm(xr) < 1e-4
+
+    with pytest.raises(ValueError):
+        st.stft(x, n_fft=256, window=np.ones(300, np.float32))
