@@ -40,8 +40,31 @@ def _even_odd_perm(n: int) -> np.ndarray:
     return np.concatenate([evens, odds]).astype(np.int32)
 
 
+def _norm_opt(norm):
+    """scipy norm strings: None == 'backward'; 'ortho' and 'forward'
+    pass through; anything else is rejected."""
+    if norm in (None, "backward"):
+        return None
+    if norm in ("ortho", "forward"):
+        return norm
+    raise ValueError(f"invalid norm {norm!r} "
+                     "(expected 'backward', 'ortho', or 'forward')")
+
+
+def _roundtrip_factor(type, n):
+    """The unnormalized DCT/DST round-trip scale: 2(n-1) for DCT-I,
+    2(n+1) for DST-I, 2n otherwise."""
+    return 2 * (n - 1) if type == 1 else 2 * n
+
+
 def dct(x, type: int = 2, axis: int = -1, norm=None):
     """DCT along `axis` (types 1-4, scipy.fft semantics)."""
+    norm = _norm_opt(norm)
+    if norm == "forward":
+        # scipy puts the whole round-trip scale on the forward transform
+        n = jnp.shape(x)[axis]
+        return dct(x, type, axis, None) / jnp.float32(
+            _roundtrip_factor(type, n))
     if type == 1:
         return _dct1(x, axis, norm)
     if type == 2:
@@ -55,7 +78,13 @@ def dct(x, type: int = 2, axis: int = -1, norm=None):
 
 def idct(x, type: int = 2, axis: int = -1, norm=None):
     """Inverse DCT (scipy semantics: the inverse of `dct(type=...)`)."""
+    norm = _norm_opt(norm)
     n = jnp.shape(x)[axis]
+    if norm == "forward":
+        # the forward carried the whole scale, so the inverse is the raw
+        # transpose-pair transform (DCT-II <-> DCT-III; I/IV self-paired)
+        pair = {1: 1, 2: 3, 3: 2, 4: 4}[type]
+        return dct(x, pair, axis, None)
     if type == 1:
         # DCT-I is self-inverse up to 2(n-1) (ortho: exactly self-inverse)
         if norm == "ortho":
@@ -214,11 +243,14 @@ def dst(x, type: int = 2, axis: int = -1, norm=None):
     """DST-II/III via the DCT identity
     DST2(x) = reverse( DCT2( (-1)^j * x ) )  and its transpose for type 3.
     (Sign-flip and reversal are orthogonal maps, so norms carry over.)"""
+    norm = _norm_opt(norm)
     xr, _ = promote_to_split(x)
     n = xr.shape[axis]
     signs = jnp.asarray(((-1.0) ** np.arange(n)).astype(np.float32))
 
     if type == 1:
+        if norm == "forward":
+            return _dst1(xr, axis, None) / jnp.float32(2 * (n + 1))
         return _dst1(xr, axis, norm)
     if type == 2:
         v = jnp.moveaxis(xr, axis, -1) * signs
@@ -264,7 +296,11 @@ def _dst1(xr, axis, norm):
 
 def idst(x, type: int = 2, axis: int = -1, norm=None):
     """Inverse DST (scipy semantics)."""
+    norm = _norm_opt(norm)
     n = jnp.shape(x)[axis]
+    if norm == "forward":
+        pair = {1: 1, 2: 3, 3: 2, 4: 4}[type]
+        return dst(x, pair, axis, None)
     if type == 1:
         if norm == "ortho":
             return dst(x, type=1, axis=axis, norm="ortho")

@@ -129,13 +129,18 @@ def fft_convolve(a, b, mode: str = "full", axis: int = -1):
     return full[tuple(sl)]
 
 
-def oaconvolve(a, b, mode: str = "full", axis: int = -1):
+def oaconvolve(a, b, mode: str = "full", axes=None, axis: int = None):
     """Overlap-add convolution for a long signal `a` with a short kernel
-    `b` (scipy.signal.oaconvolve semantics, 1-D along `axis`).
+    `b` (scipy.signal.oaconvolve semantics).
 
-    The signal is segmented, all segments are transformed in ONE batched
-    R2C call (the framework's sweet spot), multiplied by the kernel
-    spectrum, inverse-transformed, and overlap-added.
+    The overlap-add fast path runs along ONE axis (scipy's axes= with a
+    single entry, or the legacy axis= spelling): the signal is
+    segmented, all segments are transformed in ONE batched R2C call
+    (the framework's sweet spot), multiplied by the kernel spectrum,
+    inverse-transformed, and overlap-added.  scipy's default
+    (axes=None: convolve over every axis) and multi-axis requests
+    delegate to fftconvolve for N-D inputs — same result, no
+    segmentation.
     """
     from ..core.complex_utils import promote_to_split
     from .rfft import irfft, rfft
@@ -143,6 +148,16 @@ def oaconvolve(a, b, mode: str = "full", axis: int = -1):
 
     a = _as_host_or_device(a)
     b = _as_host_or_device(b)
+    if axis is None:
+        if axes is None:
+            if max(np.ndim(a), np.ndim(b)) > 1:
+                return fftconvolve(a, b, mode=mode)
+            axis = -1
+        else:
+            ax_list = [axes] if np.isscalar(axes) else list(axes)
+            if len(ax_list) != 1:
+                return fftconvolve(a, b, mode=mode, axes=ax_list)
+            axis = int(ax_list[0])
     la0 = a.shape[axis]
     lb0 = b.shape[axis]
     # Swap only for the segmentation math (convolution is commutative);
@@ -178,6 +193,8 @@ def oaconvolve(a, b, mode: str = "full", axis: int = -1):
         xp = jnp.pad(x, pad).reshape(*lead, nseg, step)
         segs = jnp.pad(xp, [(0, 0)] * (x.ndim - 1) + [(0, 0), (0, nfft - step)])
         B = Ff(jnp.moveaxis(bv, axis, -1), n=nfft, axis=-1)
+        if B.ndim > 1:
+            B = B[..., None, :]  # broadcast over the segment axis
         S = Ff(segs, axis=-1)
         Y = Fi(S * B, nfft, -1)  # [.., nseg, nfft]
         # overlap-add into [.., nseg*step + nfft - step]

@@ -309,3 +309,25 @@ def test_convolve_correlate_shims():
     assert choose_conv_method(a, b, measure=True) == ("fft", {})
     with pytest.raises(ValueError):
         convolve(a, b, method="bogus")
+
+
+def test_oaconvolve_scipy_axes_and_nd(rng):
+    """scipy spells the axis argument axes= and defaults to ALL axes
+    (round-3 parity fuzz); batched 2-D inputs with axes=-1 broadcast the
+    kernel spectrum over segments."""
+    import scipy.signal as ss
+
+    import fft_wgpu_tpu as ftt
+
+    A = rng.standard_normal((4, 300)).astype(np.float32)
+    B = rng.standard_normal((4, 31)).astype(np.float32)
+    got = np.asarray(ftt.oaconvolve(A, B, mode="full", axes=-1))
+    want = ss.oaconvolve(A.astype(np.float64), B.astype(np.float64),
+                         mode="full", axes=-1)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-4
+
+    A2 = rng.standard_normal((20, 24)).astype(np.float32)
+    B2 = rng.standard_normal((5, 7)).astype(np.float32)
+    got2 = np.asarray(ftt.oaconvolve(A2, B2))  # default: all axes
+    want2 = ss.oaconvolve(A2.astype(np.float64), B2.astype(np.float64))
+    assert np.linalg.norm(got2 - want2) / np.linalg.norm(want2) < 1e-4
