@@ -613,6 +613,11 @@ def spectrogram(x, fs: float = 1.0, window=("tukey", 0.25),
             s = float(np.sqrt(norm))
             return (jnp.swapaxes(Xr, -1, -2) * s,
                     jnp.swapaxes(Xi, -1, -2) * s)
+        if mode in ("angle", "phase"):
+            ang = jnp.swapaxes(jnp.arctan2(Xi, Xr), -1, -2)
+            if mode == "phase":  # scipy: unwrapped along the time axis
+                ang = jnp.unwrap(ang, axis=-1)
+            return (ang,)
         raise ValueError(f"invalid mode {mode!r}")
 
     out = jax.jit(impl)(xr, xi)

@@ -396,3 +396,24 @@ class TestLombScargle:
             ftt.lombscargle([1.0], [1.0], [1.0], weights=[-1.0])
         with pytest.raises(ValueError):
             ftt.lombscargle([1.0], [1.0], [1.0], normalize="bogus")
+
+
+def test_spectrogram_angle_phase_modes(rng):
+    """mode='angle'/'phase' (scipy parity, round-3 fuzz).  Angles are
+    compared modulo 2*pi: float32 rounding legitimately flips bins whose
+    true angle sits on the +-pi branch cut."""
+    import scipy.signal as ss
+
+    import fft_wgpu_tpu as ftt
+
+    r = rng.standard_normal(4096).astype(np.float32)
+    for mode in ("angle", "phase"):
+        _, _, got = ftt.spectrogram(r, nperseg=256, mode=mode)
+        _, _, want = ss.spectrogram(r.astype(np.float64), nperseg=256,
+                                    mode=mode)
+        _, _, C = ss.spectrogram(r.astype(np.float64), nperseg=256,
+                                 mode="complex")
+        mask = np.abs(C) > np.median(np.abs(C))  # skip near-zero bins
+        d = np.abs(np.asarray(got) - want)[mask] % (2 * np.pi)
+        d = np.minimum(d, 2 * np.pi - d)
+        assert d.max() < 1e-4, mode
