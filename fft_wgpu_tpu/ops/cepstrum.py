@@ -113,20 +113,38 @@ def _icceps_impl(c, nd):
     return xr
 
 
-def minimum_phase(h, n_fft: int | None = None):
-    """Minimum-phase filter from a linear-phase FIR `h` via the
-    homomorphic (cepstral-folding) method; returns (len(h)+1)//2 taps.
-    Parity: scipy.signal.minimum_phase(h, method="homomorphic")."""
+def minimum_phase(h, method: str = "homomorphic",
+                  n_fft: int | None = None, *, half: bool = True):
+    """Minimum-phase filter from a linear-phase FIR `h`
+    (scipy.signal.minimum_phase parity).
+
+    method='homomorphic': cepstral folding; with `half=True` (default)
+    the magnitude response is the square root of the original and
+    (len(h)+1)//2 taps are returned; `half=False` keeps the full
+    magnitude and length.  method='hilbert' (Damera-Venkata DHT method,
+    half-magnitude only) matches scipy's boosted/scaled spectrum form.
+    """
     h = jnp.asarray(h, jnp.float32)
     if h.ndim != 1:
         raise ValueError("minimum_phase expects a 1-D filter")
     m = int(h.shape[0])
     if m < 2:
         raise ValueError("filter must have at least 2 taps")
+    if method not in ("homomorphic", "hilbert"):
+        raise ValueError(
+            f"method must be 'homomorphic' or 'hilbert', got {method!r}")
+    if method == "hilbert" and not half:
+        raise ValueError("half=False is not supported for method='hilbert'")
     if n_fft is None:
         n_fft = 2 ** int(np.ceil(np.log2(2 * (m - 1) / 0.01)))
+    n_fft = int(n_fft)
     if n_fft < m:
         raise ValueError(f"n_fft must be >= len(h) == {m}")
+    n_half = m // 2
+    n_out = (n_half + m % 2) if half else m
+    if method == "hilbert":
+        out = _minimum_phase_hilbert_impl(h, n_fft, n_half)
+        return out[:n_out]
     # homomorphic window 2u[n] - d[n]: double positive quefrencies, zero
     # negative ones (Oppenheim & Schafer 3rd ed eq 13.42b)
     win = np.zeros(n_fft, np.float32)
@@ -135,22 +153,54 @@ def minimum_phase(h, n_fft: int | None = None):
     win[1:stop] = 2.0
     if n_fft % 2:
         win[stop] = 1.0
-    out = _minimum_phase_impl(h, jnp.asarray(win), n_fft)
-    return out[: (m + 1) // 2]
+    out = _minimum_phase_impl(h, jnp.asarray(win), n_fft,
+                              0.5 if half else 1.0)
+    return out[:n_out]
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _minimum_phase_impl(h, win, n_fft):
+@partial(jax.jit, static_argnums=(2, 3))
+def _minimum_phase_impl(h, win, n_fft, half_scale):
     hp = jnp.pad(h, (0, n_fft - h.shape[0]))
     re, im = _fft_last(hp, jnp.zeros_like(hp), FORWARD, None)
     mag = jnp.sqrt(re * re + im * im)
     # scipy's guard: lift exact zeros to 1e-7 * smallest positive value
     pos_min = jnp.min(jnp.where(mag > 0, mag, jnp.inf))
-    logmag = 0.5 * jnp.log(mag + 1e-7 * pos_min)
+    logmag = half_scale * jnp.log(mag + 1e-7 * pos_min)
     cep, _ = _fft_last(logmag, jnp.zeros_like(logmag), INVERSE, 1.0 / n_fft)
     cep = cep * win
     Cr, Ci = _fft_last(cep, jnp.zeros_like(cep), FORWARD, None)
     eXr = jnp.exp(Cr) * jnp.cos(Ci)
     eXi = jnp.exp(Cr) * jnp.sin(Ci)
     hr, _ = _fft_last(eXr, eXi, INVERSE, 1.0 / n_fft)
+    return hr
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _minimum_phase_hilbert_impl(h, n_fft, n_half):
+    """Damera-Venkata/Evans/McCaslin discrete-Hilbert-transform method
+    (scipy.signal.minimum_phase method='hilbert'): linear-phase shift to
+    a real zero-phase response, boost/scale into [0, 1], sqrt, then the
+    modified DHT reconstruction exp(H{log|.|})."""
+    hp = jnp.pad(h, (0, n_fft - h.shape[0]))
+    re, im = _fft_last(hp, jnp.zeros_like(hp), FORWARD, None)
+    # undo the linear phase: Re( FFT(h) * e^{+j w n_half} )
+    w = (2.0 * np.pi * n_half / n_fft) * np.arange(n_fft)
+    cw = jnp.asarray(np.cos(w), jnp.float32)
+    sw = jnp.asarray(np.sin(w), jnp.float32)
+    H = re * cw - im * sw
+    dp = jnp.max(H) - 1.0
+    ds = -jnp.min(H)
+    S = 4.0 / (jnp.sqrt(1.0 + dp + ds) + jnp.sqrt(1.0 - dp + ds)) ** 2
+    mag = jnp.sqrt((H + ds) * S) + 1e-10
+    # modified discrete Hilbert transform: -j sign(freq) in quefrency
+    sig = np.zeros(n_fft, np.float32)
+    sig[1: n_fft // 2] = 1.0
+    sig[n_fft // 2 + 1:] = -1.0
+    sig = jnp.asarray(sig)
+    logm = jnp.log(mag)
+    lr, li = _fft_last(logm, jnp.zeros_like(logm), INVERSE, 1.0 / n_fft)
+    er, ei = _fft_last(sig * lr, sig * li, FORWARD, None)
+    pr = jnp.exp(er) * jnp.cos(ei)
+    pi = jnp.exp(er) * jnp.sin(ei)
+    hr, _ = _fft_last(mag * pr, mag * pi, INVERSE, 1.0 / n_fft)
     return hr

@@ -563,10 +563,11 @@ def resample(x, num: int, axis: int = -1):
     return jax.jit(impl)(jnp.asarray(x0, jnp.float32))
 
 
-def hilbert2(x, n=None):
+def hilbert2(x, N=None):
     """2-D analytic signal (scipy.signal.hilbert2): real [.., n1, n2] ->
     complex with the first-quadrant spectrum kept x4 (h1 (x) h2 outer
-    weighting over the last two axes), one jitted program."""
+    weighting over the last two axes), one jitted program.  `N` resizes
+    the transform lengths (scalar or per-axis pair), scipy-named."""
     from ..core.complex_utils import merge
     from .nd import fftn_split
 
@@ -575,8 +576,10 @@ def hilbert2(x, n=None):
         raise ValueError("hilbert2 requires a real input")
     if x0.ndim < 2:
         raise ValueError("hilbert2 requires at least 2 dimensions")
-    if n is not None:
-        n1, n2 = (n, n) if np.isscalar(n) else n
+    if N is not None:
+        n1, n2 = (N, N) if np.isscalar(N) else N
+        if n1 <= 0 or n2 <= 0:
+            raise ValueError("N must be positive")
     else:
         n1, n2 = x0.shape[-2], x0.shape[-1]
 

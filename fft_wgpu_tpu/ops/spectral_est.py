@@ -100,8 +100,8 @@ def flattop_window(n: int, *, periodic: bool = False):
     return jnp.asarray(w[:n].astype(np.float32))
 
 
-def dpss(M: int, NW: float, Kmax: int | None = None, *,
-         return_ratios: bool = False):
+def dpss(M: int, NW: float, Kmax: int | None = None, sym: bool = True, *,
+         norm=None, return_ratios: bool = False):
     """Discrete prolate spheroidal (Slepian) tapers.
 
     scipy.signal.windows.dpss parity (sym=True layout): the first ``Kmax``
@@ -122,6 +122,14 @@ def dpss(M: int, NW: float, Kmax: int | None = None, *,
     if Kmax is None:
         Kmax = 1
     Kmax = int(Kmax)
+    if norm is None:
+        norm = "approximate" if squeeze else 2
+    if norm not in (2, "approximate", "subsample"):
+        raise ValueError(f"norm must be 2, 'approximate' or 'subsample', "
+                         f"got {norm!r}")
+    trunc = 0
+    if not sym:  # periodic window: compute at M+1, drop the last sample
+        M, trunc = M + 1, 1
     if not 0 < Kmax <= M:
         raise ValueError("Kmax must be in (0, M]")
     if float(NW) >= M / 2.0:
@@ -157,6 +165,22 @@ def dpss(M: int, NW: float, Kmax: int | None = None, *,
         conv = np.fft.irfft(np.fft.rfft(wins, L, axis=1) * Rf, L, axis=1)
         Rw = conv[:, M - 1:2 * M - 1]
         lam = np.einsum("km,km->k", wins, Rw)
+    if norm != 2:
+        # scipy's unit-peak normalization: divide by the global max, then
+        # correct even-M peak placement ('approximate': closed form;
+        # 'subsample': exact half-sample shift via the FFT of window 0)
+        wins /= wins.max()
+        if M % 2 == 0:
+            if norm == "approximate":
+                correction = M * M / float(M * M + NW)
+            else:
+                s = np.fft.rfft(wins[0])
+                shift = -(1 - 1.0 / M) * np.arange(1, M // 2 + 1)
+                s[1:] *= 2 * np.exp(-1j * np.pi * shift)
+                correction = M / s.real.sum()
+            wins *= correction
+    if trunc:
+        wins = wins[:, :-trunc]
     out = jnp.asarray(wins.astype(np.float32))
     if squeeze:
         out = out[0]
@@ -675,18 +699,28 @@ def _lombscargle_core(x, y, w, freqs, floating_mean: bool = False):
     return a, b, tau, YC, YS, YY
 
 
-def lombscargle(x, y, freqs, *, normalize=False, weights=None,
-                floating_mean: bool = False):
+def lombscargle(x, y, freqs, *, precenter=False, normalize=False,
+                weights=None, floating_mean: bool = False):
     """Generalized (weighted, floating-mean) Lomb-Scargle periodogram of
     unevenly sampled data (scipy.signal.lombscargle >= 1.17 parity).
 
     normalize: False/'power' (legacy A^2 N/4 units), True/'normalize'
     ([0, 1] fraction of total variance), or 'amplitude' (complex
-    best-fit a + ib, tau-corrected).  One jitted program; the per-
-    frequency least squares runs as [N] x [N, K] contractions.
+    best-fit a + ib, tau-corrected).  `precenter` subtracts the plain
+    mean of y first (scipy's deprecated legacy knob; prefer
+    floating_mean).  One jitted program; the per-frequency least
+    squares runs as [N] x [N, K] contractions.
     The uneven-sampling counterpart of `periodogram`; for transforming
     (rather than fitting) nonuniform samples see ops/nufft.py.
     """
+    if precenter:
+        import warnings
+
+        warnings.warn("the 'precenter' keyword is deprecated (scipy "
+                      "1.17); use floating_mean instead",
+                      DeprecationWarning, stacklevel=2)
+        y0 = np.asarray(y) if isinstance(y, np.ndarray) else y
+        y = y0 - y0.mean()
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     freqs = jnp.asarray(freqs, jnp.float32)

@@ -70,6 +70,23 @@ def test_minimum_phase_matches_scipy(assert_close):
     assert_close(got, want, 5e-4, "(vs scipy homomorphic)")
 
 
+def test_minimum_phase_hilbert_and_half(assert_close):
+    ss = pytest.importorskip("scipy.signal")
+    h = ss.firwin(65, 0.3)
+    got = np.asarray(minimum_phase(h, method="hilbert"))
+    want = ss.minimum_phase(h, method="hilbert")
+    assert got.shape == want.shape
+    assert_close(got, want, 5e-3, "(vs scipy hilbert)")
+    got = np.asarray(minimum_phase(h, half=False))
+    want = ss.minimum_phase(h, half=False)
+    assert got.shape == want.shape
+    assert_close(got, want, 5e-4, "(half=False)")
+    with pytest.raises(ValueError):
+        minimum_phase(h, method="hilbert", half=False)
+    with pytest.raises(ValueError):
+        minimum_phase(h, method="bogus")
+
+
 def test_minimum_phase_is_minimum_phase():
     """All zeros of the result lie inside the unit circle."""
     ss = pytest.importorskip("scipy.signal")

@@ -257,6 +257,11 @@ def test_hilbert2_vs_scipy(rng, assert_close):
                      what=f"hilbert2 {shape}")
     with pytest.raises(ValueError):
         ftt.hilbert2(np.zeros((4, 4), np.complex64))
+    # scipy-named N= resize kwarg (scalar and per-axis)
+    x = rng.standard_normal((12, 20)).astype(np.float32)
+    for N in (8, (8, 24)):
+        assert_close(np.asarray(ftt.hilbert2(x, N=N)), ssig.hilbert2(x, N=N),
+                     what=f"hilbert2 N={N}")
 
 
 class TestDHT:

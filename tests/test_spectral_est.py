@@ -239,11 +239,31 @@ class TestDPSS:
         w = ftt.dpss(100, 2.0)
         assert np.asarray(w).shape == (100,)
 
+    @pytest.mark.parametrize("M", [63, 64])
+    def test_single_window_default_norm(self, M):
+        # Kmax=None defaults to norm='approximate' (unit peak + even-M
+        # correction), matching scipy exactly
+        _close(np.asarray(ftt.dpss(M, 2.5)),
+               scipy_signal.windows.dpss(M, 2.5), rtol=5e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("norm", ["approximate", "subsample"])
+    def test_norm_modes(self, norm):
+        _close(np.asarray(ftt.dpss(64, 2.5, 3, norm=norm)),
+               scipy_signal.windows.dpss(64, 2.5, 3, norm=norm),
+               rtol=5e-4, atol=1e-5)
+
+    def test_periodic(self):
+        _close(np.asarray(ftt.dpss(64, 2.5, 3, sym=False)),
+               scipy_signal.windows.dpss(64, 2.5, 3, sym=False),
+               rtol=5e-4, atol=1e-5)
+
     def test_validation(self):
         with pytest.raises(ValueError):
             ftt.dpss(64, 40.0, 3)  # NW >= M/2
         with pytest.raises(ValueError):
             ftt.dpss(64, 2.0, 0)
+        with pytest.raises(ValueError):
+            ftt.dpss(64, 2.0, 3, norm="bogus")
 
 
 class TestMultitaper:
@@ -366,6 +386,18 @@ class TestLombScargle:
         want = scipy_signal.lombscargle(t, y, f, normalize=True)
         _close(got, want, rtol=2e-3, atol=1e-5)
         assert got.max() <= 1.0 + 1e-6
+
+    def test_precenter(self):
+        t, y, f = self._data(seed=4)
+        with pytest.warns(DeprecationWarning):
+            got = np.asarray(ftt.lombscargle(t, y + 3.0, f, precenter=True),
+                             np.float64)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            want = scipy_signal.lombscargle(t, y + 3.0, f, precenter=True)
+        _close(got, want, rtol=2e-3, atol=1e-4)
 
     def test_weights_and_floating_mean(self):
         t, y, f = self._data(seed=2)
