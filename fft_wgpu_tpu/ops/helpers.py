@@ -509,58 +509,143 @@ def hilbert(x, n: int = None, axis: int = -1, *, N: int = None):
     return jax.jit(impl)(jnp.asarray(x0, jnp.float32))
 
 
-def resample(x, num: int, axis: int = -1):
-    """FFT-domain resampling of a real signal (scipy.signal.resample):
-    transform, truncate or zero-pad the spectrum to `num` bins, inverse
-    transform, rescale by num/n — one jitted split-domain program."""
+def _resample_window(window, n):
+    """Host-side spectral window for `resample` (scipy semantics):
+    callable -> window(fftfreq(n)); array -> used as-is (fft bin order);
+    name/tuple -> fftshift(get_window(window, n)).  f64 numpy out."""
+    if callable(window):
+        W = np.asarray(window(np.fft.fftfreq(n)))
+    elif hasattr(window, "shape") or isinstance(window, (list,)):
+        W = np.asarray(window)
+        if W.shape != (n,):
+            raise ValueError(f"window length {W.shape} != number of "
+                             f"frequency bins ({n},)")
+    else:
+        from .spectral_est import get_window
+
+        W = np.fft.fftshift(np.asarray(get_window(window, n), np.float64))
+    if np.iscomplexobj(W):
+        raise ValueError("complex spectral windows are not supported")
+    return W.astype(np.float64)
+
+
+def resample(x, num: int, t=None, axis: int = 0, window=None,
+             domain: str = "time"):
+    """FFT-domain resampling (scipy.signal.resample parity): transform,
+    truncate or zero-pad the spectrum to `num` bins, inverse transform,
+    rescale by num/n — one jitted split-domain program.  Real input rides
+    the half-spectrum path; complex input and `domain='freq'` run the
+    two-sided form.  `window` is applied in the frequency domain (folded
+    onto the half spectrum for real input, scipy eq.); with `t` the
+    resampled sample positions are returned as a second value."""
     from .rfft import irfft_last_split, rfft_last_split
 
+    if domain not in ("time", "freq"):
+        raise ValueError(f"domain must be 'time' or 'freq', got {domain!r}")
+    num = int(num)
+    if num < 1:
+        raise ValueError("num must be >= 1")
     x0 = _as_host_or_device(x)
-    if _iscomplex(x0):  # checked BEFORE any device transfer
-        raise ValueError("resample supports real input (use fft directly "
-                         "for complex)")
     n = x0.shape[axis]
-    old_bins = n // 2 + 1
-    new_bins = num // 2 + 1
+    m = min(num, n)
+    m2 = m // 2 + 1
+    s_fac = n / num
+    W = None if window is None else _resample_window(window, n)
 
-    def impl(v):
-        v = jnp.moveaxis(v, axis, -1)
-        if n % 2 == 0:
-            Xr, Xi = rfft_last_split(v, None)
-        else:  # odd input length: zero-imag C2C, keep the half spectrum
-            from .nd import fftn_split
+    if domain == "time" and not _iscomplex(x0):
+        old_bins = n // 2 + 1
+        if W is not None:
+            # fold the two-sided window onto the half spectrum:
+            # W1[l] = (W[l] + W[n-l]) / 2 for 0 < l < old_bins
+            Wf = W[:old_bins].copy()
+            Wf[1:] = (W[1:old_bins] + W[:-old_bins:-1]) / 2.0
+            Wf = Wf.astype(np.float32)
 
-            re_, im_ = fftn_split(v, jnp.zeros_like(v), (v.ndim - 1,), -1,
-                                  None)
-            Xr, Xi = re_[..., :old_bins], im_[..., :old_bins]
-        if new_bins <= old_bins:
-            Xr = Xr[..., :new_bins]
-            Xi = Xi[..., :new_bins]
-            if num % 2 == 0 and num < n:
-                # the kept +num/2 and -num/2 bins fold into the new (real)
-                # Nyquist: X[num/2] + conj(X[num/2]) = 2*Re(X[num/2])
-                Xr = Xr.at[..., -1].mul(2.0)
-                Xi = Xi.at[..., -1].mul(0.0)
-        else:
+        def impl(v):
+            v = jnp.moveaxis(v, axis, -1)
             if n % 2 == 0:
-                # old Nyquist bin splits across +/- frequencies: halve it
-                Xr = Xr.at[..., -1].mul(0.5)
-                Xi = Xi.at[..., -1].mul(0.5)
-            pad = [(0, 0)] * (Xr.ndim - 1) + [(0, new_bins - old_bins)]
-            Xr = jnp.pad(Xr, pad)
-            Xi = jnp.pad(Xi, pad)
-        # total scale num/n with the inverse's 1/num folded in => 1/n
-        if num % 2 == 0:
-            y = irfft_last_split(Xr, Xi, num, 1.0 / n)
-        else:  # odd target length: hermitian-extend + C2C inverse
-            from .nd import fftn_split
-            from .rfft import _hermitian_extend
+                Xr, Xi = rfft_last_split(v, None)
+            else:  # odd input length: zero-imag C2C, half spectrum kept
+                from .nd import fftn_split
 
-            fr, fi = _hermitian_extend(Xr, Xi, num)
-            y, _ = fftn_split(fr, fi, (fr.ndim - 1,), 1, 1.0 / n)
-        return jnp.moveaxis(y, -1, axis)
+                re_, im_ = fftn_split(v, jnp.zeros_like(v),
+                                      (v.ndim - 1,), -1, None)
+                Xr, Xi = re_[..., :old_bins], im_[..., :old_bins]
+            if W is not None:
+                wj = jnp.asarray(Wf)
+                Xr, Xi = Xr * wj, Xi * wj
+            if m2 <= old_bins:
+                Xr = Xr[..., :m2]
+                Xi = Xi[..., :m2]
+                if num % 2 == 0 and num < n:
+                    # the kept +num/2 and -num/2 bins fold into the new
+                    # (real) Nyquist: X[num/2] + conj(.) = 2*Re(X[num/2])
+                    Xr = Xr.at[..., -1].mul(2.0)
+                    Xi = Xi.at[..., -1].mul(0.0)
+            if m2 > old_bins or num > n:
+                if n % 2 == 0:
+                    # old Nyquist splits across +/- frequencies: halve it
+                    Xr = Xr.at[..., old_bins - 1].mul(0.5)
+                    Xi = Xi.at[..., old_bins - 1].mul(0.5)
+                new_bins = num // 2 + 1
+                if new_bins > Xr.shape[-1]:
+                    pad = ([(0, 0)] * (Xr.ndim - 1)
+                           + [(0, new_bins - Xr.shape[-1])])
+                    Xr = jnp.pad(Xr, pad)
+                    Xi = jnp.pad(Xi, pad)
+            # total scale num/n with the inverse's 1/num folded in => 1/n
+            if num % 2 == 0:
+                y = irfft_last_split(Xr, Xi, num, 1.0 / n)
+            else:  # odd target length: hermitian-extend + C2C inverse
+                from .nd import fftn_split
+                from .rfft import _hermitian_extend
 
-    return jax.jit(impl)(jnp.asarray(x0, jnp.float32))
+                fr, fi = _hermitian_extend(Xr, Xi, num)
+                y, _ = fftn_split(fr, fi, (fr.ndim - 1,), 1, 1.0 / n)
+            return jnp.moveaxis(y, -1, axis)
+
+        out = jax.jit(impl)(jnp.asarray(x0, jnp.float32))
+    else:  # complex input or spectrum input: two-sided form
+        from ..core.complex_utils import merge, split
+        from .nd import fftn_split
+
+        vr, vi = split(x0)  # host complex split on the host (CLAUDE.md)
+
+        def impl(vr, vi):
+            vr = jnp.moveaxis(vr, axis, -1)
+            vi = jnp.moveaxis(vi, axis, -1)
+            if domain == "time":
+                Xr, Xi = fftn_split(vr, vi, (vr.ndim - 1,), -1, None)
+            else:
+                Xr, Xi = vr, vi
+            if W is not None:
+                wj = jnp.asarray(W.astype(np.float32))
+                Xr, Xi = Xr * wj, Xi * wj
+            shp = Xr.shape[:-1] + (num,)
+            Yr = jnp.zeros(shp, Xr.dtype).at[..., :m2].set(Xr[..., :m2])
+            Yi = jnp.zeros(shp, Xi.dtype).at[..., :m2].set(Xi[..., :m2])
+            if m2 < m:  # negative-frequency half
+                Yr = Yr.at[..., m2 - m:].set(Xr[..., m2 - m:])
+                Yi = Yi.at[..., m2 - m:].set(Xi[..., m2 - m:])
+            if m % 2 == 0:
+                if num < n:  # down: unite the bin pair at -m/2
+                    Yr = Yr.at[..., -m // 2].add(Xr[..., -m // 2])
+                    Yi = Yi.at[..., -m // 2].add(Xi[..., -m // 2])
+                elif n < num:  # up: split the unpaired bin at m/2
+                    Yr = Yr.at[..., m // 2].mul(0.5)
+                    Yi = Yi.at[..., m // 2].mul(0.5)
+                    Yr = Yr.at[..., num - m // 2].set(Yr[..., m // 2])
+                    Yi = Yi.at[..., num - m // 2].set(Yi[..., m // 2])
+            # ifft(Y / s_fac): 1/num inverse scale * num/n => 1/n
+            yr, yi = fftn_split(Yr, Yi, (Yr.ndim - 1,), 1, 1.0 / n)
+            return (jnp.moveaxis(yr, -1, axis),
+                    jnp.moveaxis(yi, -1, axis))
+
+        out = merge(*jax.jit(impl)(vr, vi))
+    if t is not None:
+        t = np.asarray(t)
+        return out, t[0] + (t[1] - t[0]) * s_fac * np.arange(num)
+    return out
 
 
 def hilbert2(x, N=None):
