@@ -1,7 +1,15 @@
-.PHONY: test bench smoke native clean
+.PHONY: test check bench smoke native clean
 
 test:
 	python -m pytest tests/ -q
+
+# Pre-commit gate (VERDICT r3 item 2: the round-3 snapshot landed with a
+# red suite).  Run before every snapshot/commit: full suite + the entry
+# contracts the driver depends on.
+check:
+	python -m pytest tests/ -q
+	python -c "import ast; ast.parse(open('bench.py').read())"
+	python -c "import ast; ast.parse(open('__graft_entry__.py').read())"
 
 bench:
 	python bench.py

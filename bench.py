@@ -160,6 +160,54 @@ def bench_batched_1d(n=4096, batch=4096, executor="auto", iters=30):
     return dt, rt, imp
 
 
+def _ceiling_probes(n, batch, dev):
+    """Measure the two perf ceilings at the headline shape (see the
+    call-site comment).  Returns dict(copy_ms, copy_frac, bound_ms)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fft_wgpu_tpu.ops import pallas_fft as pf
+    from fft_wgpu_tpu.utils.roofline import hbm_bandwidth
+
+    re = jax.random.normal(jax.random.PRNGKey(20), (batch, n), jnp.float32)
+    im = jax.random.normal(jax.random.PRNGKey(21), (batch, n), jnp.float32)
+
+    def _copy_kernel(xr_ref, xi_ref, or_ref, oi_ref):
+        or_ref[:] = xr_ref[:]
+        oi_ref[:] = xi_ref[:]
+
+    spec = pl.BlockSpec((128, n), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    copy_fn = jax.jit(lambda a, b: pl.pallas_call(
+        _copy_kernel,
+        grid=(batch // 128,),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((batch, n), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+    )(a, b))
+    copy_s = _device_time(copy_fn, (re, im))
+    if copy_s is None:
+        raise RuntimeError("profiler captured no device events (copy)")
+    ideal = 4.0 * batch * n * 4 / hbm_bandwidth(dev)  # 2 arrays in+out
+    copy_frac = ideal / copy_s
+
+    # production kernel, dots dropped to 1-pass bf16 (timing-only: the
+    # numerics are ~3e-3 at this precision — never returned to callers)
+    saved = pf._MM_PREC
+    try:
+        pf._MM_PREC = jax.lax.Precision.DEFAULT
+        fast = jax.jit(lambda a, b: pf.fft_batched_split(a, b, -1, None))
+        bound_s = _device_time(fast, (re, im))
+    finally:
+        pf._MM_PREC = saved
+    if bound_s is None:
+        raise RuntimeError("profiler captured no device events (bound)")
+    return {"copy_s": copy_s, "copy_frac": copy_frac,
+            "bound_s": bound_s}
+
+
 def main():
     """Parent: run the measurement in a killable child process and forward
     its output.  A hung remote tunnel blocks inside C calls where an
@@ -274,6 +322,31 @@ def child_main():
         "roundtrip_rel_l2": f"{rt_err:.2e}",
         "impulse_max_err": f"{imp_err:.2e}",
     }
+
+    # Measured perf ceilings (VERDICT r3 item 4): the >=80%-of-roofline
+    # target was falsified by measurement in PERFORMANCE.md prose; these
+    # probes make the falsification machine-recorded data in every
+    # BENCH_r*.json.  Two MEASURED ceilings at the exact headline shape:
+    #   * copy_ceiling_ms — a Pallas copy-only kernel moving the same
+    #     bytes (the pure-IO floor; measures ~80% of theoretical HBM BW,
+    #     so even an infinitely fast kernel cannot reach vs_baseline 1.0);
+    #   * compute_bound_ms — the SAME production kernel with its dots at
+    #     DEFAULT (1-pass bf16) precision instead of HIGHEST (6 bf16
+    #     passes).  f32 accuracy needs HIGHEST (Mosaic has no 3-pass
+    #     mode), so this is a hard scheduling-free lower bound for any
+    #     f32-accurate schedule of this algorithm.
+    try:
+        signal.alarm(420)
+        ceil = _ceiling_probes(n, batch, dev)
+        signal.alarm(0)
+        result.update(
+            copy_ceiling_ms=round(ceil["copy_s"] * 1e3, 3),
+            copy_ceiling_fraction_of_hbm=round(ceil["copy_frac"], 4),
+            compute_bound_ms=round(ceil["bound_s"] * 1e3, 3),
+            pct_of_compute_bound=round(ceil["bound_s"] / dt, 4),
+        )
+    except Exception as e:  # ceilings must never cost the headline line
+        result["ceiling_probe_error"] = str(e)[:200]
 
     # the driver's JSON line goes out BEFORE the secondary rows: with a
     # cold cache the rows below can spend many minutes compiling, and the

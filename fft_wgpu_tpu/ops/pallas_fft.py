@@ -63,6 +63,17 @@ __all__ = ["fft_batched_split", "Unsupported", "FUSED_MIN_N",
 FUSED_MIN_N = 128
 FUSED_MAX_N = 16384  # fits VMEM since the real-matrix stage-1 slimmed liveness
 
+# Test hook: force EVERY pallas_call in this module into interpret mode
+# (tests/test_padded_adoption.py runs the real TPU routing on the CPU
+# backend this way; the newer pltpu.force_tpu_interpret_mode cannot be
+# used because its IO-callback lowering carries effects that
+# jax.custom_derivatives.linear_call rejects).
+_FORCE_INTERPRET = False
+
+
+def _interp(flag):
+    return bool(flag) or _FORCE_INTERPRET
+
 _MM_PREC = jax.lax.Precision.HIGHEST
 
 # Matmul precision mode for the DFT stages:
@@ -630,12 +641,69 @@ _PIPE2 = {512, 1024, 2048, 4096}
 
 
 def _pick_pipe_tile(rows: int) -> int:
-    """Row tile for the two-half pipelined kernels: 256 when it costs no
-    extra batch padding over the plain 128-row tile, else 128.  (Ragged
-    edge blocks fault the TPU worker — probe_r57 — so batches are always
-    padded to whole blocks; a 256 tile on e.g. rows=300 would waste 212
-    pad rows where 128 wastes 84.)"""
-    return 256 if _round_up(rows, 256) == _round_up(rows, 128) else 128
+    """Row tile for the two-half pipelined kernels: 256 whenever at least
+    one full 256-row block exists.  Ragged tails no longer force the tile
+    down — `_edge_tiled` routes the sub-block remainder through its own
+    one-tile call, so the main grid always runs the fastest block form."""
+    return 256 if rows >= 256 else 128
+
+
+def _edge_tiled(launch, ins, size, bt, in_axis=0, out_axis=0):
+    """Ragged-extent pallas-call driver with EDGE-TILE-ONLY padding.
+
+    Mosaic on this toolchain hard-faults the TPU worker on ragged edge
+    grid blocks (probe_r57), and the round-3 whole-array pad + slice fix
+    cost two extra HBM round trips on every non-aligned shape (VERDICT
+    r3: the reference bench shape 2500x512 regressed 0.055 -> 0.095 ms).
+    The reference gets ragged extents free with an in-kernel OOB guard
+    (fft_wgpu src/kernel/fft.wgsl:20-22); the TPU equivalent is to make
+    the pad cost scale with the EDGE TILE, not the array:
+
+      * main call: the grid covers only the size // bt FULL blocks,
+        reading straight from the unpadded input and writing the covered
+        prefix of a full-size output (the tail stays unwritten);
+      * tail call: the < bt ragged rows are sliced out (tile-aligned
+        offset -> a copy of ~one block), zero-padded to whole 128-row
+        blocks, run through the same kernel family at tile 128, and
+        merged with a dynamic_update_slice XLA performs in place.
+
+    `launch(ins, out_extent, nblocks, tile)` must run the underlying
+    pallas_call with `nblocks` grid steps of `tile`-sized blocks over the
+    `in_axis` extent of each array in `ins`, allocate outputs whose
+    `out_axis` extent is `out_extent`, and return a TUPLE of outputs.
+    """
+    g, tail = divmod(size, bt)
+    if tail == 0:
+        return launch(ins, size, g, bt)
+    tt = _round_up(tail, 128)
+    # launch order contract: the covered-prefix MAIN call (if any) comes
+    # first, the tail call second (kernels that track a global row base
+    # rely on it — see _fft_rows_t_core).
+    outs = launch(ins, size, g, bt) if g else None
+
+    def _tail_in(a):
+        sl = [slice(None)] * a.ndim
+        sl[in_axis] = slice(g * bt, size)
+        pad = [(0, 0)] * a.ndim
+        pad[in_axis] = (0, tt - tail)
+        return jnp.pad(a[tuple(sl)], pad)
+
+    tail_outs = launch(tuple(_tail_in(a) for a in ins), tt, tt // 128, 128)
+
+    def _tail_cut(t):
+        sl = [slice(None)] * t.ndim
+        sl[out_axis] = slice(0, tail)
+        return t[tuple(sl)]
+
+    if g == 0:
+        return tuple(_tail_cut(t) for t in tail_outs)
+    merged = []
+    for o, t in zip(outs, tail_outs):
+        start = [0] * o.ndim
+        start[out_axis] = g * bt
+        merged.append(
+            jax.lax.dynamic_update_slice(o, _tail_cut(t), tuple(start)))
+    return tuple(merged)
 
 
 def _kernel_rows_bal_pipe(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2,
@@ -686,6 +754,87 @@ def _kernel_rows_bal_filt(xr_ref, xi_ref, hr_ref, hi_ref, or_ref, oi_ref,
     _rows_bal_math(xr * hr - xi * hi, xr * hi + xi * hr, or_ref, oi_ref,
                    n=n, n1=n1, n2=n2, sign=sign, scale=scale,
                    factors=factors)
+
+
+def _cdot_realcat_cut(n1, sign, xr, xi, cat_axis, dims, scale, kcut):
+    """`_cdot_realcat` with an OUTPUT-ROW cut: only DFT bins k < kcut are
+    produced (W rows sliced at trace time — the narrow-store Bluestein
+    kernel needs just the first n_out of the m-point spectrum, so the
+    stage-2 dot shrinks by the same factor)."""
+    wr, wi = _gen_dft(n1, n1, n1, sign, scale)
+    wr = wr[:kcut]
+    wi = wi[:kcut]
+    wbig = jnp.concatenate(
+        [jnp.concatenate([wr, -wi], axis=1),
+         jnp.concatenate([wi, wr], axis=1)], axis=0)
+    xcat = jnp.concatenate([xr, xi], axis=cat_axis)
+    res = jax.lax.dot_general(
+        wbig, xcat, (dims, ((), ())), precision=_MM_PREC,
+        preferred_element_type=jnp.float32)
+    return res[:kcut], res[kcut:]
+
+
+def _kernel_rows_bal_filt_pad(xr_ref, xi_ref, hr_ref, hi_ref, or_ref,
+                              oi_ref, *, n, n1, n2, sign, scale, factors,
+                              n_in):
+    """Bluestein FORWARD kernel: FFT_n(zero_pad(h .* x)) with the chirp
+    multiply AND the n_in -> n zero-pad both fused into the load stage.
+    The composed form paid two extra HBM round trips (chirp multiply +
+    jnp.pad) over FOUR-times-n_in data; here the pad is an in-kernel lane
+    concat (measured free — PERFORMANCE.md round-2b) on the VMEM tile.
+    Reference anchor: chirp-z has no reference analogue; the fusion
+    mirrors the fused last-stage epilogue idea (fft_wgpu
+    src/kernel/ifft.wgsl:65-74)."""
+    hr = hr_ref[0]
+    hi = hi_ref[0]
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    pr = xr * hr - xi * hi
+    pi = xr * hi + xi * hr
+    z = jnp.zeros((xr.shape[0], n - n_in), jnp.float32)
+    _rows_bal_math(jnp.concatenate([pr, z], axis=1),
+                   jnp.concatenate([pi, z], axis=1),
+                   or_ref, oi_ref, n=n, n1=n1, n2=n2, sign=sign,
+                   scale=scale, factors=factors)
+
+
+def _kernel_rows_bal_filt_narrow(xr_ref, xi_ref, hr_ref, hi_ref, gr_ref,
+                                 gi_ref, or_ref, oi_ref, *, n, n1, n2,
+                                 sign, scale, factors, n_out):
+    """Bluestein INVERSE kernel: g .* FFT_n(h .* x)[..., :n_out] with the
+    filter-spectrum multiply fused into the load stage, and the output
+    slice + post-chirp multiply fused into the store stage.  Only the
+    first n_out bins are stored, so stage 2's dot is CUT to the
+    ceil(n_out/n1) contributing k2 rows — both HBM write traffic and MXU
+    work shrink by ~n/n_out."""
+    hr = hr_ref[0]
+    hi = hi_ref[0]
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    pr = xr * hr - xi * hi
+    pi = xr * hi + xi * hr
+    bt = pr.shape[0]
+    ar = pr.T.reshape(n1, n2, bt)
+    ai = pi.T.reshape(n1, n2, bt)
+    br, bi = _vpu_dft_leading(ar, ai, n1, sign, factors)
+    twr, twi = _gen_twiddle(n1, n2, n, sign)
+    cr = br * twr[:, :, None] - bi * twi[:, :, None]
+    ci = br * twi[:, :, None] + bi * twr[:, :, None]
+    # flat bin index is k2*n1 + k1: bins < n_out need k2 < ceil(n_out/n1)
+    k2c = -(-n_out // n1)
+    if 2 * n2 <= 128:
+        dr, di = _cdot_realcat_cut(n2, sign, cr, ci, 1, ((1,), (1,)),
+                                   scale, k2c)
+    else:
+        w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
+        dr, di = _cdot(w2r[:k2c], w2r[:k2c] + w2i[:k2c],
+                       w2i[:k2c] - w2r[:k2c], cr, ci, ((1,), (1,)))
+    tr = dr.reshape(k2c * n1, bt)[:n_out].T  # [bt, n_out]
+    ti = di.reshape(k2c * n1, bt)[:n_out].T
+    gr = gr_ref[0]
+    gi = gi_ref[0]
+    or_ref[:] = tr * gr - ti * gi
+    oi_ref[:] = tr * gi + ti * gr
 
 
 def _rows_bal_math(xr2, xi2, or_ref, oi_ref, *, n, n1, n2, sign, scale,
@@ -823,63 +972,55 @@ def _fft_batched_core(re, im, sign, scale=None, *, row_tile=None,
     else:
         tile = row_tile or _row_tile(n)
     bt = min(row_tile or tile, _round_up(rows, 128))
-    # Ragged edge blocks FAULT the TPU worker on this Mosaic (probe_r57:
-    # irfft rows=300 crashed even with full-ref stores) — never present
-    # one: pad the batch to a whole number of blocks and slice after.
-    grid_rows = _round_up(rows, bt)
-    if grid_rows != rows:
-        re2 = jnp.pad(re2, ((0, grid_rows - rows), (0, 0)))
-        im2 = jnp.pad(im2, ((0, grid_rows - rows), (0, 0)))
 
     sc = float(scale) if scale is not None else 1.0
     if schedule == "balanced":
         n1, n2, s1_factors = _BALANCED[n]
-        kern = functools.partial(
-            _kernel_rows_bal_pipe if bt == 256 and n in _PIPE2
-            else _kernel_rows_bal,
-            n=n, n1=n1, n2=n2, sign=sign, scale=sc, factors=s1_factors,
-        )
-    elif use_dit:
-        n1, n2 = _choose_split(n)
-        kern = functools.partial(
-            _kernel_rows_dit, n=n, sign=sign, scale=sc,
-            factors=_dit_schedule(n),
-        )
     else:
         n1, n2 = _choose_split(n)
-        kern = functools.partial(
-            _kernel, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
-        )
-    grid = (pl.cdiv(grid_rows, bt),)
-    spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def _kern_for(bt_):
+        if schedule == "balanced":
+            return functools.partial(
+                _kernel_rows_bal_pipe if bt_ == 256 and n in _PIPE2
+                else _kernel_rows_bal,
+                n=n, n1=n1, n2=n2, sign=sign, scale=sc,
+                factors=s1_factors)
+        if use_dit:
+            return functools.partial(_kernel_rows_dit, n=n, sign=sign,
+                                     scale=sc, factors=_dit_schedule(n))
+        return functools.partial(_kernel, n=n, n1=n1, n2=n2, sign=sign,
+                                 scale=sc)
 
     flops_per_row = 8 * n * (n1 + n2) + 6 * n
-    out_r, out_i = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[spec, spec],
-        out_specs=[spec, spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
-            jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per_row * rows,
-            bytes_accessed=4 * rows * n * 4,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            # The default scoped-vmem limit (16 MiB) is far below physical
-            # VMEM; the 128-row tiles at large n need more for the
-            # double-buffered IO blocks.
-            vmem_limit_bytes=127 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(re2, im2)
 
-    if grid_rows != rows:
-        out_r = out_r[:rows]
-        out_i = out_i[:rows]
+    def _launch(ins, out_rows, nblocks, bt_):
+        spec = pl.BlockSpec((bt_, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _kern_for(bt_),
+            grid=(nblocks,),
+            in_specs=[spec, spec],
+            out_specs=[spec, spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, n), jnp.float32),
+                jax.ShapeDtypeStruct((out_rows, n), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=flops_per_row * nblocks * bt_,
+                bytes_accessed=4 * nblocks * bt_ * n * 4,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                # The default scoped-vmem limit (16 MiB) is far below
+                # physical VMEM; the 128-row tiles at large n need more
+                # for the double-buffered IO blocks.
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=_interp(interpret),
+        )(*ins)
+
+    out_r, out_i = _edge_tiled(_launch, (re2, im2), rows, bt)
     return out_r.reshape(*lead, n), out_i.reshape(*lead, n)
 
 
@@ -1033,50 +1174,54 @@ def _fft_axis0_core(re, im, sign, scale=None, *, interpret=False):
     b = int(np.prod(lead)) if lead else 1
     re3 = re.reshape(b, n, m)
     im3 = im.reshape(b, n, m)
-    # Ragged edge blocks fault the TPU worker on this Mosaic (probe_r57)
-    # — pad the lane extent to a whole number of tiles and slice after.
-    grid_m = _round_up(m, 128)
     n1, n2 = _choose_split_sublane(n)
     sc = float(scale) if scale is not None else 1.0
-    if n in _PIPE_AX0 and grid_m >= 256 and grid_m % 256 == 0:
+    # Lane tile for the MAIN grid (ragged lane tails ride their own
+    # one-tile `_edge_tiled` call, so divisibility no longer constrains
+    # the choice): pipe form first where it measured fastest (probe_r54),
+    # else the wide-tile pins shrunk to fit the extent / VMEM.
+    if n in _PIPE_AX0 and m >= 256:
         lt = 256  # two software-pipelined 128-lane halves per step
-        kern = functools.partial(
-            _kernel_ax0_pipe, n=n, n1=n1, n2=n2, sign=sign, scale=sc)
     else:
-        lt = _ax0_lane_tile(n, grid_m)  # shrinks until it divides grid_m
-        kern = functools.partial(
-            _kernel_ax0, n=n, n1=n1, n2=n2, sign=sign, scale=sc, lt=lt)
-    if grid_m != m:
-        re3 = jnp.pad(re3, ((0, 0), (0, 0), (0, grid_m - m)))
-        im3 = jnp.pad(im3, ((0, 0), (0, 0), (0, grid_m - m)))
-    grid = (b, pl.cdiv(grid_m, lt))
-    spec = pl.BlockSpec((1, n, lt), lambda i, j: (i, 0, j),
-                        memory_space=pltpu.VMEM)
+        lt = _AX0_LANE_TILES.get(n, 128)
+        while lt > 128 and (lt > m or n * lt > (1 << 21)):
+            lt //= 2
+        lt = max(lt, 128)
+
+    def _kern_for(lt_):
+        if lt_ == 256 and n in _PIPE_AX0:
+            return functools.partial(
+                _kernel_ax0_pipe, n=n, n1=n1, n2=n2, sign=sign, scale=sc)
+        return functools.partial(
+            _kernel_ax0, n=n, n1=n1, n2=n2, sign=sign, scale=sc, lt=lt_)
 
     flops_per_col = 8 * n * (n1 + n2) + 6 * n
-    out_r, out_i = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[spec, spec],
-        out_specs=[spec, spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, grid_m), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, grid_m), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per_col * b * m,
-            bytes_accessed=4 * b * n * m * 4,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(re3, im3)
 
-    if grid_m != m:
-        out_r = out_r[..., :m]
-        out_i = out_i[..., :m]
+    def _launch(ins, out_m, nblocks, lt_):
+        spec = pl.BlockSpec((1, n, lt_), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _kern_for(lt_),
+            grid=(b, nblocks),
+            in_specs=[spec, spec],
+            out_specs=[spec, spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, n, out_m), jnp.float32),
+                jax.ShapeDtypeStruct((b, n, out_m), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=flops_per_col * b * nblocks * lt_,
+                bytes_accessed=4 * b * n * nblocks * lt_ * 4,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=_interp(interpret),
+        )(*ins)
+
+    out_r, out_i = _edge_tiled(_launch, (re3, im3), m, lt,
+                               in_axis=2, out_axis=2)
     return out_r.reshape(*lead, n, m), out_i.reshape(*lead, n, m)
 
 
@@ -1220,7 +1365,7 @@ def _fft_axis3_core(re, im, sign, scale=None, *, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(re4, im4)
     return (out_r.reshape(*lead, n, Y, Z),
             out_i.reshape(*lead, n, Y, Z))
@@ -1242,7 +1387,7 @@ def fft_axis3_split(re, im, sign, scale=None, *, interpret=False):
 # block output (the two HBM-pass large-N path).
 # --------------------------------------------------------------------- #
 def _kernel_rows_t(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
-                   scale, bt, outer):
+                   scale, bt, outer, row_off=0):
     """Like `_kernel` but:
 
     * optionally applies the OUTER four-step twiddle
@@ -1261,7 +1406,8 @@ def _kernel_rows_t(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
     if outer is not None:
         outer_n1, outer_n = outer
         i = pl.program_id(1)
-        ar, ai = _outer_tw_mul_rows(ar, ai, i * bt, n, outer_n, sign)
+        ar, ai = _outer_tw_mul_rows(ar, ai, row_off + i * bt, n, outer_n,
+                                    sign)
 
     w1r, w1i = _gen_dft(n1, n1, n1, sign)
     itwr, itwi = _gen_twiddle(n1, n2, n, sign)
@@ -1286,7 +1432,7 @@ def _kernel_rows_t(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
 
 
 def _kernel_rows_t_bal(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
-                       scale, bt, outer, factors):
+                       scale, bt, outer, factors, row_off=0):
     """Balanced-split variant of `_kernel_rows_t`: transpose-in, VPU-chain
     stage 1, realcat stage 2.  The transposed-output contract means the
     balanced design's natural [n, bt] result order needs NO output
@@ -1298,7 +1444,8 @@ def _kernel_rows_t_bal(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
     if outer is not None:
         _, outer_n = outer
         i = pl.program_id(1)
-        ar, ai = _outer_tw_mul_rows_t(ar, ai, i * bt, n, outer_n, sign)
+        ar, ai = _outer_tw_mul_rows_t(ar, ai, row_off + i * bt, n, outer_n,
+                                      sign)
 
     ar = ar.reshape(n1, n2, bt)
     ai = ai.reshape(n1, n2, bt)
@@ -1334,54 +1481,56 @@ def _fft_rows_t_core(re, im, sign, scale=None, *, outer=None,
     im3 = im.reshape(b, R, n)
 
     bt = 128
-    # no ragged edge blocks (fault the TPU worker — probe_r57): pad R to
-    # whole tiles, slice after
-    grid_R = _round_up(R, bt)
-    if grid_R != R:
-        re3 = jnp.pad(re3, ((0, 0), (0, grid_R - R), (0, 0)))
-        im3 = jnp.pad(im3, ((0, 0), (0, grid_R - R), (0, 0)))
-
     sc = float(scale) if scale is not None else 1.0
     if n in _BALANCED:
         n1, n2, s1_factors = _BALANCED[n]
-        kern = functools.partial(
-            _kernel_rows_t_bal, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
-            bt=bt, outer=outer, factors=s1_factors,
-        )
     else:
         n1, n2 = _choose_split(n)
-        kern = functools.partial(
-            _kernel_rows_t, n=n, n1=n1, n2=n2, sign=sign, scale=sc, bt=bt,
-            outer=outer,
-        )
-    grid = (b, pl.cdiv(grid_R, bt))
-    in_spec = pl.BlockSpec((1, bt, n), lambda i, j: (i, j, 0),
-                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, n, bt), lambda i, j: (i, 0, j),
-                            memory_space=pltpu.VMEM)
-    out_r, out_i = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[in_spec, in_spec],
-        out_specs=[out_spec, out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, grid_R), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, grid_R), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=(8 * n * (n1 + n2) + 6 * n) * b * R,
-            bytes_accessed=4 * b * R * n * 4,
-            transcendentals=2 * (n1 * n1 + n1 * n2 + n2 * n2),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(re3, im3)
 
-    if grid_R != R:
-        out_r = out_r[..., :R]
-        out_i = out_i[..., :R]
+    def _kern_for(bt_, row_off):
+        # row_off: global row index of this call's first row (the outer
+        # four-step twiddle depends on the GLOBAL row, so the ragged-tail
+        # call must not restart it at zero)
+        if n in _BALANCED:
+            return functools.partial(
+                _kernel_rows_t_bal, n=n, n1=n1, n2=n2, sign=sign,
+                scale=sc, bt=bt_, outer=outer, factors=s1_factors,
+                row_off=row_off)
+        return functools.partial(
+            _kernel_rows_t, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
+            bt=bt_, outer=outer, row_off=row_off)
+
+    row_base = [0]
+
+    def _launch(ins, out_R, nblocks, bt_):
+        in_spec = pl.BlockSpec((1, bt_, n), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, n, bt_), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)
+        kern = _kern_for(bt_, row_base[0])
+        row_base[0] = (R // bt) * bt  # a second call is the ragged tail
+        return pl.pallas_call(
+            kern,
+            grid=(b, nblocks),
+            in_specs=[in_spec, in_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, n, out_R), jnp.float32),
+                jax.ShapeDtypeStruct((b, n, out_R), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=(8 * n * (n1 + n2) + 6 * n) * b * nblocks * bt_,
+                bytes_accessed=4 * b * nblocks * bt_ * n * 4,
+                transcendentals=2 * (n1 * n1 + n1 * n2 + n2 * n2),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=_interp(interpret),
+        )(*ins)
+
+    out_r, out_i = _edge_tiled(_launch, (re3, im3), R, bt,
+                               in_axis=1, out_axis=2)
     return out_r.reshape(*lead, n, R), out_i.reshape(*lead, n, R)
 
 
@@ -1654,55 +1803,51 @@ def _rfft_rows_core(xr, scale=None, *, interpret=False, pad_out=False):
     else:
         tile = _row_tile(n)
     bt = min(tile, _round_up(rows, 128))
-    # no ragged edge blocks (fault the TPU worker — probe_r57): pad the
-    # batch to whole tiles, slice after
-    grid_rows = _round_up(rows, bt)
-    if grid_rows != rows:
-        x2 = jnp.pad(x2, ((0, grid_rows - rows), (0, 0)))
 
     mp = m_out  # logical bins (the k2 output cut)
     sc = float(scale) if scale is not None else 1.0
     if n in _BALANCED_R2C:
         n1, n2, s1_factors = _BALANCED_R2C[n]
-        kern = functools.partial(
-            _kernel_r2c_pipe if bt == 256 and n in _PIPE_R2C
-            else _kernel_r2c_bal,
-            n=n, n1=n1, n2=n2, sign=-1, scale=sc, mp=mp,
-            mp_out=mp_out, factors=s1_factors,
-        )
     else:
         n1, n2 = _choose_split(n)
-        kern = functools.partial(
-            _kernel_r2c, n=n, n1=n1, n2=n2, sign=-1, scale=sc, mp=mp,
-            mp_out=mp_out,
-        )
-    grid = (pl.cdiv(grid_rows, bt),)
-    in_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((bt, mp_out), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    out_r, out_i = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[in_spec],
-        out_specs=[out_spec, out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((grid_rows, mp_out), jnp.float32),
-            jax.ShapeDtypeStruct((grid_rows, mp_out), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=(8 * n * (n1 + n2) + 6 * n) * rows,
-            bytes_accessed=4 * rows * (n + 2 * mp_out),
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(x2)
 
-    if grid_rows != rows:
-        out_r = out_r[:rows]
-        out_i = out_i[:rows]
+    def _kern_for(bt_):
+        if n in _BALANCED_R2C:
+            return functools.partial(
+                _kernel_r2c_pipe if bt_ == 256 and n in _PIPE_R2C
+                else _kernel_r2c_bal,
+                n=n, n1=n1, n2=n2, sign=-1, scale=sc, mp=mp,
+                mp_out=mp_out, factors=s1_factors)
+        return functools.partial(
+            _kernel_r2c, n=n, n1=n1, n2=n2, sign=-1, scale=sc, mp=mp,
+            mp_out=mp_out)
+
+    def _launch(ins, out_rows, nblocks, bt_):
+        in_spec = pl.BlockSpec((bt_, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((bt_, mp_out), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _kern_for(bt_),
+            grid=(nblocks,),
+            in_specs=[in_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, mp_out), jnp.float32),
+                jax.ShapeDtypeStruct((out_rows, mp_out), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=(8 * n * (n1 + n2) + 6 * n) * nblocks * bt_,
+                bytes_accessed=4 * nblocks * bt_ * (n + 2 * mp_out),
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=_interp(interpret),
+        )(*ins)
+
+    out_r, out_i = _edge_tiled(_launch, (x2,), rows, bt)
     return out_r.reshape(*lead, mp_out), out_i.reshape(*lead, mp_out)
 
 
@@ -1950,51 +2095,46 @@ def _irfft_rows_core(Xr, Xi, n, scale=None, *, interpret=False,
     else:
         tile = _row_tile(n)
     bt = min(tile, _round_up(rows, 128))
-    # no ragged edge blocks (fault the TPU worker — probe_r57: the plain
-    # C2R kernel's ragged last block crashed it even with full-ref
-    # stores): pad the batch to whole tiles, slice after
-    grid_rows = _round_up(rows, bt)
-    if grid_rows != rows:
-        Xr2 = jnp.pad(Xr2, ((0, grid_rows - rows), (0, 0)))
-        Xi2 = jnp.pad(Xi2, ((0, grid_rows - rows), (0, 0)))
 
     sc = float(scale) if scale is not None else 1.0
     if balanced:
         ent = _BALANCED_C2R[n]
         n1, n2 = ent[0], ent[1]
         factors = ent[2] if len(ent) > 2 else None
-        if bt == 256 and n in _PIPE_C2R and factors is not None:
-            kern = functools.partial(_kernel_c2r_pipe, n=n, n1=n1, n2=n2,
+
+    def _kern_for(bt_):
+        if balanced:
+            if bt_ == 256 and n in _PIPE_C2R and factors is not None:
+                return functools.partial(_kernel_c2r_pipe, n=n, n1=n1,
+                                         n2=n2, scale=sc, factors=factors)
+            return functools.partial(_kernel_c2r_bal, n=n, n1=n1, n2=n2,
                                      scale=sc, factors=factors)
-        else:
-            kern = functools.partial(_kernel_c2r_bal, n=n, n1=n1, n2=n2,
-                                     scale=sc, factors=factors)
-    else:
-        kern = functools.partial(
-            _kernel_c2r, n=n, Q=Q, K2=K2, nyq=m // 128, scale=sc,
-        )
-    in_spec = pl.BlockSpec((bt, mp_in), lambda i: (i, 0),
-                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((bt, n), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kern,
-        grid=(pl.cdiv(grid_rows, bt),),
-        in_specs=[in_spec, in_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=(4 * n * 128 + 6 * n * K2) * rows,
-            bytes_accessed=4 * rows * (2 * mp_in + n),
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(Xr2, Xi2)
-    if grid_rows != rows:
-        out = out[:rows]
+        return functools.partial(
+            _kernel_c2r, n=n, Q=Q, K2=K2, nyq=m // 128, scale=sc)
+
+    def _launch(ins, out_rows, nblocks, bt_):
+        in_spec = pl.BlockSpec((bt_, mp_in), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((bt_, n), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        return (pl.pallas_call(
+            _kern_for(bt_),
+            grid=(nblocks,),
+            in_specs=[in_spec, in_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((out_rows, n), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=(4 * n * 128 + 6 * n * K2) * nblocks * bt_,
+                bytes_accessed=4 * nblocks * bt_ * (2 * mp_in + n),
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=_interp(interpret),
+        )(*ins),)
+
+    (out,) = _edge_tiled(_launch, (Xr2, Xi2), rows, bt)
     return out.reshape(*lead, n)
 
 
@@ -2066,7 +2206,7 @@ def _fft2_fused_core(re, im, sign, scale=None, *, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(re3, im3)
     return out_r.reshape(*lead, A, B), out_i.reshape(*lead, A, B)
 
@@ -2188,11 +2328,6 @@ def _fft_filtered_core(re, im, hr, hi, sign, scale=None, *,
     balanced = n in _BALANCED
     tile = 128 if balanced else _row_tile(n)
     bt = min(tile, _round_up(rows, 128))
-    # no ragged edge blocks (fault the TPU worker — probe_r57)
-    grid_rows = _round_up(rows, bt)
-    if grid_rows != rows:
-        re2 = jnp.pad(re2, ((0, grid_rows - rows), (0, 0)))
-        im2 = jnp.pad(im2, ((0, grid_rows - rows), (0, 0)))
 
     sc = float(scale) if scale is not None else 1.0
     if balanced:
@@ -2206,33 +2341,34 @@ def _fft_filtered_core(re, im, hr, hi, sign, scale=None, *,
         kern = functools.partial(
             _kernel_filt, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
         )
-    grid = (pl.cdiv(grid_rows, bt),)
-    spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    hspec = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
-
     flops_per_row = 8 * n * (n1 + n2) + 12 * n
-    out_r, out_i = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[spec, spec, hspec, hspec],
-        out_specs=[spec, spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
-            jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per_row * rows,
-            bytes_accessed=4 * rows * n * 4 + 8 * n,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(re2, im2, hr2, hi2)
-    if grid_rows != rows:
-        out_r = out_r[:rows]
-        out_i = out_i[:rows]
+
+    def _launch(ins, out_rows, nblocks, bt_):
+        spec = pl.BlockSpec((bt_, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        hspec = pl.BlockSpec((1, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(nblocks,),
+            in_specs=[spec, spec, hspec, hspec],
+            out_specs=[spec, spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, n), jnp.float32),
+                jax.ShapeDtypeStruct((out_rows, n), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=flops_per_row * nblocks * bt_,
+                bytes_accessed=4 * nblocks * bt_ * n * 4 + 8 * n,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=_interp(interpret),
+        )(*ins, hr2, hi2)
+
+    out_r, out_i = _edge_tiled(_launch, (re2, im2), rows, bt)
     return out_r.reshape(*lead, n), out_i.reshape(*lead, n)
 
 
@@ -2277,12 +2413,6 @@ def _fft_bank_core(re, im, hr, hi, sign, scale=None, *, interpret=False):
     balanced = n in _BALANCED
     tile = 128 if balanced else _row_tile(n)
     bt = min(tile, _round_up(S, 128))
-    # no ragged edge blocks (fault the TPU worker — probe_r57)
-    grid_rows = _round_up(S, bt)
-    hr2, hi2 = hr, hi
-    if grid_rows != S:
-        hr2 = jnp.pad(hr, ((0, grid_rows - S), (0, 0)))
-        hi2 = jnp.pad(hi, ((0, grid_rows - S), (0, 0)))
 
     sc = float(scale) if scale is not None else 1.0
     if balanced:
@@ -2296,33 +2426,34 @@ def _fft_bank_core(re, im, hr, hi, sign, scale=None, *, interpret=False):
         kern = functools.partial(
             _kernel_bank, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
         )
-    grid = (pl.cdiv(grid_rows, bt),)
-    spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    xspec = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
-
     flops_per_row = 8 * n * (n1 + n2) + 12 * n
-    out_r, out_i = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[xspec, xspec, spec, spec],
-        out_specs=[spec, spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
-            jax.ShapeDtypeStruct((grid_rows, n), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per_row * S,
-            bytes_accessed=4 * S * n * 3 + 8 * n,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(re2, im2, hr2, hi2)
-    if grid_rows != S:
-        out_r = out_r[:S]
-        out_i = out_i[:S]
+
+    def _launch(ins, out_rows, nblocks, bt_):
+        spec = pl.BlockSpec((bt_, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        xspec = pl.BlockSpec((1, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(nblocks,),
+            in_specs=[xspec, xspec, spec, spec],
+            out_specs=[spec, spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, n), jnp.float32),
+                jax.ShapeDtypeStruct((out_rows, n), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=flops_per_row * nblocks * bt_,
+                bytes_accessed=4 * nblocks * bt_ * n * 3 + 8 * n,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=_interp(interpret),
+        )(re2, im2, *ins)
+
+    out_r, out_i = _edge_tiled(_launch, (hr, hi), S, bt)
     return out_r, out_i
 
 
@@ -2378,6 +2509,185 @@ def fft_filtered_split(re, im, hr, hi, sign, scale=None, *,
     return _cd.linear_call(fwd, tr, (jnp.asarray(hr, jnp.float32),
                                      jnp.asarray(hi, jnp.float32)),
                            (re, im))
+
+
+def _fft_filt_pad_core(re, im, hr, hi, m, sign, scale=None, *,
+                       interpret=False):
+    """Bluestein forward pass: FFT_m(zero_pad_m(h .* x)) over the last
+    axis, with the chirp multiply and the zero-pad fused into the
+    kernel's load stage.  re/im: [..., n_in] with n_in a 128-multiple;
+    h: [n_in].  Returns [..., m]."""
+    n_in = re.shape[-1]
+    if m not in _BALANCED or not _supported(m):
+        raise Unsupported(f"m={m} outside balanced fused envelope")
+    if n_in % 128 or n_in > m:
+        raise Unsupported(f"n_in={n_in} must be a 128-multiple <= m")
+    lead = re.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    if rows == 0:
+        z = jnp.zeros((*lead, m), jnp.float32)
+        return z, z
+    re2 = re.reshape(rows, n_in)
+    im2 = im.reshape(rows, n_in)
+    hr2 = jnp.asarray(hr, jnp.float32).reshape(1, n_in)
+    hi2 = jnp.asarray(hi, jnp.float32).reshape(1, n_in)
+
+    bt = min(128, _round_up(rows, 128))
+    sc = float(scale) if scale is not None else 1.0
+    n1, n2, s1_factors = _BALANCED[m]
+    kern = functools.partial(
+        _kernel_rows_bal_filt_pad, n=m, n1=n1, n2=n2, sign=sign,
+        scale=sc, factors=s1_factors, n_in=n_in)
+
+    def _launch(ins, out_rows, nblocks, bt_):
+        in_spec = pl.BlockSpec((bt_, n_in), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((bt_, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        hspec = pl.BlockSpec((1, n_in), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(nblocks,),
+            in_specs=[in_spec, in_spec, hspec, hspec],
+            out_specs=[out_spec, out_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, m), jnp.float32),
+                jax.ShapeDtypeStruct((out_rows, m), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=(8 * m * (n1 + n2) + 6 * m) * nblocks * bt_,
+                bytes_accessed=4 * nblocks * bt_ * (n_in + m) * 2,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=_interp(interpret),
+        )(*ins, hr2, hi2)
+
+    out_r, out_i = _edge_tiled(_launch, (re2, im2), rows, bt)
+    return out_r.reshape(*lead, m), out_i.reshape(*lead, m)
+
+
+def _fft_filt_narrow_core(re, im, hr, hi, gr, gi, n_out, sign, scale=None,
+                          *, interpret=False):
+    """Bluestein inverse pass: g .* FFT_m(h .* x)[..., :n_out] over the
+    last axis — load-filter multiply, output slice, and post-chirp
+    multiply all fused; stage 2 cut to the contributing k2 rows.
+    re/im: [..., m]; h: [m]; g: [n_out] (n_out a 128-multiple).
+    Returns [..., n_out]."""
+    m = re.shape[-1]
+    if m not in _BALANCED or not _supported(m):
+        raise Unsupported(f"m={m} outside balanced fused envelope")
+    if n_out % 128 or n_out > m:
+        raise Unsupported(f"n_out={n_out} must be a 128-multiple <= m")
+    lead = re.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    if rows == 0:
+        z = jnp.zeros((*lead, n_out), jnp.float32)
+        return z, z
+    re2 = re.reshape(rows, m)
+    im2 = im.reshape(rows, m)
+    hr2 = jnp.asarray(hr, jnp.float32).reshape(1, m)
+    hi2 = jnp.asarray(hi, jnp.float32).reshape(1, m)
+    gr2 = jnp.asarray(gr, jnp.float32).reshape(1, n_out)
+    gi2 = jnp.asarray(gi, jnp.float32).reshape(1, n_out)
+
+    bt = min(128, _round_up(rows, 128))
+    sc = float(scale) if scale is not None else 1.0
+    n1, n2, s1_factors = _BALANCED[m]
+    kern = functools.partial(
+        _kernel_rows_bal_filt_narrow, n=m, n1=n1, n2=n2, sign=sign,
+        scale=sc, factors=s1_factors, n_out=n_out)
+
+    def _launch(ins, out_rows, nblocks, bt_):
+        in_spec = pl.BlockSpec((bt_, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((bt_, n_out), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        hspec = pl.BlockSpec((1, m), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((1, n_out), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(nblocks,),
+            in_specs=[in_spec, in_spec, hspec, hspec, gspec, gspec],
+            out_specs=[out_spec, out_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, n_out), jnp.float32),
+                jax.ShapeDtypeStruct((out_rows, n_out), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=(8 * m * n1 + 8 * n_out * n2 + 6 * m) * nblocks * bt_,
+                bytes_accessed=4 * nblocks * bt_ * (m + n_out) * 2,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=_interp(interpret),
+        )(*ins, hr2, hi2, gr2, gi2)
+
+    out_r, out_i = _edge_tiled(_launch, (re2, im2), rows, bt)
+    return out_r.reshape(*lead, n_out), out_i.reshape(*lead, n_out)
+
+
+def fft_chirp_forward_split(re, im, hr, hi, m, sign, *, interpret=False):
+    """y = FFT_m(zero_pad(h .* x)): the fused Bluestein forward pass.
+    Linear in (re, im); h constant.  Adjoint: conj(h) .*
+    FFT_{-sign}(ct)[..., :n_in] (XLA ops on the rare backward path)."""
+    n_in = re.shape[-1]
+
+    def fwd(res, lin):
+        a, b = lin
+        hr_, hi_ = res
+        return _fft_filt_pad_core(a, b, hr_, hi_, m, sign,
+                                  interpret=interpret)
+
+    def tr(res, ct):
+        g, h = ct
+        hr_, hi_ = res
+        gr_, gi_ = _fft_batched_core(g, h, -sign, None,
+                                     interpret=interpret)
+        gr_ = gr_[..., :n_in]
+        gi_ = gi_[..., :n_in]
+        return gr_ * hr_ + gi_ * hi_, gi_ * hr_ - gr_ * hi_
+
+    return _cd.linear_call(fwd, tr, (jnp.asarray(hr, jnp.float32),
+                                     jnp.asarray(hi, jnp.float32)),
+                           (re, im))
+
+
+def fft_chirp_inverse_split(re, im, hr, hi, gr, gi, n_out, sign,
+                            scale=None, *, interpret=False):
+    """y = g .* (scale * FFT_sign(h .* x))[..., :n_out]: the fused
+    Bluestein inverse pass.  Linear in (re, im); h, g constant.
+    Adjoint: conj(h) .* (scale * FFT_{-sign}(zero_pad(conj(g) .* ct)))."""
+    m = re.shape[-1]
+
+    def fwd(res, lin):
+        a, b = lin
+        hr_, hi_, gr_, gi_ = res
+        return _fft_filt_narrow_core(a, b, hr_, hi_, gr_, gi_, n_out,
+                                     sign, scale, interpret=interpret)
+
+    def tr(res, ct):
+        g, h = ct
+        hr_, hi_, gr_, gi_ = res
+        cr = g * gr_ + h * gi_
+        ci = h * gr_ - g * gi_
+        pad = [(0, 0)] * (cr.ndim - 1) + [(0, m - n_out)]
+        ar, ai = _fft_batched_core(jnp.pad(cr, pad), jnp.pad(ci, pad),
+                                   -sign, scale, interpret=interpret)
+        return ar * hr_ + ai * hi_, ai * hr_ - ar * hi_
+
+    return _cd.linear_call(
+        fwd, tr,
+        (jnp.asarray(hr, jnp.float32), jnp.asarray(hi, jnp.float32),
+         jnp.asarray(gr, jnp.float32), jnp.asarray(gi, jnp.float32)),
+        (re, im))
 
 
 def _outer_tw_conj(R, n, sign, outer):
@@ -2471,6 +2781,6 @@ def irfft_rows_split(Xr, Xi, n, scale=None, *, interpret=False,
 
     return _cd.linear_call(
         lambda _, lin: _irfft_rows_core(lin[0], lin[1], n, scale,
-                                        interpret=interpret,
+                                        interpret=_interp(interpret),
                                         padded_in=padded_in),
         transpose, (), (Xr, Xi))

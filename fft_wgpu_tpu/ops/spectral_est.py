@@ -292,9 +292,16 @@ def _median_bias(n: int) -> float:
     return float(1 + np.sum(1.0 / (ii_2 + 1) - 1.0 / ii_2))
 
 
-def _spec_segments_split(xr, xi, win, nperseg, hop, nfft, detrend):
+def _spec_segments_split(xr, xi, win, nperseg, hop, nfft, detrend,
+                         pad_out=False):
     """Frame, detrend, window, transform: returns split [.., num, bins]
-    (full two-sided bins for complex input, half spectrum for real)."""
+    (full two-sided bins for complex input, half spectrum for real).
+
+    pad_out=True (real input, even nfft) returns the PADDED half-spectrum
+    serving form [.., pad_bins(nfft)] instead of the ragged nfft//2+1
+    minor — the aligned rows keep the TPU R2C kernel at full DMA rate
+    (probe_r45: 0.657 -> 0.441 ms at 4096); reducing consumers (welch/
+    csd) slice the SMALL averaged result instead of the big spectrum."""
     from .nd import fftn_split
     from ..core.twiddle import FORWARD
     from .rfft import rfft_last_split
@@ -305,7 +312,7 @@ def _spec_segments_split(xr, xi, win, nperseg, hop, nfft, detrend):
             pad = [(0, 0)] * (frames_r.ndim - 1) + [(0, nfft - nperseg)]
             frames_r = jnp.pad(frames_r, pad)
         if nfft % 2 == 0:
-            return rfft_last_split(frames_r, None)
+            return rfft_last_split(frames_r, None, pad_out=pad_out)
         re, im = fftn_split(frames_r, jnp.zeros_like(frames_r),
                             (frames_r.ndim - 1,), FORWARD, None)
         return re[..., : nfft // 2 + 1], im[..., : nfft // 2 + 1]
@@ -391,14 +398,19 @@ def _csd_impl(x, y, fs, window, nperseg, noverlap, nfft, detrend,
         if not onesided and yr_ is not None and yi_ is None:
             yi_ = jnp.zeros_like(yr_)
 
+        # padded half-spectrum serving form end-to-end (VERDICT r3 item
+        # 5): the ragged nfft//2+1 minor halves the R2C kernel's DMA
+        # rate; the averaged result is tiny, so the slice moves there
+        pad_out = (onesided and xi_ is None and nfft % 2 == 0
+                   and jax.default_backend() == "tpu")
         Xr, Xi = _spec_segments_split(xr_, xi_, win, nperseg, hop, nfft,
-                                      detrend)
+                                      detrend, pad_out=pad_out)
         if same:
             Pr = Xr * Xr + Xi * Xi          # X * conj(X)
             Pi = jnp.zeros_like(Pr)
         else:
             Yr, Yi = _spec_segments_split(yr_, yi_, win, nperseg, hop, nfft,
-                                          detrend)
+                                          detrend, pad_out=pad_out)
             # scipy: Pxy = conj(X) * Y
             Pr = Xr * Yr + Xi * Yi
             Pi = Xr * Yi - Xi * Yr
@@ -412,6 +424,9 @@ def _csd_impl(x, y, fs, window, nperseg, noverlap, nfft, detrend,
             Pi = jnp.median(Pi, axis=-2) / bias
         else:
             raise ValueError(f"invalid average {average!r}")
+        if pad_out:  # back to the numpy-parity bin count (tiny array)
+            Pr = Pr[..., : nfft // 2 + 1]
+            Pi = Pi[..., : nfft // 2 + 1]
         Pr = Pr * norm
         Pi = Pi * norm
         if onesided:

@@ -1,0 +1,145 @@
+"""Padded-spectrum adoption audit (VERDICT r3 item 5).
+
+The numpy-parity R2C/C2R shapes have a ragged n//2+1 minor that halves
+the TPU kernels' DMA rate (probe_r45); internal round-trip / reducing
+pipelines are supposed to ride the PADDED serving forms
+([.., pad_bins(n)], `rfft pad_out=True` / `irfft padded_in=True`)
+end-to-end.  Round 3 claimed this without a test; this file PROVES it by
+lowering the top pipelines with the real TPU routing (backend faked to
+"tpu", Pallas in force_tpu_interpret_mode so the kernels execute on CPU)
+and asserting that
+
+  * no BIG ragged-minor (n//2+1-column) intermediate appears in the
+    traced jaxpr — only the final, tiny, public-boundary arrays may
+    carry the ragged bin count (the jaxpr carries every intermediate
+    aval; HLO text is unavailable here because interpret-mode Pallas
+    lowers to IO callbacks); and
+  * the pipelines remain numerically correct vs scipy in this mode.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+from fft_wgpu_tpu.ops import pallas_fft as pf
+
+N = 4096
+RAGGED = N // 2 + 1  # 2049
+PADDED = 2176        # pad_bins(4096) = round_up(2049, 128)
+BATCH = 128
+
+
+@pytest.fixture
+def fake_tpu(monkeypatch):
+    """Route exactly as on TPU hardware, executing Pallas interpreted
+    (the module-level force flag; pltpu.force_tpu_interpret_mode lowers
+    to IO callbacks whose effects linear_call rejects)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(pf, "_FORCE_INTERPRET", True)
+    yield
+    # traces made under the faked backend must not leak into other tests
+    jax.clear_caches()
+    from fft_wgpu_tpu.plan.plan import get_plan
+
+    get_plan.cache_clear()
+
+
+def _big_ragged_shapes(jaxpr_text):
+    """All avals in the jaxpr with a 2049 minor and a large leading
+    extent (the final averaged/public arrays are allowed)."""
+    hits = []
+    for m in re.finditer(rf"(?:f32|c64)\[([0-9,]+),{RAGGED}\]",
+                         jaxpr_text):
+        lead = [int(d) for d in m.group(1).split(",") if d]
+        if lead and max(lead) >= 64:
+            hits.append(m.group(0))
+    return hits
+
+
+def test_fftconvolve_rides_padded_forms(fake_tpu):
+    import fft_wgpu_tpu as ftt
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((BATCH, 3000)).astype(np.float32)
+    b = rng.standard_normal(257).astype(np.float32)
+
+    fn = jax.jit(lambda u, v: ftt.fftconvolve(u, v[None, :], mode="full"))
+    txt = str(jax.make_jaxpr(lambda u, v: ftt.fftconvolve(
+        u, v[None, :], mode="full"))(a, b))
+    assert f",{PADDED}]" in txt, "padded serving form absent from jaxpr"
+    bad = _big_ragged_shapes(txt)
+    assert not bad, f"ragged-minor intermediates in fftconvolve: {bad[:4]}"
+
+    # numerics on a small row slice (interpret mode is slow on CPU)
+    out = np.asarray(fn(a[:8], b))
+    ref = sig.fftconvolve(a[:8], b[None, :], mode="full")
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 1e-4
+
+
+def test_welch_rides_padded_forms(fake_tpu):
+    import fft_wgpu_tpu as ftt
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(N * 8).astype(np.float32)
+
+    f1, p1 = ftt.welch(x, nperseg=N)
+    f2, p2 = sig.welch(x, nperseg=N)
+    err = np.linalg.norm(np.asarray(p1) - p2) / np.linalg.norm(p2)
+    assert err < 1e-4
+
+    # lower the jitted inner impl and audit shapes: the per-segment
+    # spectrum [segs, bins] must be padded; only the averaged (1-D)
+    # result may be ragged
+    from fft_wgpu_tpu.ops.spectral_est import _csd_impl  # noqa: F401
+    from fft_wgpu_tpu.ops import spectral_est as se
+
+    captured = {}
+    orig = se._spec_segments_split
+
+    def spy(xr, xi, win, nperseg, hop, nfft, detrend, pad_out=False):
+        captured["pad_out"] = pad_out
+        out = orig(xr, xi, win, nperseg, hop, nfft, detrend, pad_out)
+        captured["bins"] = out[0].shape[-1]
+        return out
+
+    se._spec_segments_split = spy
+    try:
+        ftt.welch(x, nperseg=N)
+    finally:
+        se._spec_segments_split = orig
+    assert captured["pad_out"] is True
+    assert captured["bins"] == PADDED
+
+
+def test_oaconvolve_rides_padded_forms(fake_tpu):
+    """oaconvolve's segmented real path must keep the padded serving
+    forms from the batched segment R2C through the filter multiply to
+    the C2R (VERDICT r3 item 5 straggler, converted this round)."""
+    import fft_wgpu_tpu as ftt
+
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal(20000).astype(np.float32)
+    b = rng.standard_normal(129).astype(np.float32)
+
+    txt = str(jax.make_jaxpr(
+        lambda u, v: ftt.oaconvolve(u, v, mode="full"))(a, b))
+    bad = []
+    for m in re.finditer(r"(?:f32|c64)\[([0-9,]+)\]", txt):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        # any big array whose minor is an r2c ragged count (2^k//2+1)
+        if (len(dims) >= 2 and dims[-1] > 64 and dims[-1] % 2 == 1
+                and max(dims[:-1]) >= 8):
+            bad.append(m.group(0))
+    assert not bad, f"ragged-minor intermediates in oaconvolve: {bad[:4]}"
+
+    out = np.asarray(ftt.oaconvolve(a, b, mode="full"))
+    ref = sig.oaconvolve(a, b, mode="full")
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 1e-4
