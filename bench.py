@@ -586,11 +586,11 @@ def child_main():
     _row("vs stock XLA jnp.fft", _vs_xla, budget=600)
 
     def _bluestein(n2, b2):
-        """Non-pow2 path (VERDICT r3 item 7): chirp-z at prime /
-        pow2+1 lengths.  Roofline accounting: the algorithm moves
-        ~6 HBM passes of the padded length m (chirp mult, two m-FFT
-        round trips incl. the spectral filter fused pass, final mult
-        + slice), so the fraction is vs that structural floor."""
+        """Non-pow2 prime-capable path: FUSED chirp-z (round 4) — chirp
+        multiply + zero-pad ride the forward m-kernel's load stage, the
+        filter-spectrum multiply + n-slice + post-chirp ride the inverse
+        m-kernel's load/store.  Structural floor = the 2 fused m-passes:
+        read n_p + write m, read m + write n_p (planar f32)."""
         from fft_wgpu_tpu.ops.bluestein import _chirp_np, \
             fft_bluestein_split
         from fft_wgpu_tpu.utils.roofline import hbm_bandwidth
@@ -609,15 +609,48 @@ def child_main():
         if dt2 is None:
             raise RuntimeError("profiler captured no device events")
         m = _chirp_np(n2, -1)[4]
+        n_p = -(-n2 // 128) * 128
         gf = 5.0 * n2 * math.log2(n2) * b2 / dt2 / 1e9  # n-DFT convention
-        frac = 6 * 8.0 * m * b2 / dt2 / hbm_bandwidth(dev)
+        frac = 2 * 8.0 * (m + n_p) * b2 / dt2 / hbm_bandwidth(dev)
         return (f"{dt2*1e3:.3f} ms (m={m}), {gf:.0f} GFLOP/s-equiv, "
-                f"{frac:.1%} of 6-pass-m roofline, vs_xla={err:.2e}")
+                f"{frac:.1%} of fused-2-pass roofline, vs_xla={err:.2e}")
 
     _row("Bluestein n=4097 x 1024", lambda: _bluestein(4097, 1024),
          budget=600)
     _row("Bluestein prime n=4093 x 1024", lambda: _bluestein(4093, 1024),
          budget=600)
+
+    def _general(n2, b2):
+        """Composite non-pow2 via the round-4 generic two-factor kernel:
+        ONE VMEM-resident pass (public fft routing) — vs Bluestein's two
+        fused m-sized passes for the same length."""
+        from fft_wgpu_tpu.ops.stockham import fft_last_axis
+        from fft_wgpu_tpu.utils.roofline import hbm_bandwidth
+
+        re = jax.random.normal(jax.random.PRNGKey(22), (b2, n2),
+                               jnp.float32)
+        im = jax.random.normal(jax.random.PRNGKey(23), (b2, n2),
+                               jnp.float32)
+        fn = jax.jit(lambda a, b: fft_last_axis(a, b, -1))
+        Xr, Xi = fn(re, im)
+        ref = jnp.fft.fft(jax.lax.complex(re, im), axis=-1)
+        err = float(jnp.sqrt(
+            jnp.sum((Xr - jnp.real(ref)) ** 2 + (Xi - jnp.imag(ref)) ** 2)
+            / jnp.sum(jnp.real(ref) ** 2 + jnp.imag(ref) ** 2)))
+        dt2 = _device_time(fn, (re, im))
+        if dt2 is None:
+            raise RuntimeError("profiler captured no device events")
+        n_p = -(-n2 // 128) * 128
+        # 1 kernel pass + the two n-sized pad/slice boundary passes
+        frac = 8.0 * (3 * n_p + n2) * b2 / dt2 / hbm_bandwidth(dev)
+        gf = 5.0 * n2 * math.log2(n2) * b2 / dt2 / 1e9
+        return (f"{dt2*1e3:.3f} ms, {gf:.0f} GFLOP/s-equiv, "
+                f"{frac:.1%} of 1-pass+pad roofline, vs_xla={err:.2e}")
+
+    _row("general composite n=4097 x 1024 (one-pass kernel)",
+         lambda: _general(4097, 1024), budget=600)
+    _row("general composite n=1000 x 2048 (one-pass kernel)",
+         lambda: _general(1000, 2048), budget=600)
     _row("end-to-end 2500x512 (reference loop)", lambda: _end_to_end(512, 2500))
 
 

@@ -2690,6 +2690,138 @@ def fft_chirp_inverse_split(re, im, hr, hi, gr, gi, n_out, sign,
         (re, im))
 
 
+# --------------------------------------------------------------------- #
+# Generic two-factor rows kernel: single-pass FFT for ANY composite n
+# (not just powers of two).
+# --------------------------------------------------------------------- #
+#
+# Why it exists (round 4): non-pow2 composite lengths used to ride
+# Bluestein (two fused m-passes at m = next_pow2(2n-1) >= 2n of data) or
+# the XLA mixed-radix recursion (multiple HBM passes).  But the balanced
+# kernels' transpose-in trick generalizes: once the row is on the
+# SUBLANE axis (minor dim = bt = 128 lanes), sublane reshapes are legal
+# for ANY factorization n = n1*n2 — no 128-multiple constraint.  So
+# n=4097=17*241 becomes ONE VMEM-resident pass: transpose-in, slice the
+# pad rows off (sublane slice, free), n1-point DFT dot, twiddle,
+# n2-point DFT dot, zero-fill back to the padded height, transpose out.
+# The ragged lane extent n is handled by 128-aligned pad/slice at the
+# XLA boundary (n-sized passes — tiny next to Bluestein's m-sized ones).
+
+def _kernel_rows_gen(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
+                     scale, n_pad):
+    bt = xr_ref.shape[0]
+    ar = xr_ref[:].T[:n].reshape(n1, n2, bt)
+    ai = xi_ref[:].T[:n].reshape(n1, n2, bt)
+    # stage 1: contract m1 (dim 0) -> [k1, n2, bt]
+    if 2 * n1 <= 128:
+        br, bi = _cdot_realcat(n1, sign, ar, ai, 0, ((1,), (0,)))
+    else:
+        w1r, w1i = _gen_dft(n1, n1, n1, sign)
+        br, bi = _cdot(w1r, w1r + w1i, w1i - w1r, ar, ai, ((1,), (0,)))
+    twr, twi = _gen_twiddle(n1, n2, n, sign)
+    cr = br * twr[:, :, None] - bi * twi[:, :, None]
+    ci = br * twi[:, :, None] + bi * twr[:, :, None]
+    # stage 2: contract m2 (dim 1) -> [k2, k1, bt]; flat k = k2*n1 + k1
+    if 2 * n2 <= 128:
+        dr, di = _cdot_realcat(n2, sign, cr, ci, 1, ((1,), (1,)), scale)
+    else:
+        w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
+        dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
+    dr = dr.reshape(n, bt)
+    di = di.reshape(n, bt)
+    if n_pad != n:
+        z = jnp.zeros((n_pad - n, bt), jnp.float32)
+        dr = jnp.concatenate([dr, z], axis=0)
+        di = jnp.concatenate([di, z], axis=0)
+    or_ref[:] = dr.T
+    oi_ref[:] = di.T
+
+
+def _choose_general_split(n: int):
+    """Minimal-MAC divisor pair (n1, n2), n1 <= n2, n1*n2 = n, both
+    bounded so the in-kernel DFT matrices stay small; None if n has no
+    such factorization (prime, or wildly unbalanced like 2*8191)."""
+    best = None
+    d = 2
+    while d * d <= n:
+        if n % d == 0:
+            pair = (d, n // d)
+            if pair[1] <= 512 and (best is None
+                                   or sum(pair) < sum(best)):
+                best = pair
+        d += 1
+    return best
+
+
+def _fft_rows_gen_core(re, im, sign, scale=None, *, interpret=False):
+    """Single-pass batched FFT over the last axis for composite non-pow2
+    n in [512, 16384].  One HBM round trip (+ two cheap n-sized
+    pad/slice passes at the 128-alignment boundary) — replaces the
+    ~2 fused m-sized Bluestein passes (m >= 2n) for composite n.
+    Reference analogue: none (fft_wgpu is pow2-only,
+    src/processor.rs:327)."""
+    n = re.shape[-1]
+    if n < 512 or n > FUSED_MAX_N or (n & (n - 1)) == 0:
+        raise Unsupported(f"n={n} outside general-kernel envelope")
+    split = _choose_general_split(n)
+    if split is None:
+        raise Unsupported(f"n={n} has no balanced factorization")
+    n1, n2 = split
+    lead = re.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    if rows == 0:
+        return re, im
+    n_pad = _round_up(n, 128)
+    re2 = re.reshape(rows, n)
+    im2 = im.reshape(rows, n)
+    if n_pad != n:
+        re2 = jnp.pad(re2, ((0, 0), (0, n_pad - n)))
+        im2 = jnp.pad(im2, ((0, 0), (0, n_pad - n)))
+
+    bt = min(128, _round_up(rows, 128))
+    sc = float(scale) if scale is not None else 1.0
+    kern = functools.partial(_kernel_rows_gen, n=n, n1=n1, n2=n2,
+                             sign=sign, scale=sc, n_pad=n_pad)
+
+    def _launch(ins, out_rows, nblocks, bt_):
+        spec = pl.BlockSpec((bt_, n_pad), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(nblocks,),
+            in_specs=[spec, spec],
+            out_specs=[spec, spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((out_rows, n_pad), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=(8 * n * (n1 + n2) + 6 * n) * nblocks * bt_,
+                bytes_accessed=4 * nblocks * bt_ * n_pad * 4,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=_interp(interpret),
+        )(*ins)
+
+    out_r, out_i = _edge_tiled(_launch, (re2, im2), rows, bt)
+    return (out_r[..., :n].reshape(*lead, n),
+            out_i[..., :n].reshape(*lead, n))
+
+
+def fft_rows_general_split(re, im, sign, scale=None, *, interpret=False):
+    """Composite non-pow2 single-pass rows FFT (see _fft_rows_gen_core).
+    Differentiable both modes (sign-flipped adjoint, the convention of
+    every kernel in this module)."""
+    kw = dict(interpret=interpret)
+    return _linear2(
+        lambda a, b: _fft_rows_gen_core(a, b, sign, scale, **kw),
+        lambda a, b: _fft_rows_gen_core(a, b, -sign, scale, **kw),
+        re, im)
+
+
 def _outer_tw_conj(R, n, sign, outer):
     """conj of the rows_t outer twiddle as XLA arrays: exp(-sign*2pi*i*
     r*m/outer_n) with exact f32 index math (products < outer_n <= 2^22)."""

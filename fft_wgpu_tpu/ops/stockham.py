@@ -65,6 +65,16 @@ def fft_last_axis(re, im, sign):
         return re, im
     if n <= _factor.MAX_DIRECT:
         return _dft_direct(re, im, sign)
+    if (n & (n - 1)) and jax.default_backend() == "tpu":
+        # composite non-pow2 on TPU: ONE fused VMEM-resident pass
+        # (generic two-factor kernel) instead of the multi-pass XLA
+        # recursion below / two fused m-sized Bluestein passes
+        from . import pallas_fft
+
+        try:
+            return pallas_fft.fft_rows_general_split(re, im, sign)
+        except pallas_fft.Unsupported:
+            pass
     if not _factor.is_smooth(n):
         from . import bluestein
 

@@ -143,3 +143,32 @@ def test_oaconvolve_rides_padded_forms(fake_tpu):
     ref = sig.oaconvolve(a, b, mode="full")
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert err < 1e-4
+
+
+def test_fused_chirp_paths(fake_tpu):
+    """The fused Bluestein/CZT kernels (chirp+pad in the forward load,
+    filter+slice+chirp in the inverse load/store) through the real TPU
+    routing: non-pow2 fft, prime fft, czt with custom (w, a), zoom_fft."""
+    import fft_wgpu_tpu as ftt
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((4, 1000))
+         + 1j * rng.standard_normal((4, 1000))).astype(np.complex64)
+
+    got = np.asarray(jax.device_get(ftt.fft(x)))
+    ref = np.fft.fft(x, axis=-1)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+
+    xp = x[:, :521]  # prime length
+    got = np.asarray(jax.device_get(ftt.fft(xp)))
+    ref = np.fft.fft(xp, axis=-1)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+
+    got = np.asarray(jax.device_get(ftt.czt(xp, m=300)))
+    ref = sig.czt(np.asarray(xp, np.complex128), m=300)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-4
+
+    got = np.asarray(jax.device_get(
+        ftt.zoom_fft(xp.real, [0.1, 0.4], m=256)))
+    ref = sig.zoom_fft(np.asarray(xp.real, np.float64), [0.1, 0.4], m=256)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-4
