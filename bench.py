@@ -647,8 +647,8 @@ def child_main():
         return (f"{dt2*1e3:.3f} ms, {gf:.0f} GFLOP/s-equiv, "
                 f"{frac:.1%} of 1-pass+pad roofline, vs_xla={err:.2e}")
 
-    _row("general composite n=4097 x 1024 (one-pass kernel)",
-         lambda: _general(4097, 1024), budget=600)
+    _row("general composite n=4095 x 1024 (one-pass kernel)",
+         lambda: _general(4095, 1024), budget=600)
     _row("general composite n=1000 x 2048 (one-pass kernel)",
          lambda: _general(1000, 2048), budget=600)
     _row("end-to-end 2500x512 (reference loop)", lambda: _end_to_end(512, 2500))

@@ -1042,6 +1042,17 @@ def _choose_split_sublane(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
+def _ax0_supported(n: int) -> bool:
+    """Axis(-2) kernel envelope: the pow2 fused range, or (round 4) any
+    composite n with a balanced factorization — the transform axis lives
+    on SUBLANES here, so neither n nor its factors need 128-multiples
+    (sublane reshapes are free with the 128-lane minor)."""
+    if _supported(n):
+        return True
+    return (512 <= n <= FUSED_MAX_N
+            and _choose_general_split(n) is not None)
+
+
 # Stage-1 VPU chains by major-factor size, shared by the balanced rows
 # kernels and the axis(-2) kernel.  (4,4,4) measured best for 64
 # (probe_r14: pure-add radix-4s beat (8,8)'s sqrt2 rotations).
@@ -1164,9 +1175,14 @@ def _fft_axis0_core(re, im, sign, scale=None, *, interpret=False):
     sublane-domain kernel (the lane axis m carries the batch).
 
     m is padded to a multiple of 128 lanes; leading dims map to the grid.
+
+    Round 4: composite non-pow2 n is supported too — the transform axis
+    lives on sublanes, where reshapes need no 128-multiples, so any
+    balanced factorization n = n1*n2 compiles (non-pow2 ND transforms
+    get a transpose-free interior-axis pass this way).
     """
     n = re.shape[-2]
-    if not _supported(n):
+    if not _ax0_supported(n):
         raise Unsupported(f"n={n} outside fused kernel envelope")
 
     lead = re.shape[:-2]
@@ -1174,7 +1190,10 @@ def _fft_axis0_core(re, im, sign, scale=None, *, interpret=False):
     b = int(np.prod(lead)) if lead else 1
     re3 = re.reshape(b, n, m)
     im3 = im.reshape(b, n, m)
-    n1, n2 = _choose_split_sublane(n)
+    if n & (n - 1):
+        n1, n2 = _choose_general_split(n)
+    else:
+        n1, n2 = _choose_split_sublane(n)
     sc = float(scale) if scale is not None else 1.0
     # Lane tile for the MAIN grid (ragged lane tails ride their own
     # one-tile `_edge_tiled` call, so divisibility no longer constrains
@@ -1322,7 +1341,7 @@ def _fft_axis3_core(re, im, sign, scale=None, *, interpret=False):
         raise Unsupported("axis -3 kernel needs rank >= 3")
     n, Y, Z = re.shape[-3:]
     st = _AX3_SUBTILE
-    if not _supported(n) or Y % st or Z % 128:
+    if not _ax0_supported(n) or Y % st or Z % 128:
         raise Unsupported(f"axis -3 shape ({n},{Y},{Z}) unsupported")
     # block = n*st*128 f32 x2 arrays x2 in/out, double-buffered
     if n * st * 128 * 4 * 8 > 100 * 1024 * 1024:
@@ -1333,7 +1352,10 @@ def _fft_axis3_core(re, im, sign, scale=None, *, interpret=False):
         return re, im
     re4 = re.reshape(b, n, Y, Z)
     im4 = im.reshape(b, n, Y, Z)
-    n1, n2 = _choose_split_sublane(n)
+    if n & (n - 1):
+        n1, n2 = _choose_general_split(n)
+    else:
+        n1, n2 = _choose_split_sublane(n)
     sc = float(scale) if scale is not None else 1.0
     if (n in _PIPE_AX3 and Y % (2 * st) == 0
             and n * 2 * st * 128 * 4 * 8 <= 100 * 1024 * 1024):
@@ -2738,15 +2760,18 @@ def _kernel_rows_gen(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
 
 
 def _choose_general_split(n: int):
-    """Minimal-MAC divisor pair (n1, n2), n1 <= n2, n1*n2 = n, both
-    bounded so the in-kernel DFT matrices stay small; None if n has no
-    such factorization (prime, or wildly unbalanced like 2*8191)."""
+    """Minimal-MAC divisor pair (n1, n2), n1 <= n2, n1*n2 = n; None if
+    n has no such factorization.  BOTH factors must be <= 128: larger
+    (prime) factors HANG the remote compile service inside a C call
+    where not even SIGALRM fires (probe_r63: (3,257) and (17,241) hang;
+    (25,40) and (63,65) compile) — lengths that only factor through a
+    >128 prime fall back to the fused Bluestein path."""
     best = None
     d = 2
     while d * d <= n:
         if n % d == 0:
             pair = (d, n // d)
-            if pair[1] <= 512 and (best is None
+            if pair[1] <= 128 and (best is None
                                    or sum(pair) < sum(best)):
                 best = pair
         d += 1

@@ -478,3 +478,60 @@ def test_axis3_unsupported_shapes():
     r = jnp.zeros((512, 8, 100), jnp.float32)  # Z not a lane multiple
     with pytest.raises(pallas_fft.Unsupported):
         pallas_fft._fft_axis3_core(r, r, -1, interpret=True)
+
+
+# ------------------------------------------------------------------ #
+# Round 4: generic composite-n kernels
+# ------------------------------------------------------------------ #
+
+@pytest.mark.parametrize("n", [1000, 4095, 640])
+def test_rows_general_composite(n, rng, assert_close):
+    """Single-pass generic two-factor kernel for composite non-pow2 n
+    (round 4): oracle + ragged-batch edge tiling."""
+    import jax.numpy as jnp
+
+    x = crand(rng, 5, n)
+    re, im = jnp.asarray(x.real), jnp.asarray(x.imag)
+    rr, ii = pallas_fft.fft_rows_general_split(re, im, -1, interpret=True)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    assert_close(got, np.fft.fft(x, axis=-1), what=f"general n={n}")
+
+
+def test_rows_general_envelope():
+    """Prime n and >128-prime-factor n must raise (those factor shapes
+    HANG the remote compile service — probe_r63); pow2 raises too (it
+    has its own pinned kernels)."""
+    import jax.numpy as jnp
+
+    r = jnp.zeros((4, 4093), jnp.float32)  # prime
+    with pytest.raises(pallas_fft.Unsupported):
+        pallas_fft._fft_rows_gen_core(r, r, -1, interpret=True)
+    r = jnp.zeros((4, 4097), jnp.float32)  # 17*241: factor > 128
+    with pytest.raises(pallas_fft.Unsupported):
+        pallas_fft._fft_rows_gen_core(r, r, -1, interpret=True)
+    r = jnp.zeros((4, 4096), jnp.float32)  # pow2: pinned kernels
+    with pytest.raises(pallas_fft.Unsupported):
+        pallas_fft._fft_rows_gen_core(r, r, -1, interpret=True)
+
+
+@pytest.mark.parametrize("n,m", [(1000, 256)])
+def test_ax0_composite(n, m, rng, assert_close):
+    """Axis(-2) kernel on composite non-pow2 n (sublane-domain: no
+    alignment constraints on the transform extent)."""
+    import jax.numpy as jnp
+
+    x = crand(rng, 2, n, m)
+    re, im = jnp.asarray(x.real), jnp.asarray(x.imag)
+    rr, ii = pallas_fft.fft_axis0_split(re, im, -1, interpret=True)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    assert_close(got, np.fft.fft(x, axis=-2), what=f"ax0 n={n}")
+
+
+def test_ax3_composite(rng, assert_close):
+    import jax.numpy as jnp
+
+    x = crand(rng, 1000, 8, 128)
+    re, im = jnp.asarray(x.real), jnp.asarray(x.imag)
+    rr, ii = pallas_fft.fft_axis3_split(re, im, -1, interpret=True)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    assert_close(got, np.fft.fft(x, axis=-3), what="ax3 n=1000")
