@@ -2847,6 +2847,132 @@ def fft_rows_general_split(re, im, sign, scale=None, *, interpret=False):
         re, im)
 
 
+def _kernel_r2c_gen(x_ref, or_ref, oi_ref, *, n, n1, n2, scale, n_pad,
+                    mp, mp_out):
+    """General-n R2C: real [bt, n_pad] -> split half spectrum
+    [bt, mp_out].  REAL-specialized stage 1 (one stacked [2n1, n1] dot
+    at K = n1 — half the complex kernel's contraction) and the stage-2
+    dot cut to the ceil(mp/n1) contributing k2 rows.  Works for ODD n
+    too (mp = n//2+1 bins, no Nyquist): the even-only half-size pack
+    path of the XLA fallback cannot."""
+    sign = -1
+    bt = x_ref.shape[0]
+    ar = x_ref[:].T[:n].reshape(n1, n2, bt)
+    w1r, w1i = _gen_dft(n1, n1, n1, sign)
+    wcat = jnp.concatenate([w1r, w1i], axis=0)  # [2n1, n1]
+    res = jax.lax.dot_general(
+        wcat, ar, ((((1,), (0,))), ((), ())), precision=_MM_PREC,
+        preferred_element_type=jnp.float32)
+    br, bi = res[:n1], res[n1:]
+    twr, twi = _gen_twiddle(n1, n2, n, sign)
+    cr = br * twr[:, :, None] - bi * twi[:, :, None]
+    ci = br * twi[:, :, None] + bi * twr[:, :, None]
+    k2c = -(-mp // n1)  # flat bin k = k2*n1 + k1 < mp
+    if 2 * n2 <= 128:
+        dr, di = _cdot_realcat_cut(n2, sign, cr, ci, 1, ((1,), (1,)),
+                                   scale, k2c)
+    else:
+        w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
+        dr, di = _cdot(w2r[:k2c], w2r[:k2c] + w2i[:k2c],
+                       w2i[:k2c] - w2r[:k2c], cr, ci, ((1,), (1,)))
+    dr = dr.reshape(k2c * n1, bt)[:mp]
+    di = di.reshape(k2c * n1, bt)[:mp]
+    if mp_out != mp:
+        z = jnp.zeros((mp_out - mp, bt), jnp.float32)
+        dr = jnp.concatenate([dr, z], axis=0)
+        di = jnp.concatenate([di, z], axis=0)
+    or_ref[:] = dr.T
+    oi_ref[:] = di.T
+
+
+def _rfft_gen_core(xr, scale=None, *, interpret=False):
+    """Single-pass general-n R2C over the last axis: real [..., n] ->
+    split [..., round_up(n//2+1, 128)] (always the PADDED serving form;
+    callers slice at the public boundary).  Envelope: composite n in
+    [512, 16384] with both factors <= 128, n not pow2."""
+    n = xr.shape[-1]
+    if n < 512 or n > FUSED_MAX_N or (n & (n - 1)) == 0:
+        raise Unsupported(f"n={n} outside general-kernel envelope")
+    split = _choose_general_split(n)
+    if split is None:
+        raise Unsupported(f"n={n} has no balanced factorization")
+    n1, n2 = split
+    mp = n // 2 + 1
+    mp_out = _round_up(mp, 128)
+    lead = xr.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    if rows == 0:
+        z = jnp.zeros((*lead, mp_out), jnp.float32)
+        return z, z
+    n_pad = _round_up(n, 128)
+    x2 = xr.reshape(rows, n)
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n)))
+
+    bt = min(128, _round_up(rows, 128))
+    sc = float(scale) if scale is not None else 1.0
+    kern = functools.partial(_kernel_r2c_gen, n=n, n1=n1, n2=n2,
+                             scale=sc, n_pad=n_pad, mp=mp, mp_out=mp_out)
+
+    def _launch(ins, out_rows, nblocks, bt_):
+        in_spec = pl.BlockSpec((bt_, n_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((bt_, mp_out), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(nblocks,),
+            in_specs=[in_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, mp_out), jnp.float32),
+                jax.ShapeDtypeStruct((out_rows, mp_out), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=(4 * n * n1 + 8 * mp * n2) * nblocks * bt_,
+                bytes_accessed=4 * nblocks * bt_ * (n_pad + 2 * mp_out),
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=_interp(interpret),
+        )(*ins)
+
+    out_r, out_i = _edge_tiled(_launch, (x2,), rows, bt)
+    return (out_r.reshape(*lead, mp_out), out_i.reshape(*lead, mp_out))
+
+
+def rfft_rows_general_split(xr, scale=None, *, interpret=False,
+                            pad_out=False):
+    """General-n single-pass R2C (composite non-pow2, incl. ODD n).
+    Returns [..., n//2+1] (or the padded serving form with
+    pad_out=True).  Differentiable (adjoint: zero-padded +1-sign general
+    C2C, real part — pad-column cotangents are discarded, the kernel
+    writes exact zeros there)."""
+    n = xr.shape[-1]
+    mp = n // 2 + 1
+
+    def fwd(_, lin):
+        Rr, Ri = _rfft_gen_core(lin[0], scale, interpret=interpret)
+        if not pad_out:
+            Rr = Rr[..., :mp]
+            Ri = Ri[..., :mp]
+        return Rr, Ri
+
+    def transpose(_, ct):
+        ctr, cti = ct
+        if ctr.shape[-1] > mp:  # padded form: pad columns are zeros
+            ctr = ctr[..., :mp]
+            cti = cti[..., :mp]
+        pad = [(0, 0)] * (ctr.ndim - 1) + [(0, n - mp)]
+        gr, _gi = _fft_rows_gen_core(jnp.pad(ctr, pad), jnp.pad(cti, pad),
+                                     +1, scale, interpret=interpret)
+        return (gr,)
+
+    return _cd.linear_call(fwd, transpose, (), (xr,))
+
+
 def _outer_tw_conj(R, n, sign, outer):
     """conj of the rows_t outer twiddle as XLA arrays: exp(-sign*2pi*i*
     r*m/outer_n) with exact f32 index math (products < outer_n <= 2^22)."""

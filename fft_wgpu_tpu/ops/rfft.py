@@ -60,6 +60,14 @@ def rfft_last_split(xr, sign_scale, *, pad_out=False):
                                                   pad_out=pad_out)
             except pallas_fft.Unsupported:
                 pass
+            try:
+                # composite non-pow2 (incl. ODD n): single-pass general
+                # R2C kernel (round 4) — the pack path below is even-only
+                # and costs several flip/twiddle XLA passes
+                return pallas_fft.rfft_rows_general_split(
+                    xr, sign_scale, pad_out=pad_out)
+            except pallas_fft.Unsupported:
+                pass
     Xr, Xi = _rfft_even_split(xr, sign_scale)
     if pad_out:
         from .pallas_fft import pad_bins

@@ -172,3 +172,17 @@ def test_fused_chirp_paths(fake_tpu):
         ftt.zoom_fft(xp.real, [0.1, 0.4], m=256)))
     ref = sig.zoom_fft(np.asarray(xp.real, np.float64), [0.1, 0.4], m=256)
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-4
+
+
+def test_fft2_composite_axes(fake_tpu):
+    """ND transforms on composite non-pow2 shapes ride the round-4
+    kernels per axis (general rows for -1, composite ax0 for -2) —
+    no moveaxis relayouts, real TPU routing."""
+    import fft_wgpu_tpu as ftt
+
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal((2, 640, 640))
+         + 1j * rng.standard_normal((2, 640, 640))).astype(np.complex64)
+    got = np.asarray(jax.device_get(ftt.fft2(x)))
+    ref = np.fft.fft2(x)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5

@@ -535,3 +535,29 @@ def test_ax3_composite(rng, assert_close):
     rr, ii = pallas_fft.fft_axis3_split(re, im, -1, interpret=True)
     got = np.asarray(rr) + 1j * np.asarray(ii)
     assert_close(got, np.fft.fft(x, axis=-3), what="ax3 n=1000")
+
+
+@pytest.mark.parametrize("n", [1000, 4095, 1005])
+def test_r2c_general_composite(n, rng, assert_close):
+    """General-n single-pass R2C (round 4): even AND odd composite n
+    (the XLA pack fallback is even-only)."""
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((5, n)).astype(np.float32)
+    R, I = pallas_fft.rfft_rows_general_split(jnp.asarray(x),
+                                              interpret=True)
+    got = np.asarray(R) + 1j * np.asarray(I)
+    assert_close(got, np.fft.rfft(x, axis=-1), what=f"r2c gen n={n}")
+
+
+def test_r2c_general_padded_form(rng):
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((3, 1000)).astype(np.float32)
+    R, I = pallas_fft.rfft_rows_general_split(jnp.asarray(x),
+                                              interpret=True,
+                                              pad_out=True)
+    mp = 501
+    assert R.shape[-1] == 512
+    assert float(jnp.max(jnp.abs(R[:, mp:]))) == 0.0
+    assert float(jnp.max(jnp.abs(I[:, mp:]))) == 0.0
