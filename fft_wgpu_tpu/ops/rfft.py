@@ -60,14 +60,14 @@ def rfft_last_split(xr, sign_scale, *, pad_out=False):
                                                   pad_out=pad_out)
             except pallas_fft.Unsupported:
                 pass
-            try:
-                # composite non-pow2 (incl. ODD n): single-pass general
-                # R2C kernel (round 4) — the pack path below is even-only
-                # and costs several flip/twiddle XLA passes
-                return pallas_fft.rfft_rows_general_split(
-                    xr, sign_scale, pad_out=pad_out)
-            except pallas_fft.Unsupported:
-                pass
+            # NOTE: pallas_fft.rfft_rows_general_split (the round-4
+            # composite-n R2C kernel) is numerically correct and fast
+            # where it compiles (n=1005 x 1024: 0.085 ms, rel 1.8e-07 —
+            # vcheck_r66) but two of three probed shapes (1000, 4095)
+            # blew a 900 s compile budget on the remote service, so it
+            # is NOT routed yet — the even-n pack path below composes
+            # fast-compiling pieces instead.  Re-probe on a quieter
+            # compile service / toolchain update before routing.
     Xr, Xi = _rfft_even_split(xr, sign_scale)
     if pad_out:
         from .pallas_fft import pad_bins

@@ -313,6 +313,124 @@ _CASES = {
 }
 
 
+
+
+# ---- second fuzz wave (round 4): more scipy-surface entry points ---- #
+
+def _case_periodogram(rng):
+    x = _arr(rng, (int(rng.integers(64, 256)),))
+    kw = {}
+    if rng.integers(2):
+        kw["window"] = str(rng.choice(["boxcar", "hann", "hamming"]))
+    if rng.integers(2):
+        kw["nfft"] = int(rng.integers(len(x), 2 * len(x)))
+    f1, p1 = ftt.periodogram(x, **kw)
+    f2, p2 = sig.periodogram(x, **kw)
+    assert rel_l2(f1, f2) < 1e-6
+    return p1, p2, 2e-4
+
+
+def _case_coherence(rng):
+    n = int(rng.integers(128, 300))
+    x = _arr(rng, (n,))
+    y = x + 0.5 * _arr(rng, (n,))
+    nperseg = int(rng.integers(16, 48))
+    f1, c1 = ftt.coherence(x, y, nperseg=nperseg)
+    f2, c2 = sig.coherence(x, y, nperseg=nperseg)
+    assert rel_l2(f1, f2) < 1e-6
+    return c1, c2, 5e-4
+
+
+def _case_decimate(rng):
+    x = _arr(rng, (int(rng.integers(64, 256)),))
+    q = int(rng.integers(2, 6))
+    # FIR only: scipy's default IIR path is out of this library's scope
+    return (ftt.decimate(x, q, ftype="fir"),
+            sig.decimate(x.astype(np.float64), q, ftype="fir"), 2e-4)
+
+
+def _case_savgol(rng):
+    x = _arr(rng, (int(rng.integers(32, 128)),))
+    wl = int(rng.integers(3, 12)) | 1  # odd window
+    po = int(rng.integers(1, min(wl - 1, 5)))
+    deriv = int(rng.integers(0, min(po + 1, 3)))
+    return (ftt.savgol_filter(x, wl, po, deriv=deriv),
+            sig.savgol_filter(x.astype(np.float64), wl, po, deriv=deriv),
+            5e-4)
+
+
+def _case_wiener(rng):
+    x = _arr(rng, (int(rng.integers(16, 48)),
+                   int(rng.integers(16, 48))))
+    ms = int(rng.integers(1, 4)) * 2 + 1
+    return (ftt.wiener(x, mysize=ms),
+            sig.wiener(x.astype(np.float64), mysize=ms), 5e-4)
+
+
+def _case_cepstrum(rng):
+    # minimum-phase-ish signal keeps the complex cepstrum well-defined
+    n = int(rng.integers(32, 96))
+    x = _arr(rng, (n,)) * (0.8 ** np.arange(n, dtype=np.float32))
+    x[0] += 5.0
+    if rng.integers(2):
+        from scipy.signal import hilbert as _h  # noqa: F401
+        got = ftt.real_cepstrum(x)
+        X = np.fft.fft(x.astype(np.float64))
+        want = np.fft.ifft(np.log(np.abs(X))).real
+        return got, want, 1e-3
+    got, _nd = ftt.complex_cepstrum(x)
+    X = np.fft.fft(x.astype(np.float64))
+    # scipy-style unwrapped-phase cepstrum
+    ndelay = int(np.round(np.unwrap(np.angle(X))[n // 2] / np.pi))
+    unw = np.unwrap(np.angle(X)) + np.pi * ndelay * np.arange(n) * 2 / n
+    want = np.fft.ifft(np.log(np.abs(X)) + 1j * unw).real
+    return got, want, 1e-3
+
+
+def _case_fftshift(rng):
+    x = _arr(rng, _shape(rng, 2))
+    axes = None if rng.integers(2) else (int(rng.integers(0, 2)),)
+    if rng.integers(2):
+        return (ftt.fftshift(x, axes=axes),
+                np.fft.fftshift(x, axes=axes), 0.0 + 1e-12)
+    return (ftt.ifftshift(x, axes=axes),
+            np.fft.ifftshift(x, axes=axes), 0.0 + 1e-12)
+
+
+def _case_dht(rng):
+    x = _arr(rng, (int(rng.integers(16, 200)),))
+    H = np.asarray(ftt.dht(x))
+    X = np.fft.fft(x.astype(np.float64))
+    want = X.real - X.imag  # DHT = Re(F) - Im(F)
+    rt = np.asarray(ftt.idht(H))
+    assert rel_l2(rt, x) < 1e-4
+    return H, want, 2e-4
+
+
+def _case_stft_istft_roundtrip(rng):
+    n = int(rng.integers(512, 1024))
+    x = _arr(rng, (n,))
+    n_fft = int(rng.choice([64, 128]))
+    hop = n_fft // int(rng.choice([2, 4]))
+    win = np.hanning(n_fft).astype(np.float32)
+    S = ftt.stft(x, n_fft, hop_length=hop, window=win)
+    y = ftt.istft(S, n_fft, hop_length=hop, window=win, length=n)
+    return np.asarray(y), x, 1e-4
+
+
+_CASES.update({
+    "periodogram": _case_periodogram,
+    "coherence": _case_coherence,
+    "decimate": _case_decimate,
+    "savgol_filter": _case_savgol,
+    "wiener": _case_wiener,
+    "cepstrum": _case_cepstrum,
+    "fftshift": _case_fftshift,
+    "dht_roundtrip": _case_dht,
+    "stft_istft_roundtrip": _case_stft_istft_roundtrip,
+})
+
+
 @pytest.mark.parametrize("name", sorted(_CASES))
 def test_fuzz_parity(name):
     fn = _CASES[name]
