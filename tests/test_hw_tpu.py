@@ -231,9 +231,11 @@ def test_ragged_batches_never_fault(ftt, rng):
     """Ragged (non-tile-multiple) batches through every row-kernel
     family.  Ragged EDGE grid blocks fault the TPU worker on this
     Mosaic (probe_r57: irfft rows=300 crashed the process even with
-    full-ref stores), so the cores pad every grid to whole tiles —
-    this is the regression guard for that fault class on real
-    hardware (CPU interpret/compile never reproduced it)."""
+    full-ref stores).  Round 4 replaced the whole-array pad+slice with
+    `_edge_tiled` (full-block main grid over the UNPADDED array + a
+    one-tile tail call) — this guard now also covers that scheme's
+    hardware safety (uncovered ragged out_shape remainders must not
+    fault; vcheck_r60 was clean)."""
     n = 512
     for rows in (300, 400):
         x = (rng.standard_normal((rows, n))
@@ -252,3 +254,36 @@ def test_ragged_batches_never_fault(ftt, rng):
          + 1j * rng.standard_normal((n, 300))).astype(np.complex64)
     assert _rel(ftt.device_get_complex(ftt.fft(y, axis=0)),
                 np.fft.fft(y, axis=0)) < TOL, "fft axis=0 m=300"
+
+
+def test_general_composite_n(ftt, rng):
+    """Round 4: composite non-pow2 n rides the single-pass generic
+    two-factor kernel through the public fft (probe_r63: 1000 = (25,40)
+    0.067 ms at 512 rows)."""
+    x = (rng.standard_normal((64, 1000))
+         + 1j * rng.standard_normal((64, 1000))).astype(np.complex64)
+    assert _rel(ftt.device_get_complex(ftt.fft(x)),
+                np.fft.fft(x, axis=-1)) < TOL
+
+
+def test_fused_bluestein_prime(ftt, rng):
+    """Round 4: prime n rides the FUSED Bluestein (chirp+pad in the
+    forward kernel load, filter+slice+chirp in the inverse load/store;
+    vcheck_r60: 4093 x 1024 went 1.148 -> 0.698 ms)."""
+    x = (rng.standard_normal((32, 521))
+         + 1j * rng.standard_normal((32, 521))).astype(np.complex64)
+    assert _rel(ftt.device_get_complex(ftt.fft(x)),
+                np.fft.fft(x, axis=-1)) < TOL
+
+
+def test_fused_czt(ftt, rng):
+    """Round 4: czt rides the fused chirp kernels (2 fused passes
+    instead of 6 composed)."""
+    import scipy.signal as sig
+
+    x = (rng.standard_normal((16, 700))
+         + 1j * rng.standard_normal((16, 700))).astype(np.complex64)
+    # complex D2H is unsupported on this runtime: planar transfer only
+    got = ftt.device_get_complex(ftt.czt(x, m=450))
+    want = sig.czt(np.asarray(x, np.complex128), m=450)
+    assert _rel(got, want) < 1e-4
