@@ -207,9 +207,27 @@ def rfft(x, n=None, axis: int = -1, norm=None):
             v = jnp.moveaxis(v, axis, -1)
         if length % 2 == 0 and length >= 2:
             Xr, Xi = rfft_last_split(v, scale)
-        else:  # odd length fallback: zero-imag C2C, slice half spectrum
-            re, im = fftn_split(v, jnp.zeros_like(v), (v.ndim - 1,), FORWARD, scale)
-            Xr, Xi = re[..., : length // 2 + 1], im[..., : length // 2 + 1]
+        else:
+            # odd length: the single-pass general R2C kernel where it
+            # applies (composite, factors <= 128 — same compile-cost
+            # class as the zero-imag C2C fallback it replaces, ~2x
+            # faster at runtime: 1005x1024 0.085 ms, vcheck_r66)
+            Xr = Xi = None
+            import jax as _jax
+
+            if _jax.default_backend() == "tpu":
+                try:
+                    from .pallas_fft import (Unsupported,
+                                             rfft_rows_general_split)
+
+                    Xr, Xi = rfft_rows_general_split(v, scale)
+                except (ImportError, Unsupported):
+                    Xr = Xi = None
+            if Xr is None:  # zero-imag C2C, slice half spectrum
+                re, im = fftn_split(v, jnp.zeros_like(v),
+                                    (v.ndim - 1,), FORWARD, scale)
+                Xr = re[..., : length // 2 + 1]
+                Xi = im[..., : length // 2 + 1]
         if moved:
             Xr = jnp.moveaxis(Xr, -1, axis)
             Xi = jnp.moveaxis(Xi, -1, axis)

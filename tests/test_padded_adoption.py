@@ -174,6 +174,18 @@ def test_fused_chirp_paths(fake_tpu):
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-4
 
 
+def test_rfft_odd_composite(fake_tpu):
+    """Odd composite lengths ride the single-pass general R2C kernel
+    through the public rfft (round 4)."""
+    import fft_wgpu_tpu as ftt
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((6, 1005)).astype(np.float32)
+    got = np.asarray(jax.device_get(ftt.rfft(x)))
+    ref = np.fft.rfft(x, axis=-1)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+
+
 def test_fft2_composite_axes(fake_tpu):
     """ND transforms on composite non-pow2 shapes ride the round-4
     kernels per axis (general rows for -1, composite ax0 for -2) —
