@@ -430,6 +430,26 @@ _CASES.update({
     "stft_istft_roundtrip": _case_stft_istft_roundtrip,
 })
 
+def _case_fft_grad_parseval(rng):
+    """AD through the public fft: for L(x) = sum |fft(x)|^2, Parseval
+    gives dL/dx = 2 n x exactly — a closed-form gradient oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    n = int(rng.integers(8, 64))
+    x = _arr(rng, (n,))
+
+    def loss(v):
+        X = ftt.fft(v)
+        return jnp.sum(jnp.real(X) ** 2 + jnp.imag(X) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(x))
+    return np.asarray(g), 2.0 * n * x, 1e-4
+
+
+_CASES["fft_grad_parseval"] = _case_fft_grad_parseval
+
+
 
 @pytest.mark.parametrize("name", sorted(_CASES))
 def test_fuzz_parity(name):
