@@ -450,6 +450,49 @@ def _case_fft_grad_parseval(rng):
 _CASES["fft_grad_parseval"] = _case_fft_grad_parseval
 
 
+def _case_rfftn(rng):
+    x = _arr(rng, _shape(rng, 2, 6, 24))
+    kw = {}
+    if rng.integers(2):
+        kw["axes"] = tuple(int(a) for a in rng.choice(
+            2, size=int(rng.integers(1, 3)), replace=False))
+    return ftt.rfftn(x, **kw), np.fft.rfftn(x, **kw), 1e-4
+
+
+def _case_irfftn(rng):
+    x = _arr(rng, _shape(rng, 2, 6, 20), cplx=True)
+    n_last = int(rng.integers(6, 24))
+    return (ftt.irfftn(x, s=(x.shape[0], n_last)),
+            np.fft.irfftn(x, s=(x.shape[0], n_last)), 1e-4)
+
+
+def _case_hfft_ihfft(rng):
+    n = int(rng.integers(8, 48))
+    if rng.integers(2):
+        x = _arr(rng, (n,), cplx=True)
+        return ftt.hfft(x), np.fft.hfft(x), 1e-4
+    x = _arr(rng, (n,))
+    return ftt.ihfft(x), np.fft.ihfft(x), 1e-4
+
+
+def _case_dstn(rng):
+    import scipy.fft as _sf
+
+    x = _arr(rng, _shape(rng, 2))
+    typ = int(rng.choice([2, 3]))
+    norm = None if rng.integers(2) else "ortho"
+    return (ftt.dstn(x, type=typ, norm=norm),
+            _sf.dstn(x.astype(np.float64), type=typ, norm=norm), 2e-4)
+
+
+_CASES.update({
+    "rfftn": _case_rfftn,
+    "irfftn": _case_irfftn,
+    "hfft_ihfft": _case_hfft_ihfft,
+    "dstn": _case_dstn,
+})
+
+
 
 @pytest.mark.parametrize("name", sorted(_CASES))
 def test_fuzz_parity(name):
