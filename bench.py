@@ -249,6 +249,7 @@ def main():
         headline = None
     if headline is None:
         _kill()
+        # failure JSON is the only (and therefore final) stdout line
         print(json.dumps({
             "metric": "batched 1D C2C FFT N=4096 batch=4096 fp32 GFLOP/s"
                       " (5NlogN)",
@@ -282,6 +283,13 @@ def main():
             break
         print(item, end="", flush=True)
     proc.wait()
+
+    # Re-print the headline JSON as the FINAL stdout line (VERDICT r4 item
+    # 1): the driver records only a bounded TAIL of the combined output, so
+    # with many secondary rows the early headline scrolls out of the capture
+    # window (BENCH_r04.json parsed=null).  The first fast print keeps the
+    # hang contract; this last line is the one the driver parses.
+    print(headline, end="" if headline.endswith("\n") else "\n", flush=True)
 
 
 def child_main():
@@ -355,7 +363,18 @@ def child_main():
 
     # secondary configs (stderr, not the headline line) — every BASELINE.md
     # row is reported; each row is individually alarm-bounded so one slow
-    # compile cannot starve the rest.
+    # compile cannot starve the rest.  Per VERDICT r4 items 3/4, every row
+    # carries its own MEASURED floors and a stock-XLA timing:
+    #   floor=<copy>/<bound>ms — copy: a Pallas kernel with the row's
+    #     exact IO pattern and zero math (the pure-DMA floor, including
+    #     any ragged-minor penalty); bound: the row's own computation
+    #     re-traced with all dots at DEFAULT (1-pass bf16) precision —
+    #     the scheduling-free compute bound for any f32-accurate schedule
+    #     (f32 needs HIGHEST = 6 bf16 passes; Mosaic has no 3-pass mode).
+    #   pct_of_bound = bound/achieved (1.0 = at the measured bound).
+    #   vs_stock=<x>x — stock jnp.fft (no jnp_backend patch) at the same
+    #     shape, same measurement method: the "matching-or-beating" bar
+    #     as per-row data instead of one anecdote.
     def _row(tag, thunk, budget=420):
         try:
             signal.alarm(budget)
@@ -364,12 +383,142 @@ def child_main():
         except Exception as e:
             print(f"# {tag}: failed: {e}", file=sys.stderr, flush=True)
 
+    _copy_cache: dict = {}
+
+    def _shapecopy_ms(in_shapes, out_shapes):
+        """Device ms of a Pallas kernel reading f32 arrays of
+        `in_shapes` and writing `out_shapes` (each output = sum of the
+        inputs sliced/zero-padded on the minor dim): the row's exact HBM
+        IO pattern with zero math.  All shapes are [rows, minor] with a
+        common rows; rows is cut to a whole-block multiple and the time
+        rescaled (copy time is linear in rows)."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        key = (tuple(in_shapes), tuple(out_shapes))
+        if key in _copy_cache:
+            return _copy_cache[key]
+        rows = in_shapes[0][0]
+        rows_r = max(128, (rows // 128) * 128)
+
+        def kern(*refs):
+            ins = refs[:len(in_shapes)]
+            outs = refs[len(in_shapes):]
+            for o_ref, (_, m) in zip(outs, out_shapes):
+                acc = None
+                for i_ref in ins:
+                    src = i_ref[:]
+                    sm = src.shape[1]
+                    if m <= sm:
+                        t = src[:, :m]
+                    else:
+                        t = jnp.concatenate(
+                            [src, jnp.zeros((src.shape[0], m - sm),
+                                            jnp.float32)], axis=1)
+                    acc = t if acc is None else acc + t
+                o_ref[:] = acc
+
+        def spec(m):
+            return pl.BlockSpec((128, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        args = [jax.random.normal(jax.random.PRNGKey(40 + i), (rows_r, m),
+                                  jnp.float32)
+                for i, (_, m) in enumerate(in_shapes)]
+        fn = jax.jit(lambda *a: pl.pallas_call(
+            kern,
+            grid=(rows_r // 128,),
+            in_specs=[spec(m) for _, m in in_shapes],
+            out_specs=[spec(m) for _, m in out_shapes],
+            out_shape=[jax.ShapeDtypeStruct((rows_r, m), jnp.float32)
+                       for _, m in out_shapes],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024),
+        )(*a))
+        t = _device_time(fn, tuple(args))
+        if t is None:
+            raise RuntimeError("no device events (shape-copy floor)")
+        t *= rows / rows_r
+        _copy_cache[key] = t
+        return t
+
+    def _bound_ms(raw_fn, args):
+        """Re-trace `raw_fn` with every kernel dot at DEFAULT (1-pass
+        bf16) and time it: the row's measured compute bound (numerics
+        are ~3e-3 at that precision — timing only, never returned)."""
+        from fft_wgpu_tpu.ops import pallas_fft as pf
+        from fft_wgpu_tpu.ops import stockham as st
+
+        saved = pf._MM_PREC, st._DOT_PREC
+        try:
+            pf._MM_PREC = jax.lax.Precision.DEFAULT
+            st._DOT_PREC = jax.lax.Precision.DEFAULT
+            t = _device_time(jax.jit(raw_fn), args)
+        finally:
+            pf._MM_PREC, st._DOT_PREC = saved
+        if t is None:
+            raise RuntimeError("no device events (bound probe)")
+        return t
+
+    def _floors_txt(dt2, copy_s=None, bound_s=None):
+        """floor=<copy>/<bound>ms pct_of_bound=<x> fragment (best-effort:
+        a failed probe prints '?' rather than killing the row)."""
+        c = f"{copy_s*1e3:.3f}" if copy_s is not None else "?"
+        b = f"{bound_s*1e3:.3f}" if bound_s is not None else "?"
+        p = f" pct_of_bound={bound_s/dt2:.2f}" if bound_s else ""
+        return f" floor={c}/{b}ms{p}"
+
+    def _stock_txt(stock_fn, stock_args, dt2):
+        """vs_stock=<x>x fragment via the same device-time method."""
+        try:
+            ts = _device_time(jax.jit(stock_fn), stock_args)
+            if ts is None:
+                return " vs_stock=?"
+            return f" vs_stock={ts/dt2:.2f}x"
+        except Exception:
+            return " vs_stock=?"
+
+    def _plan2d(rows, n2):
+        """[rows, n2] planar pair shapes for the shape-copy floor."""
+        return [(rows, n2), (rows, n2)]
+
     def _1d(n2, b2, passes):
+        from fft_wgpu_tpu.plan.plan import get_plan
+
         dt2, rt2, _ = bench_batched_1d(n2, b2, iters=8)
         r2 = roofline(n2, b2, dt2, passes=passes, device=dev)
+        # floors + stock at the same shape (big 1-D rows are reshaped to
+        # an aligned 2-D for the copy probe — same bytes, same alignment)
+        copy_s = bound_s = None
+        try:
+            if b2 * n2 >= (1 << 20):
+                minor = 4096
+                rr = b2 * n2 // minor
+            else:
+                minor, rr = n2, b2
+            copy_s = passes * _shapecopy_ms(_plan2d(rr, minor),
+                                            _plan2d(rr, minor))
+        except Exception:
+            pass
+        p = get_plan(n2, "auto")
+        re2 = jax.random.normal(jax.random.PRNGKey(30), (b2, n2),
+                                jnp.float32)
+        im2 = jax.random.normal(jax.random.PRNGKey(31), (b2, n2),
+                                jnp.float32)
+        try:
+            bound_s = _bound_ms(
+                lambda a, b: p._execute_split(a, b, -1, None), (re2, im2))
+        except Exception:
+            pass
+        stock = _stock_txt(
+            lambda a, b: (lambda X: (jnp.real(X), jnp.imag(X)))(
+                jnp.fft.fft(jax.lax.complex(a, b), axis=-1)),
+            (re2, im2), dt2)
         return (
             f"{dt2*1e3:.3f} ms, {r2['gflops']:.0f} GFLOP/s, "
-            f"{r2['fraction']:.1%} of {passes}-pass roofline, roundtrip={rt2:.2e}"
+            f"{r2['fraction']:.1%} of {passes}-pass roofline, "
+            f"roundtrip={rt2:.2e}"
+            + _floors_txt(dt2, copy_s, bound_s) + stock
         )
 
     def _2d(n2):
@@ -377,7 +526,8 @@ def child_main():
 
         re = jax.random.normal(jax.random.PRNGKey(2), (n2, n2), jnp.float32)
         im = jax.random.normal(jax.random.PRNGKey(3), (n2, n2), jnp.float32)
-        fn = jax.jit(lambda a, b: fftn_split(a, b, (-2, -1), -1, None))
+        raw = lambda a, b: fftn_split(a, b, (-2, -1), -1, None)
+        fn = jax.jit(raw)
         dt2 = _device_time(fn, (re, im))
         if dt2 is None:
             raise RuntimeError("profiler captured no device events")
@@ -389,28 +539,60 @@ def child_main():
             jnp.sqrt(jnp.sum((Fr - ref.real) ** 2 + (Fi - ref.imag) ** 2)
                      / jnp.sum(ref.real ** 2 + ref.imag ** 2)))
         gf = 2 * 5.0 * n2 * n2 * math.log2(n2) / dt2 / 1e9
+        copy_s = bound_s = None
+        try:
+            copy_s = 2 * _shapecopy_ms(_plan2d(n2, n2), _plan2d(n2, n2))
+        except Exception:
+            pass
+        try:
+            bound_s = _bound_ms(raw, (re, im))
+        except Exception:
+            pass
+        stock = _stock_txt(
+            lambda a, b: (lambda X: (jnp.real(X), jnp.imag(X)))(
+                jnp.fft.fft2(jax.lax.complex(a, b))), (re, im), dt2)
         return (f"{dt2*1e3:.3f} ms, {gf:.0f} GFLOP/s, "
-                f"{r2['fraction']:.1%} of 2-pass roofline, vs_xla_fft2={err:.2e}")
+                f"{r2['fraction']:.1%} of 2-pass roofline, "
+                f"vs_xla_fft2={err:.2e}"
+                + _floors_txt(dt2, copy_s, bound_s) + stock)
 
     def _r2c(n2, b2):
         from fft_wgpu_tpu.ops.rfft import rfft_last_split
+        from fft_wgpu_tpu.utils.roofline import hbm_bandwidth
 
         x = jax.random.normal(jax.random.PRNGKey(4), (b2, n2), jnp.float32)
-        fn = jax.jit(lambda v: rfft_last_split(v, None))
+        raw = lambda v: rfft_last_split(v, None)
+        fn = jax.jit(raw)
         dt2 = _device_time(fn, (x,))
         if dt2 is None:
             raise RuntimeError("profiler captured no device events")
         # R2C traffic: n f32 in, 2*(n/2+1) f32 out per row
-        bw = 4.0 * (n2 + 2 * (n2 // 2 + 1)) * b2 / dt2
-        from fft_wgpu_tpu.utils.roofline import hbm_bandwidth
-
+        nb = n2 // 2 + 1
+        bw = 4.0 * (n2 + 2 * nb) * b2 / dt2
         frac = bw / hbm_bandwidth(dev)
         Xr, Xi = fn(x)
         ref = jnp.fft.rfft(x, axis=-1)
         err = float(
             jnp.sqrt(jnp.sum((Xr - ref.real) ** 2 + (Xi - ref.imag) ** 2)
                      / jnp.sum(ref.real ** 2 + ref.imag ** 2)))
-        return f"{dt2*1e3:.3f} ms, {frac:.1%} of R2C roofline, vs_xla_rfft={err:.2e}"
+        # exact-IO floor: aligned [b, n] read -> TWO ragged [b, n//2+1]
+        # writes (the ragged-minor DMA penalty shows up in the floor
+        # itself — the numpy-parity shape misaligns every HBM row)
+        copy_s = bound_s = None
+        try:
+            copy_s = _shapecopy_ms([(b2, n2)], [(b2, nb), (b2, nb)])
+        except Exception:
+            pass
+        try:
+            bound_s = _bound_ms(raw, (x,))
+        except Exception:
+            pass
+        stock = _stock_txt(
+            lambda v: (lambda X: (jnp.real(X), jnp.imag(X)))(
+                jnp.fft.rfft(v, axis=-1)), (x,), dt2)
+        return (f"{dt2*1e3:.3f} ms, {frac:.1%} of R2C roofline, "
+                f"vs_xla_rfft={err:.2e}"
+                + _floors_txt(dt2, copy_s, bound_s) + stock)
 
     def _end_to_end(n2, b2, iters=20):
         """Reference-style serving loop: host complex in -> forward -> host

@@ -35,6 +35,9 @@ def main():
     ref = np.fft.fft(x, axis=-1)
     err = np.linalg.norm(X - ref) / np.linalg.norm(ref)
     print(f"forward {batch}x{n}: rel-L2 vs numpy = {err:.2e}")
+    # the reference's forward example never asserts (examples/basic.rs:250,
+    # the quirk SURVEY §7 calls out); ours does, like its siblings
+    assert err < 1e-5, f"forward parity failed: rel-L2 {err:.2e} >= 1e-5"
 
     # timed replay, chained on device (one program, `iters` executions)
     re = jnp.asarray(x.real)

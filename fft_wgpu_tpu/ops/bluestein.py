@@ -69,9 +69,14 @@ def fft_bluestein_split(re, im, sign, scale=None):
     import jax
 
     if jax.default_backend() == "tpu":
+        try:  # guarded import first: an ImportError inside the main try
+            from . import pallas_fft as _pf  # would make the except
+        except ImportError:  # clause's _pf.Unsupported a NameError
+            _pf = None
+    else:
+        _pf = None
+    if _pf is not None:
         try:
-            from . import pallas_fft as _pf
-
             n_p = -(-n // 128) * 128  # 128-aligned in/out width
             c_pad = np.zeros((2, n_p), np.float32)
             c_pad[0, :n] = cr

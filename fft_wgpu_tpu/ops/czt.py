@@ -78,8 +78,13 @@ def czt(x, m: int | None = None, w: complex | None = None,
         re = jnp.moveaxis(re, axis, -1)
         im = jnp.moveaxis(im, axis, -1)
         if jax.default_backend() == "tpu" and n_p <= L and m_p <= L:
-            from . import pallas_fft as _pf
-
+            try:  # guarded import: ImportError must fall through to the
+                from . import pallas_fft as _pf  # composed path, not crash
+            except ImportError:
+                _pf = None
+        else:
+            _pf = None
+        if _pf is not None:
             try:
                 pad = [(0, 0)] * (re.ndim - 1) + [(0, n_p - n)]
                 Yr, Yi = _pf.fft_chirp_forward_split(

@@ -223,6 +223,25 @@ def _outer_tw_mul_rows_t(ar, ai, row0, n, outer_n, sign):
     return ar * twr - ai * twi, ar * twi + ai * twr
 
 
+def _dot_prec(w, x, dims):
+    """ONE real matmul under the global PRECISION_MODE.
+
+    Every constant-W dot in this file routes through here so no kernel
+    can silently diverge from the selected dot-precision path (ADVICE r4:
+    _cdot_realcat_cut and the _kernel_r2c_gen stage-1 dot used to skip
+    the bf16x3 branch).
+    """
+    if PRECISION_MODE == "bf16x3":
+        wh, wl = _split_bf16(w)
+        xh, xl = _split_bf16(x)
+        d = lambda a, b: jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
+        return d(wh, xh) + d(wh, xl) + d(wl, xh)
+    return jax.lax.dot_general(
+        w, x, (dims, ((), ())), precision=_MM_PREC,
+        preferred_element_type=jnp.float32)
+
+
 def _cdot(w_r, w_s, w_d, xr, xi, dims):
     """Gauss 3-mult complex product W . X with constant W.
 
@@ -232,22 +251,9 @@ def _cdot(w_r, w_s, w_d, xr, xi, dims):
 
     PRECISION_MODE selects f32-on-MXU or manual bf16 hi/lo 3-pass.
     """
-    if PRECISION_MODE == "bf16x3":
-        def dg(w, x):
-            wh, wl = _split_bf16(w)
-            xh, xl = _split_bf16(x)
-            d = lambda a, b: jax.lax.dot_general(
-                a, b, (dims, ((), ())), preferred_element_type=jnp.float32
-            )
-            return d(wh, xh) + d(wh, xl) + d(wl, xh)
-    else:
-        dg = lambda w, x: jax.lax.dot_general(
-            w, x, (dims, ((), ())), precision=_MM_PREC,
-            preferred_element_type=jnp.float32,
-        )
-    m1 = dg(w_r, xr + xi)
-    m2 = dg(w_s, xi)
-    m3 = dg(w_d, xr)
+    m1 = _dot_prec(w_r, xr + xi, dims)
+    m2 = _dot_prec(w_s, xi, dims)
+    m3 = _dot_prec(w_d, xr, dims)
     return m1 - m2, m1 + m3
 
 
@@ -270,16 +276,7 @@ def _cdot_realcat(n1, sign, xr, xi, cat_axis, dims, scale=1.0):
         [jnp.concatenate([wr, -wi], axis=1),
          jnp.concatenate([wi, wr], axis=1)], axis=0)
     xcat = jnp.concatenate([xr, xi], axis=cat_axis)
-    if PRECISION_MODE == "bf16x3":
-        wh, wl = _split_bf16(wbig)
-        xh, xl = _split_bf16(xcat)
-        d = lambda a, b: jax.lax.dot_general(
-            a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
-        res = d(wh, xh) + d(wh, xl) + d(wl, xh)
-    else:
-        res = jax.lax.dot_general(
-            wbig, xcat, (dims, ((), ())), precision=_MM_PREC,
-            preferred_element_type=jnp.float32)
+    res = _dot_prec(wbig, xcat, dims)
     return res[:n1], res[n1:]
 
 
@@ -667,18 +664,19 @@ def _edge_tiled(launch, ins, size, bt, in_axis=0, out_axis=0):
         blocks, run through the same kernel family at tile 128, and
         merged with a dynamic_update_slice XLA performs in place.
 
-    `launch(ins, out_extent, nblocks, tile)` must run the underlying
-    pallas_call with `nblocks` grid steps of `tile`-sized blocks over the
-    `in_axis` extent of each array in `ins`, allocate outputs whose
-    `out_axis` extent is `out_extent`, and return a TUPLE of outputs.
+    `launch(ins, out_extent, nblocks, tile, start=0)` must run the
+    underlying pallas_call with `nblocks` grid steps of `tile`-sized blocks
+    over the `in_axis` extent of each array in `ins`, allocate outputs
+    whose `out_axis` extent is `out_extent`, and return a TUPLE of outputs.
+    `start` is the GLOBAL `in_axis` index of the call's first element
+    (main call 0, tail call size//bt*bt) — kernels whose math depends on
+    the global row index (the outer four-step twiddle in
+    _fft_rows_t_core) must use it rather than restarting at zero.
     """
     g, tail = divmod(size, bt)
     if tail == 0:
         return launch(ins, size, g, bt)
     tt = _round_up(tail, 128)
-    # launch order contract: the covered-prefix MAIN call (if any) comes
-    # first, the tail call second (kernels that track a global row base
-    # rely on it — see _fft_rows_t_core).
     outs = launch(ins, size, g, bt) if g else None
 
     def _tail_in(a):
@@ -688,7 +686,8 @@ def _edge_tiled(launch, ins, size, bt, in_axis=0, out_axis=0):
         pad[in_axis] = (0, tt - tail)
         return jnp.pad(a[tuple(sl)], pad)
 
-    tail_outs = launch(tuple(_tail_in(a) for a in ins), tt, tt // 128, 128)
+    tail_outs = launch(tuple(_tail_in(a) for a in ins), tt, tt // 128, 128,
+                       start=g * bt)
 
     def _tail_cut(t):
         sl = [slice(None)] * t.ndim
@@ -768,9 +767,7 @@ def _cdot_realcat_cut(n1, sign, xr, xi, cat_axis, dims, scale, kcut):
         [jnp.concatenate([wr, -wi], axis=1),
          jnp.concatenate([wi, wr], axis=1)], axis=0)
     xcat = jnp.concatenate([xr, xi], axis=cat_axis)
-    res = jax.lax.dot_general(
-        wbig, xcat, (dims, ((), ())), precision=_MM_PREC,
-        preferred_element_type=jnp.float32)
+    res = _dot_prec(wbig, xcat, dims)
     return res[:kcut], res[kcut:]
 
 
@@ -994,7 +991,7 @@ def _fft_batched_core(re, im, sign, scale=None, *, row_tile=None,
 
     flops_per_row = 8 * n * (n1 + n2) + 6 * n
 
-    def _launch(ins, out_rows, nblocks, bt_):
+    def _launch(ins, out_rows, nblocks, bt_, start=0):
         spec = pl.BlockSpec((bt_, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
@@ -1216,7 +1213,7 @@ def _fft_axis0_core(re, im, sign, scale=None, *, interpret=False):
 
     flops_per_col = 8 * n * (n1 + n2) + 6 * n
 
-    def _launch(ins, out_m, nblocks, lt_):
+    def _launch(ins, out_m, nblocks, lt_, start=0):
         spec = pl.BlockSpec((1, n, lt_), lambda i, j: (i, 0, j),
                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
@@ -1522,15 +1519,15 @@ def _fft_rows_t_core(re, im, sign, scale=None, *, outer=None,
             _kernel_rows_t, n=n, n1=n1, n2=n2, sign=sign, scale=sc,
             bt=bt_, outer=outer, row_off=row_off)
 
-    row_base = [0]
-
-    def _launch(ins, out_R, nblocks, bt_):
+    def _launch(ins, out_R, nblocks, bt_, start=0):
+        # `start` (from _edge_tiled) is the global row index of this
+        # call's first row: the outer four-step twiddle depends on the
+        # GLOBAL row, so the ragged-tail call must not restart it at zero
         in_spec = pl.BlockSpec((1, bt_, n), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((1, n, bt_), lambda i, j: (i, 0, j),
                                 memory_space=pltpu.VMEM)
-        kern = _kern_for(bt_, row_base[0])
-        row_base[0] = (R // bt) * bt  # a second call is the ragged tail
+        kern = _kern_for(bt_, start)
         return pl.pallas_call(
             kern,
             grid=(b, nblocks),
@@ -1844,7 +1841,7 @@ def _rfft_rows_core(xr, scale=None, *, interpret=False, pad_out=False):
             _kernel_r2c, n=n, n1=n1, n2=n2, sign=-1, scale=sc, mp=mp,
             mp_out=mp_out)
 
-    def _launch(ins, out_rows, nblocks, bt_):
+    def _launch(ins, out_rows, nblocks, bt_, start=0):
         in_spec = pl.BlockSpec((bt_, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((bt_, mp_out), lambda i: (i, 0),
@@ -2134,7 +2131,7 @@ def _irfft_rows_core(Xr, Xi, n, scale=None, *, interpret=False,
         return functools.partial(
             _kernel_c2r, n=n, Q=Q, K2=K2, nyq=m // 128, scale=sc)
 
-    def _launch(ins, out_rows, nblocks, bt_):
+    def _launch(ins, out_rows, nblocks, bt_, start=0):
         in_spec = pl.BlockSpec((bt_, mp_in), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((bt_, n), lambda i: (i, 0),
@@ -2365,7 +2362,7 @@ def _fft_filtered_core(re, im, hr, hi, sign, scale=None, *,
         )
     flops_per_row = 8 * n * (n1 + n2) + 12 * n
 
-    def _launch(ins, out_rows, nblocks, bt_):
+    def _launch(ins, out_rows, nblocks, bt_, start=0):
         spec = pl.BlockSpec((bt_, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
         hspec = pl.BlockSpec((1, n), lambda i: (0, 0),
@@ -2450,7 +2447,7 @@ def _fft_bank_core(re, im, hr, hi, sign, scale=None, *, interpret=False):
         )
     flops_per_row = 8 * n * (n1 + n2) + 12 * n
 
-    def _launch(ins, out_rows, nblocks, bt_):
+    def _launch(ins, out_rows, nblocks, bt_, start=0):
         spec = pl.BlockSpec((bt_, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
         xspec = pl.BlockSpec((1, n), lambda i: (0, 0),
@@ -2561,7 +2558,7 @@ def _fft_filt_pad_core(re, im, hr, hi, m, sign, scale=None, *,
         _kernel_rows_bal_filt_pad, n=m, n1=n1, n2=n2, sign=sign,
         scale=sc, factors=s1_factors, n_in=n_in)
 
-    def _launch(ins, out_rows, nblocks, bt_):
+    def _launch(ins, out_rows, nblocks, bt_, start=0):
         in_spec = pl.BlockSpec((bt_, n_in), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((bt_, m), lambda i: (i, 0),
@@ -2623,7 +2620,7 @@ def _fft_filt_narrow_core(re, im, hr, hi, gr, gi, n_out, sign, scale=None,
         _kernel_rows_bal_filt_narrow, n=m, n1=n1, n2=n2, sign=sign,
         scale=sc, factors=s1_factors, n_out=n_out)
 
-    def _launch(ins, out_rows, nblocks, bt_):
+    def _launch(ins, out_rows, nblocks, bt_, start=0):
         in_spec = pl.BlockSpec((bt_, m), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((bt_, n_out), lambda i: (i, 0),
@@ -2808,7 +2805,7 @@ def _fft_rows_gen_core(re, im, sign, scale=None, *, interpret=False):
     kern = functools.partial(_kernel_rows_gen, n=n, n1=n1, n2=n2,
                              sign=sign, scale=sc, n_pad=n_pad)
 
-    def _launch(ins, out_rows, nblocks, bt_):
+    def _launch(ins, out_rows, nblocks, bt_, start=0):
         spec = pl.BlockSpec((bt_, n_pad), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
@@ -2860,9 +2857,7 @@ def _kernel_r2c_gen(x_ref, or_ref, oi_ref, *, n, n1, n2, scale, n_pad,
     ar = x_ref[:].T[:n].reshape(n1, n2, bt)
     w1r, w1i = _gen_dft(n1, n1, n1, sign)
     wcat = jnp.concatenate([w1r, w1i], axis=0)  # [2n1, n1]
-    res = jax.lax.dot_general(
-        wcat, ar, ((((1,), (0,))), ((), ())), precision=_MM_PREC,
-        preferred_element_type=jnp.float32)
+    res = _dot_prec(wcat, ar, ((1,), (0,)))
     br, bi = res[:n1], res[n1:]
     twr, twi = _gen_twiddle(n1, n2, n, sign)
     cr = br * twr[:, :, None] - bi * twi[:, :, None]
@@ -2914,7 +2909,7 @@ def _rfft_gen_core(xr, scale=None, *, interpret=False):
     kern = functools.partial(_kernel_r2c_gen, n=n, n1=n1, n2=n2,
                              scale=sc, n_pad=n_pad, mp=mp, mp_out=mp_out)
 
-    def _launch(ins, out_rows, nblocks, bt_):
+    def _launch(ins, out_rows, nblocks, bt_, start=0):
         in_spec = pl.BlockSpec((bt_, n_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((bt_, mp_out), lambda i: (i, 0),

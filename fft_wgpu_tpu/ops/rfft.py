@@ -23,6 +23,24 @@ __all__ = ["rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn", "hfft",
            "ihfft", "hfft2", "ihfft2", "hfftn", "ihfftn"]
 
 
+# Odd lengths verified to compile the general single-pass R2C kernel
+# within budget on the current toolchain (vcheck_r66).  The remote compile
+# service's cost is shape-unpredictable (n=4095 blew 900 s while C2C 4095
+# compiles fine), so routing is allowlist-only; extend via
+# FFT_WGPU_TPU_R2C_GENERAL_OK="n1,n2,..." after a hard-killed subprocess
+# probe (scripts/toolchain_watch.py pattern; CLAUDE.md compile-hang rule).
+_R2C_GENERAL_VERIFIED = {1005}
+
+
+def _r2c_general_ok(n: int) -> bool:
+    import os
+
+    if n in _R2C_GENERAL_VERIFIED:
+        return True
+    extra = os.environ.get("FFT_WGPU_TPU_R2C_GENERAL_OK", "")
+    return extra and str(n) in {s.strip() for s in extra.split(",")}
+
+
 def _scales(n, norm, inverse):
     if norm in (None, "backward"):
         return None if not inverse else 1.0 / n
@@ -209,20 +227,27 @@ def rfft(x, n=None, axis: int = -1, norm=None):
             Xr, Xi = rfft_last_split(v, scale)
         else:
             # odd length: the single-pass general R2C kernel where it
-            # applies (composite, factors <= 128 — same compile-cost
-            # class as the zero-imag C2C fallback it replaces, ~2x
-            # faster at runtime: 1005x1024 0.085 ms, vcheck_r66)
+            # applies (composite, factors <= 128, ~2x faster at runtime:
+            # 1005x1024 0.085 ms, vcheck_r66) — but ONLY for lengths on
+            # the compile-verified allowlist (_r2c_general_ok): probed
+            # shapes n=1000/4095 blew a 900 s compile budget on the
+            # remote service (rfft_last_split note above), the hazard
+            # class that wedges the tunnel, so unprobed lengths take the
+            # fast-compiling composed fallback instead.
             Xr = Xi = None
             import jax as _jax
 
-            if _jax.default_backend() == "tpu":
-                try:
-                    from .pallas_fft import (Unsupported,
+            if _jax.default_backend() == "tpu" and _r2c_general_ok(length):
+                try:  # guarded import first: ImportError during the
+                    from .pallas_fft import (Unsupported,  # name binding
                                              rfft_rows_general_split)
-
-                    Xr, Xi = rfft_rows_general_split(v, scale)
-                except (ImportError, Unsupported):
-                    Xr = Xi = None
+                except ImportError:
+                    Unsupported = rfft_rows_general_split = None
+                if rfft_rows_general_split is not None:
+                    try:
+                        Xr, Xi = rfft_rows_general_split(v, scale)
+                    except Unsupported:
+                        Xr = Xi = None
             if Xr is None:  # zero-imag C2C, slice half spectrum
                 re, im = fftn_split(v, jnp.zeros_like(v),
                                     (v.ndim - 1,), FORWARD, scale)
