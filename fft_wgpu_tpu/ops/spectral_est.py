@@ -398,6 +398,38 @@ def _csd_impl(x, y, fs, window, nperseg, noverlap, nfft, detrend,
         if not onesided and yr_ is not None and yi_ is None:
             yi_ = jnp.zeros_like(yr_)
 
+        # FUSED welch core (VERDICT r4 item 7): for the real 1-D
+        # auto-spectrum mean, framing + detrend + window + R2C + |.|^2 +
+        # segment-sum run in ONE Pallas pass (ops/pallas_welch.py) —
+        # ~2 signal reads of HBM traffic instead of the ~9 passes of the
+        # composed pipeline.  Everything after is on the tiny bins vector.
+        if (onesided and xi_ is None and xr_.ndim == 1
+                and (same or (yi_ is None and yr_.ndim == 1
+                              and yr_.shape == xr_.shape))
+                and average == "mean"
+                and jax.default_backend() == "tpu"):
+            from . import pallas_welch as _pw
+
+            if _pw.fused_welch_ok(xr_.shape[-1], nperseg, hop, nfft,
+                                  detrend):
+                try:
+                    if same:
+                        psum, num_ = _pw.welch_accum_split(
+                            xr_, win, nperseg, hop, nfft, detrend)
+                        Pr, Pi = psum, jnp.zeros_like(psum)
+                    else:
+                        Pr, Pi, num_ = _pw.csd_accum_split(
+                            xr_, yr_, win, nperseg, hop, nfft, detrend)
+                    mult = np.full(nfft // 2 + 1, 2.0, np.float32)
+                    mult[0] = 1.0
+                    if nfft % 2 == 0:
+                        mult[-1] = 1.0
+                    mult = mult * (norm / num_)
+                    return (jnp.moveaxis(Pr * mult, -1, axis),
+                            jnp.moveaxis(Pi * mult, -1, axis))
+                except _pw.Unsupported:
+                    pass
+
         # padded half-spectrum serving form end-to-end (VERDICT r3 item
         # 5): the ragged nfft//2+1 minor halves the R2C kernel's DMA
         # rate; the averaged result is tiny, so the slice moves there
@@ -634,6 +666,29 @@ def spectrogram(x, fs: float = 1.0, window=("tukey", 0.25),
         v_i = jnp.moveaxis(xi_, axis, -1) if xi_ is not None else None
         if not onesided and v_i is None:
             v_i = jnp.zeros_like(v_r)  # two-sided needs the full C2C path
+        if (mode in ("psd", "magnitude") and onesided and v_i is None
+                and v_r.ndim == 1 and jax.default_backend() == "tpu"):
+            # fused framing+window+R2C+|.|^2 kernel (ops/pallas_welch.py):
+            # skips the frame matrix materialization and the separate
+            # power pass of the composed pipeline
+            from . import pallas_welch as _pw
+
+            if _pw.fused_welch_ok(v_r.shape[-1], nperseg, hop, nfft,
+                                  detrend):
+                try:
+                    P = _pw.spec_psd_split(v_r, win, nperseg, hop, nfft,
+                                           detrend)
+                    if mode == "magnitude":
+                        S = jnp.sqrt(P) * float(np.sqrt(norm))
+                        return (jnp.swapaxes(S, -1, -2),)
+                    S = P * norm
+                    mult = np.full(S.shape[-1], 2.0, np.float32)
+                    mult[0] = 1.0
+                    if nfft % 2 == 0:
+                        mult[-1] = 1.0
+                    return (jnp.swapaxes(S * mult, -1, -2),)
+                except _pw.Unsupported:
+                    pass
         Xr, Xi = _spec_segments_split(v_r, v_i, win, nperseg, hop, nfft,
                                       detrend)
         if mode == "psd":
