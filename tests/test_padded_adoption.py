@@ -84,6 +84,10 @@ def test_fftconvolve_rides_padded_forms(fake_tpu):
 
 
 def test_welch_rides_padded_forms(fake_tpu):
+    """1-D welch now rides the FUSED segment-spectrum kernel (round 5,
+    ops/pallas_welch.py — no big spectrum array exists at all); the
+    composed path (taken for batched input) must still ride the padded
+    serving form."""
     import fft_wgpu_tpu as ftt
 
     rng = np.random.default_rng(1)
@@ -94,12 +98,26 @@ def test_welch_rides_padded_forms(fake_tpu):
     err = np.linalg.norm(np.asarray(p1) - p2) / np.linalg.norm(p2)
     assert err < 1e-4
 
-    # lower the jitted inner impl and audit shapes: the per-segment
-    # spectrum [segs, bins] must be padded; only the averaged (1-D)
-    # result may be ragged
-    from fft_wgpu_tpu.ops.spectral_est import _csd_impl  # noqa: F401
+    from fft_wgpu_tpu.ops import pallas_welch as pw
     from fft_wgpu_tpu.ops import spectral_est as se
 
+    # (a) the 1-D path takes the fused kernel
+    called = {}
+    orig_fused = pw.welch_accum_split
+
+    def spy_fused(*a, **k):
+        called["fused"] = True
+        return orig_fused(*a, **k)
+
+    pw.welch_accum_split = spy_fused
+    try:
+        ftt.welch(x, nperseg=N)
+    finally:
+        pw.welch_accum_split = orig_fused
+    assert called.get("fused"), "1-D welch did not take the fused kernel"
+
+    # (b) the composed path (batched input is outside the fused
+    # envelope) still rides the padded per-segment spectrum
     captured = {}
     orig = se._spec_segments_split
 
@@ -111,7 +129,7 @@ def test_welch_rides_padded_forms(fake_tpu):
 
     se._spec_segments_split = spy
     try:
-        ftt.welch(x, nperseg=N)
+        ftt.welch(np.stack([x, x]), nperseg=N)
     finally:
         se._spec_segments_split = orig
     assert captured["pad_out"] is True
