@@ -2758,17 +2758,24 @@ def _kernel_rows_gen(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign,
 
 def _choose_general_split(n: int):
     """Minimal-MAC divisor pair (n1, n2), n1 <= n2, n1*n2 = n; None if
-    n has no such factorization.  BOTH factors must be <= 128: larger
-    (prime) factors HANG the remote compile service inside a C call
-    where not even SIGALRM fires (probe_r63: (3,257) and (17,241) hang;
-    (25,40) and (63,65) compile) — lengths that only factor through a
-    >128 prime fall back to the fused Bluestein path."""
+    n has no such factorization.  Factor bound history: factors > 128
+    used to HANG the remote compile service inside a C call where not
+    even SIGALRM fires (probe_r63: (3,257) and (17,241) hung; (25,40)
+    and (63,65) compiled).  A toolchain update fixed that class —
+    re-probed 2026-08-21 (scripts/toolchain_watch.py prime257_hang:
+    CHANGED; probe_r70: (3,257)@771 0.098 ms, (17,241)@4097 0.878 ms
+    [vs 1.553 fused Bluestein], (2,257)@514 0.130 ms, all rel ~2e-7) —
+    so the bound is now 256: lengths whose only factorization passes
+    through a prime in (128, 256] run the one-pass kernel instead of
+    two fused Bluestein m-passes.  Primes > 256 still ride Bluestein.
+    If a future toolchain regresses, toolchain_watch turns the re-check
+    into one command."""
     best = None
     d = 2
     while d * d <= n:
         if n % d == 0:
             pair = (d, n // d)
-            if pair[1] <= 128 and (best is None
+            if pair[1] <= 256 and (best is None
                                    or sum(pair) < sum(best)):
                 best = pair
         d += 1

@@ -23,22 +23,18 @@ __all__ = ["rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn", "hfft",
            "ihfft", "hfft2", "ihfft2", "hfftn", "ihfftn"]
 
 
-# Odd lengths verified to compile the general single-pass R2C kernel
-# within budget on the current toolchain (vcheck_r66).  The remote compile
-# service's cost is shape-unpredictable (n=4095 blew 900 s while C2C 4095
-# compiles fine), so routing is allowlist-only; extend via
-# FFT_WGPU_TPU_R2C_GENERAL_OK="n1,n2,..." after a hard-killed subprocess
-# probe (scripts/toolchain_watch.py pattern; CLAUDE.md compile-hang rule).
-_R2C_GENERAL_VERIFIED = {1005}
+def _r2c_general_off() -> bool:
+    """Kill switch for the general single-pass R2C routing.
 
-
-def _r2c_general_ok(n: int) -> bool:
+    Round 4 gated this behind a compile-verified allowlist (n=1000/4095
+    blew a 900 s remote-compile budget — the tunnel-wedging hazard
+    class); the 2026-08-21 toolchain update re-probe cleared it
+    (probe_r70: both compile in minutes and run ~2x the composed path),
+    so routing is now open with this env escape hatch should a future
+    toolchain regress."""
     import os
 
-    if n in _R2C_GENERAL_VERIFIED:
-        return True
-    extra = os.environ.get("FFT_WGPU_TPU_R2C_GENERAL_OK", "")
-    return extra and str(n) in {s.strip() for s in extra.split(",")}
+    return os.environ.get("FFT_WGPU_TPU_R2C_GENERAL_OFF") == "1"
 
 
 def _scales(n, norm, inverse):
@@ -78,14 +74,19 @@ def rfft_last_split(xr, sign_scale, *, pad_out=False):
                                                   pad_out=pad_out)
             except pallas_fft.Unsupported:
                 pass
-            # NOTE: pallas_fft.rfft_rows_general_split (the round-4
-            # composite-n R2C kernel) is numerically correct and fast
-            # where it compiles (n=1005 x 1024: 0.085 ms, rel 1.8e-07 —
-            # vcheck_r66) but two of three probed shapes (1000, 4095)
-            # blew a 900 s compile budget on the remote service, so it
-            # is NOT routed yet — the even-n pack path below composes
-            # fast-compiling pieces instead.  Re-probe on a quieter
-            # compile service / toolchain update before routing.
+            # Composite non-pow2 n: the single-pass general R2C kernel.
+            # Round 4 held this back because n=1000/4095 blew a 900 s
+            # compile budget; the toolchain update re-probe (probe_r70,
+            # 2026-08-21) compiles them in 47/131 s and runs 0.080 /
+            # 0.295 ms x1024 rows (rel ~2e-7) — ~2x the composed pack
+            # path.  _rfft_gen_core's envelope gates shapes; kill
+            # switch: FFT_WGPU_TPU_R2C_GENERAL_OFF=1.
+            if not _r2c_general_off():
+                try:
+                    return pallas_fft.rfft_rows_general_split(
+                        xr, sign_scale, pad_out=pad_out)
+                except pallas_fft.Unsupported:
+                    pass
     Xr, Xi = _rfft_even_split(xr, sign_scale)
     if pad_out:
         from .pallas_fft import pad_bins
@@ -227,17 +228,16 @@ def rfft(x, n=None, axis: int = -1, norm=None):
             Xr, Xi = rfft_last_split(v, scale)
         else:
             # odd length: the single-pass general R2C kernel where it
-            # applies (composite, factors <= 128, ~2x faster at runtime:
-            # 1005x1024 0.085 ms, vcheck_r66) — but ONLY for lengths on
-            # the compile-verified allowlist (_r2c_general_ok): probed
-            # shapes n=1000/4095 blew a 900 s compile budget on the
-            # remote service (rfft_last_split note above), the hazard
-            # class that wedges the tunnel, so unprobed lengths take the
-            # fast-compiling composed fallback instead.
+            # applies (composite — ~2x the zero-imag C2C fallback:
+            # 1005x1024 0.085 ms vcheck_r66, 4095x1024 0.295 ms
+            # probe_r70).  The round-4 compile-budget allowlist is
+            # retired: the toolchain update cleared the hazard class
+            # (see _r2c_general_off).
             Xr = Xi = None
             import jax as _jax
 
-            if _jax.default_backend() == "tpu" and _r2c_general_ok(length):
+            if (_jax.default_backend() == "tpu"
+                    and not _r2c_general_off()):
                 try:  # guarded import first: ImportError during the
                     from .pallas_fft import (Unsupported,  # name binding
                                              rfft_rows_general_split)

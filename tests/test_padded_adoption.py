@@ -204,6 +204,41 @@ def test_rfft_odd_composite(fake_tpu):
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
 
 
+@pytest.mark.parametrize("n", [4097, 771, 1000])
+def test_rfft_general_extended_envelope(fake_tpu, n):
+    """Round 5: the general R2C routes even non-pow2 (1000) and the
+    extended factor<=256 envelope (4097 = 17*241, 771 = 3*257) after
+    the toolchain update cleared the >128-prime compile hang
+    (probe_r70/r71)."""
+    import fft_wgpu_tpu as ftt
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((4, n)).astype(np.float32)
+    got = np.asarray(jax.device_get(ftt.rfft(x)))
+    ref = np.fft.rfft(x, axis=-1)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_fft_prime241_factor(fake_tpu):
+    """C2C with a 128<prime<=256 factor rides the one-pass general
+    kernel (was Bluestein: 1.553 -> 0.878 ms at 4097x1024 on hw)."""
+    import fft_wgpu_tpu as ftt
+
+    rng = np.random.default_rng(8)
+    x = (rng.standard_normal((3, 514))
+         + 1j * rng.standard_normal((3, 514))).astype(np.complex64)
+    got = np.asarray(jax.device_get(ftt.fft(x)))
+    ref = np.fft.fft(x, axis=-1)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+
+    # 2-D: ax0 pass at n=514 uses the (2,257) sublane split
+    y = (rng.standard_normal((2, 514, 257))
+         + 1j * rng.standard_normal((2, 514, 257))).astype(np.complex64)
+    got = np.asarray(jax.device_get(ftt.fft(y, axis=-2)))
+    ref = np.fft.fft(y, axis=-2)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+
+
 def test_fft2_composite_axes(fake_tpu):
     """ND transforms on composite non-pow2 shapes ride the round-4
     kernels per axis (general rows for -1, composite ax0 for -2) —
