@@ -41,7 +41,7 @@ from .pallas_fft import (
 )
 
 __all__ = ["welch_accum_split", "csd_accum_split", "spec_psd_split",
-           "fused_welch_ok"]
+           "spec_rfft_split", "fused_welch_ok"]
 
 _MAX_K = 8  # frames spanning more than 8 hop-chunks: composed path
 
@@ -161,6 +161,21 @@ def _kernel_spec_psd(a_ref, b_ref, w_ref, o_ref, *, n, n1, n2, factors,
         num=num, detrend_c=detrend_c, block_seg0=i * 128)
     o_ref[:] = _r2c_power(frames, n=n, n1=n1, n2=n2, factors=factors,
                           mp=mp, mp_out=mp_out)
+
+
+def _kernel_spec_split(a_ref, b_ref, w_ref, or_ref, oi_ref, *, n, n1, n2,
+                       factors, mp, mp_out, nperseg, hop, K, num,
+                       detrend_c):
+    """Framed R2C with SPLIT spectra output (the stft/_spec_segments
+    building block): frames built in VMEM, spectra written per segment."""
+    i = pl.program_id(0)
+    frames = _frames_from_chunks(
+        a_ref[:], b_ref[:], w_ref[:], nperseg=nperseg, hop=hop, K=K, n=n,
+        num=num, detrend_c=detrend_c, block_seg0=i * 128)
+    dr, di = _r2c_bal_split(frames, n=n, n1=n1, n2=n2, factors=factors,
+                            mp=mp, mp_out=mp_out)
+    or_ref[:] = dr.T
+    oi_ref[:] = di.T
 
 
 def _kernel_csd_accum(xa_ref, xb_ref, ya_ref, yb_ref, w_ref, or_ref,
@@ -327,3 +342,58 @@ def spec_psd_split(x, win, nperseg, hop, nfft, detrend, *,
     out, num = _launch(x, win, nperseg, hop, nfft, detrend,
                        accumulate=False, interpret=interpret)
     return out[:num, : nfft // 2 + 1]
+
+
+def spec_rfft_split(x, win, nperseg, hop, nfft, detrend, *,
+                    pad_out=False, interpret=False):
+    """Fused framed R2C: real 1-D x -> split spectra [num, bins]
+    (bins = pad_bins(nfft) with pad_out else nfft//2+1) — the
+    _spec_segments_split hot path without the frame materialization."""
+    t = x.shape[-1]
+    if x.ndim != 1:
+        raise Unsupported("fused segment kernels take 1-D signals")
+    if not fused_welch_ok(t, nperseg, hop, nfft, detrend):
+        raise Unsupported("outside the fused welch envelope")
+    K = nperseg // hop
+    num = 1 + (t - nperseg) // hop
+    nblocks = -(-num // 128)
+    rows_pad = (nblocks + 1) * 128
+    need = rows_pad * hop
+    xp = jnp.pad(x, (0, need - t)) if need > t else x[:need]
+    chunks = xp.reshape(rows_pad, hop)
+    w2 = jnp.asarray(win, jnp.float32).reshape(1, nperseg)
+    n1, n2, factors = _BALANCED_R2C[nfft]
+    mp = nfft // 2 + 1
+    mp_out = pad_bins(nfft)
+    kern = functools.partial(
+        _kernel_spec_split, n=nfft, n1=n1, n2=n2, factors=factors, mp=mp,
+        mp_out=mp_out, nperseg=nperseg, hop=hop, K=K, num=num,
+        detrend_c=(detrend == "constant"))
+    spec_a = pl.BlockSpec((128, hop), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec((128, hop), lambda i: (i + 1, 0),
+                          memory_space=pltpu.VMEM)
+    win_spec = pl.BlockSpec((1, nperseg), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((128, mp_out), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    Xr, Xi = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[spec_a, spec_b, win_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((nblocks * 128, mp_out),
+                                        jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=(8 * nfft * (n1 + n2) + 10 * nfft) * nblocks * 128,
+            bytes_accessed=4 * (2 * rows_pad * hop
+                                + 2 * nblocks * 128 * mp_out),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=_interp(interpret),
+    )(chunks, chunks, w2)
+    bins = mp_out if pad_out else mp
+    return Xr[:num, :bins], Xi[:num, :bins]

@@ -306,6 +306,23 @@ def _spec_segments_split(xr, xi, win, nperseg, hop, nfft, detrend,
     from ..core.twiddle import FORWARD
     from .rfft import rfft_last_split
 
+    # fused framed-R2C kernel (round 5, ops/pallas_welch.py): skips the
+    # frame-matrix materialization for real 1-D signals in the envelope
+    if xi is None and jnp.ndim(xr) == 1:
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            from . import pallas_welch as _pw
+
+            if _pw.fused_welch_ok(xr.shape[-1], nperseg, hop, nfft,
+                                  detrend):
+                try:
+                    return _pw.spec_rfft_split(xr, win, nperseg, hop,
+                                               nfft, detrend,
+                                               pad_out=pad_out)
+                except _pw.Unsupported:
+                    pass
+
     frames_r = _detrend_seg(_frame(xr, nperseg, hop), detrend) * win
     if xi is None:
         if nfft > nperseg:

@@ -123,6 +123,43 @@ def test_spectrogram_routed_fused(fake_tpu, rng):
     assert err < 1e-4, f"spectrogram fused vs scipy: {err:.3e}"
 
 
+def test_spec_rfft_split_kernel_parity(rng):
+    """Fused framed R2C (split spectra) vs composed numpy framing."""
+    t, nperseg, hop = 4096, 512, 256
+    x = rng.standard_normal(t).astype(np.float32)
+    win = sig.get_window("hann", nperseg).astype(np.float32)
+    Xr, Xi = jax.jit(
+        lambda v: pw.spec_rfft_split(v, win, nperseg, hop, nperseg,
+                                     "constant", interpret=True)
+    )(jnp.asarray(x))
+    num = 1 + (t - nperseg) // hop
+    assert Xr.shape == (num, nperseg // 2 + 1)
+    got = np.asarray(Xr) + 1j * np.asarray(Xi)
+    for s in range(num):
+        fr = x[s * hop: s * hop + nperseg].astype(np.float64)
+        ref = np.fft.rfft((fr - fr.mean()) * win)
+        err = np.linalg.norm(got[s] - ref) / np.linalg.norm(ref)
+        assert err < 1e-5, f"segment {s}: {err:.3e}"
+    # padded serving form
+    Xr, Xi = pw.spec_rfft_split(jnp.asarray(x), win, nperseg, hop,
+                                nperseg, "constant", pad_out=True,
+                                interpret=True)
+    assert Xr.shape[-1] == 384  # pad_bins(512)
+    assert float(jnp.max(jnp.abs(Xr[:, nperseg // 2 + 1:]))) == 0.0
+
+
+def test_spectrogram_complex_routed(fake_tpu, rng):
+    """spectrogram mode='complex' (via _spec_segments_split) rides the
+    fused framed-R2C kernel and matches scipy."""
+    import fft_wgpu_tpu as ftt
+
+    x = rng.standard_normal(8192).astype(np.float32)
+    f1, t1, S1 = ftt.spectrogram(x, nperseg=512, mode="complex")
+    f2, t2, S2 = sig.spectrogram(x, nperseg=512, mode="complex")
+    err = np.linalg.norm(np.asarray(S1) - S2) / np.linalg.norm(S2)
+    assert err < 1e-4, f"spectrogram complex fused vs scipy: {err:.3e}"
+
+
 def test_csd_kernel_parity(rng):
     t, nperseg, hop = 8192, 512, 256
     x = rng.standard_normal(t).astype(np.float32)
