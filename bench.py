@@ -802,9 +802,15 @@ def child_main():
             v, win, nperseg, hop, nperseg, "constant")[0])
 
         def composed_fn(v):
-            Xr, Xi = se._spec_segments_split(
-                v, None, win, nperseg, hop, nperseg, "constant",
-                pad_out=True)
+            # explicit composed pipeline (frame -> detrend -> window ->
+            # padded rfft -> power -> sum); _spec_segments_split itself
+            # now routes through the fused framed-R2C kernel (round-5e),
+            # so going through it would not measure the composed cost
+            from fft_wgpu_tpu.ops.rfft import rfft_last_split
+
+            fr = se._detrend_seg(se._frame(v, nperseg, hop),
+                                 "constant") * win
+            Xr, Xi = rfft_last_split(fr, None, pad_out=True)
             return (jnp.sum(Xr * Xr + Xi * Xi, axis=0)[: nperseg // 2 + 1],)
 
         composed = jax.jit(composed_fn)
@@ -815,8 +821,13 @@ def child_main():
         tc = _device_time(composed, (x,))
         if tf is None or tc is None:
             raise RuntimeError("profiler captured no device events")
+        # the split-spectra sibling (spectrogram/stft building block)
+        split = jax.jit(lambda v: pwl.spec_rfft_split(
+            v, win, nperseg, hop, nperseg, "constant", pad_out=True))
+        ts = _device_time(split, (x,))
+        ts_txt = f", framed-R2C split {ts*1e3:.3f} ms" if ts else ""
         return (f"fused {tf*1e3:.3f} ms vs composed {tc*1e3:.3f} ms = "
-                f"{tc/tf:.2f}x, parity={err:.2e} "
+                f"{tc/tf:.2f}x, parity={err:.2e}{ts_txt} "
                 f"(t=2^22, nperseg={nperseg}, hop={hop})")
 
     _row("fused welch 2^22 x nperseg 4096",
@@ -989,6 +1000,12 @@ def child_main():
 
     _row("general composite n=4095 x 1024 (one-pass kernel)",
          lambda: _general(4095, 1024), budget=600)
+    # 4097 = 17 * 241: rides the round-5 extended factor<=256 envelope
+    # (probe_r70/r71) — the public fft no longer pays the two fused
+    # Bluestein m=16384 passes for this length (1.553 -> 0.879 ms); the
+    # Bluestein rows above still measure the chirp engine itself.
+    _row("general composite n=4097 x 1024 ((17,241), ex-Bluestein)",
+         lambda: _general(4097, 1024), budget=600)
     _row("general composite n=1000 x 2048 (one-pass kernel)",
          lambda: _general(1000, 2048), budget=600)
     _row("end-to-end 2500x512 (reference loop)", lambda: _end_to_end(512, 2500))

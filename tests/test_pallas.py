@@ -498,20 +498,28 @@ def test_rows_general_composite(n, rng, assert_close):
 
 
 def test_rows_general_envelope():
-    """Prime n and >128-prime-factor n must raise (those factor shapes
-    HANG the remote compile service — probe_r63); pow2 raises too (it
-    has its own pinned kernels)."""
+    """Prime n and >256-prime-factor n must raise (primes > 256 ride
+    Bluestein; the 128 bound was lifted to 256 after the toolchain
+    update cleared the compile-hang class — probe_r70/r71); pow2 raises
+    too (it has its own pinned kernels)."""
     import jax.numpy as jnp
 
     r = jnp.zeros((4, 4093), jnp.float32)  # prime
     with pytest.raises(pallas_fft.Unsupported):
         pallas_fft._fft_rows_gen_core(r, r, -1, interpret=True)
-    r = jnp.zeros((4, 4097), jnp.float32)  # 17*241: factor > 128
+    r = jnp.zeros((4, 1031), jnp.float32)  # prime > 256
+    with pytest.raises(pallas_fft.Unsupported):
+        pallas_fft._fft_rows_gen_core(r, r, -1, interpret=True)
+    r = jnp.zeros((4, 1538), jnp.float32)  # 2*769: factor > 256
     with pytest.raises(pallas_fft.Unsupported):
         pallas_fft._fft_rows_gen_core(r, r, -1, interpret=True)
     r = jnp.zeros((4, 4096), jnp.float32)  # pow2: pinned kernels
     with pytest.raises(pallas_fft.Unsupported):
         pallas_fft._fft_rows_gen_core(r, r, -1, interpret=True)
+    # 4097 = 17*241 is now INSIDE the envelope (round 5)
+    r = jnp.zeros((4, 4097), jnp.float32)
+    rr, ii = pallas_fft._fft_rows_gen_core(r, r, -1, interpret=True)
+    assert rr.shape == (4, 4097)
 
 
 @pytest.mark.parametrize("n,m", [(1000, 256)])
