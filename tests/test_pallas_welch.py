@@ -160,6 +160,30 @@ def test_spectrogram_complex_routed(fake_tpu, rng):
     assert err < 1e-4, f"spectrogram complex fused vs scipy: {err:.3e}"
 
 
+def test_stft_routed_fused(fake_tpu, rng):
+    """Public stft (1-D, center) rides the fused framed-R2C kernel and
+    matches scipy's ShortTimeFFT-equivalent composed result."""
+    import fft_wgpu_tpu as ftt
+
+    x = rng.standard_normal(4096).astype(np.float32)
+    Z = ftt.stft(x, n_fft=512, hop_length=128)
+    # composed reference (numpy): same framing/window conventions
+    win = np.hanning(512 + 1)[:-1].astype(np.float32)  # periodic hann
+    xp = np.pad(x, (256, 256), mode="reflect")
+    num = 1 + (len(xp) - 512) // 128
+    ref = np.stack([
+        np.fft.rfft(xp[s * 128: s * 128 + 512] * win) for s in range(num)
+    ]).T
+    got = np.asarray(jnp.real(Z)) + 1j * np.asarray(jnp.imag(Z))
+    assert got.shape == ref.shape
+    err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert err < 1e-5, f"stft fused vs composed numpy: {err:.3e}"
+    # round trip through istft (the COLA overlap-add inverse)
+    y = np.asarray(ftt.istft(Z, n_fft=512, hop_length=128, length=4096))
+    err = np.linalg.norm(y - x) / np.linalg.norm(x)
+    assert err < 1e-5, f"istft roundtrip: {err:.3e}"
+
+
 def test_csd_kernel_parity(rng):
     t, nperseg, hop = 8192, 512, 256
     x = rng.standard_normal(t).astype(np.float32)
