@@ -137,29 +137,32 @@ def _frames_from_chunks(a, b, w, *, nperseg, hop, K, n, num, detrend_c,
 
 def _kernel_welch_accum(a_ref, b_ref, w_ref, o_ref, *, n, n1, n2, factors,
                         mp, mp_out, nperseg, hop, K, num, detrend_c):
-    i = pl.program_id(0)
+    # grid (B, nblocks): batch outer, segment blocks inner (the inner
+    # dim iterates fastest, so each batch row's accumulator block is
+    # revisited across its full i-sweep before b advances)
+    i = pl.program_id(1)
     frames = _frames_from_chunks(
-        a_ref[:], b_ref[:], w_ref[:], nperseg=nperseg, hop=hop, K=K, n=n,
+        a_ref[0], b_ref[0], w_ref[:], nperseg=nperseg, hop=hop, K=K, n=n,
         num=num, detrend_c=detrend_c, block_seg0=i * 128)
     p = _r2c_power(frames, n=n, n1=n1, n2=n2, factors=factors, mp=mp,
                    mp_out=mp_out)
 
     @pl.when(i == 0)
     def _init():
-        o_ref[:] = p
+        o_ref[0] = p
 
     @pl.when(i > 0)
     def _accum():
-        o_ref[:] = o_ref[:] + p
+        o_ref[0] = o_ref[0] + p
 
 
 def _kernel_spec_psd(a_ref, b_ref, w_ref, o_ref, *, n, n1, n2, factors,
                      mp, mp_out, nperseg, hop, K, num, detrend_c):
-    i = pl.program_id(0)
+    i = pl.program_id(1)
     frames = _frames_from_chunks(
-        a_ref[:], b_ref[:], w_ref[:], nperseg=nperseg, hop=hop, K=K, n=n,
+        a_ref[0], b_ref[0], w_ref[:], nperseg=nperseg, hop=hop, K=K, n=n,
         num=num, detrend_c=detrend_c, block_seg0=i * 128)
-    o_ref[:] = _r2c_power(frames, n=n, n1=n1, n2=n2, factors=factors,
+    o_ref[0] = _r2c_power(frames, n=n, n1=n1, n2=n2, factors=factors,
                           mp=mp, mp_out=mp_out)
 
 
@@ -168,14 +171,14 @@ def _kernel_spec_split(a_ref, b_ref, w_ref, or_ref, oi_ref, *, n, n1, n2,
                        detrend_c):
     """Framed R2C with SPLIT spectra output (the stft/_spec_segments
     building block): frames built in VMEM, spectra written per segment."""
-    i = pl.program_id(0)
+    i = pl.program_id(1)
     frames = _frames_from_chunks(
-        a_ref[:], b_ref[:], w_ref[:], nperseg=nperseg, hop=hop, K=K, n=n,
+        a_ref[0], b_ref[0], w_ref[:], nperseg=nperseg, hop=hop, K=K, n=n,
         num=num, detrend_c=detrend_c, block_seg0=i * 128)
     dr, di = _r2c_bal_split(frames, n=n, n1=n1, n2=n2, factors=factors,
                             mp=mp, mp_out=mp_out)
-    or_ref[:] = dr.T
-    oi_ref[:] = di.T
+    or_ref[0] = dr.T
+    oi_ref[0] = di.T
 
 
 def _kernel_csd_accum(xa_ref, xb_ref, ya_ref, yb_ref, w_ref, or_ref,
@@ -184,11 +187,11 @@ def _kernel_csd_accum(xa_ref, xb_ref, ya_ref, yb_ref, w_ref, or_ref,
     """Cross-spectrum accumulator: sum_s conj(X_s) * Y_s (scipy csd
     convention) — both signals framed, transformed and cross-multiplied
     in one pass."""
-    i = pl.program_id(0)
+    i = pl.program_id(1)
     kw = dict(nperseg=nperseg, hop=hop, K=K, n=n, num=num,
               detrend_c=detrend_c, block_seg0=i * 128)
-    fx = _frames_from_chunks(xa_ref[:], xb_ref[:], w_ref[:], **kw)
-    fy = _frames_from_chunks(ya_ref[:], yb_ref[:], w_ref[:], **kw)
+    fx = _frames_from_chunks(xa_ref[0], xb_ref[0], w_ref[:], **kw)
+    fy = _frames_from_chunks(ya_ref[0], yb_ref[0], w_ref[:], **kw)
     mkw = dict(n=n, n1=n1, n2=n2, factors=factors, mp=mp, mp_out=mp_out)
     xr, xi = _r2c_bal_split(fx, **mkw)
     yr, yi = _r2c_bal_split(fy, **mkw)
@@ -197,203 +200,196 @@ def _kernel_csd_accum(xa_ref, xb_ref, ya_ref, yb_ref, w_ref, or_ref,
 
     @pl.when(i == 0)
     def _init():
-        or_ref[:] = pr
-        oi_ref[:] = pi
+        or_ref[0] = pr
+        oi_ref[0] = pi
 
     @pl.when(i > 0)
     def _accum():
-        or_ref[:] = or_ref[:] + pr
-        oi_ref[:] = oi_ref[:] + pi
+        or_ref[0] = or_ref[0] + pr
+        oi_ref[0] = oi_ref[0] + pi
 
 
-def _launch(x, win, nperseg, hop, nfft, detrend, *, accumulate,
-            interpret=False):
+def _geom(x, win, nperseg, hop, nfft, detrend):
+    """Flatten leading dims and build the padded 3-D chunk view
+    [B, rows_pad, hop] plus the shared grid geometry.  x real [..., t];
+    the chunk view is padded one extra 128-row block so every main
+    block's B-neighbour block exists (zero pad -> masked in-kernel)."""
     t = x.shape[-1]
-    if x.ndim != 1:
-        raise Unsupported("fused segment kernels take 1-D signals")
     if not fused_welch_ok(t, nperseg, hop, nfft, detrend):
         raise Unsupported("outside the fused welch envelope")
+    lead = x.shape[:-1]
+    B = int(np.prod(lead)) if lead else 1
+    if B == 0:
+        raise Unsupported("zero-size batch")
     K = nperseg // hop
     num = 1 + (t - nperseg) // hop
     nblocks = -(-num // 128)
-    # chunk view padded so block nblocks-1's B-neighbour block exists
     rows_pad = (nblocks + 1) * 128
     need = rows_pad * hop
-    xp = jnp.pad(x, (0, need - t)) if need > t else x[:need]
-    chunks = xp.reshape(rows_pad, hop)
+    x2 = x.reshape(B, t)
+    xp = (jnp.pad(x2, ((0, 0), (0, need - t))) if need > t
+          else x2[:, :need])
+    chunks = xp.reshape(B, rows_pad, hop)
     w2 = jnp.asarray(win, jnp.float32).reshape(1, nperseg)
-
     n1, n2, factors = _BALANCED_R2C[nfft]
-    mp = nfft // 2 + 1
-    mp_out = pad_bins(nfft)
-    kern = functools.partial(
-        _kernel_welch_accum if accumulate else _kernel_spec_psd,
-        n=nfft, n1=n1, n2=n2, factors=factors, mp=mp, mp_out=mp_out,
-        nperseg=nperseg, hop=hop, K=K, num=num,
-        detrend_c=(detrend == "constant"))
+    geom = dict(
+        lead=lead, B=B, K=K, num=num, nblocks=nblocks, rows_pad=rows_pad,
+        mp=nfft // 2 + 1, mp_out=pad_bins(nfft), n1=n1, n2=n2,
+        factors=factors,
+        kkw=dict(n=nfft, n1=n1, n2=n2, factors=factors,
+                 mp=nfft // 2 + 1, mp_out=pad_bins(nfft),
+                 nperseg=nperseg, hop=hop, K=K, num=num,
+                 detrend_c=(detrend == "constant")),
+    )
+    return chunks, w2, geom
 
-    chunk_spec_a = pl.BlockSpec((128, hop), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)
-    chunk_spec_b = pl.BlockSpec((128, hop), lambda i: (i + 1, 0),
-                                memory_space=pltpu.VMEM)
-    win_spec = pl.BlockSpec((1, nperseg), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+
+def _specs(g, hop, nperseg, accumulate):
+    """(chunk_a, chunk_b, win, out) BlockSpecs for grid (B, nblocks)."""
+    a = pl.BlockSpec((1, 128, hop), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM)
+    bb = pl.BlockSpec((1, 128, hop), lambda b, i: (b, i + 1, 0),
+                      memory_space=pltpu.VMEM)
+    w = pl.BlockSpec((1, nperseg), lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM)
     if accumulate:
-        out_rows, out_spec = 128, pl.BlockSpec(
-            (128, mp_out), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        o = pl.BlockSpec((1, 128, g["mp_out"]), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        rows = 128
     else:
-        out_rows, out_spec = nblocks * 128, pl.BlockSpec(
-            (128, mp_out), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        o = pl.BlockSpec((1, 128, g["mp_out"]), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+        rows = g["nblocks"] * 128
+    return a, bb, w, o, rows
 
-    out = pl.pallas_call(
-        kern,
-        grid=(nblocks,),
-        in_specs=[chunk_spec_a, chunk_spec_b, win_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((out_rows, mp_out), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=(8 * nfft * (n1 + n2) + 10 * nfft) * nblocks * 128,
-            bytes_accessed=4 * (2 * rows_pad * hop + out_rows * mp_out),
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
-        ),
-        interpret=_interp(interpret),
-    )(chunks, chunks, w2)
-    return out, num
+
+_PARAMS = dict(vmem_limit_bytes=127 * 1024 * 1024)
 
 
 def csd_accum_split(x, y, win, nperseg, hop, nfft, detrend, *,
                     interpret=False):
-    """Fused csd core: real 1-D x, y -> (Pr, Pi [nfft//2+1], num) with
-    P[b] = sum_s conj(X_s[b]) * Y_s[b] (scipy csd convention); the
+    """Fused csd core: real [..., t] x, y -> (Pr, Pi [..., nfft//2+1],
+    num) with P = sum_s conj(X_s) * Y_s (scipy csd convention); the
     caller applies mean/norm/one-sided doubling on the tiny vectors."""
-    t = x.shape[-1]
-    if x.ndim != 1 or y.shape != x.shape:
-        raise Unsupported("fused csd takes equal-length 1-D signals")
-    if not fused_welch_ok(t, nperseg, hop, nfft, detrend):
-        raise Unsupported("outside the fused welch envelope")
-    K = nperseg // hop
-    num = 1 + (t - nperseg) // hop
-    nblocks = -(-num // 128)
-    rows_pad = (nblocks + 1) * 128
-    need = rows_pad * hop
-
-    def view(v):
-        vp = jnp.pad(v, (0, need - t)) if need > t else v[:need]
-        return vp.reshape(rows_pad, hop)
-
-    cx, cy = view(x), view(y)
-    w2 = jnp.asarray(win, jnp.float32).reshape(1, nperseg)
-    n1, n2, factors = _BALANCED_R2C[nfft]
-    mp = nfft // 2 + 1
-    mp_out = pad_bins(nfft)
-    kern = functools.partial(
-        _kernel_csd_accum, n=nfft, n1=n1, n2=n2, factors=factors, mp=mp,
-        mp_out=mp_out, nperseg=nperseg, hop=hop, K=K, num=num,
-        detrend_c=(detrend == "constant"))
-    spec_a = pl.BlockSpec((128, hop), lambda i: (i, 0),
-                          memory_space=pltpu.VMEM)
-    spec_b = pl.BlockSpec((128, hop), lambda i: (i + 1, 0),
-                          memory_space=pltpu.VMEM)
-    win_spec = pl.BlockSpec((1, nperseg), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    acc_spec = pl.BlockSpec((128, mp_out), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+    if y.shape != x.shape:
+        raise Unsupported("fused csd takes equal-shape signals")
+    cx, w2, g = _geom(x, win, nperseg, hop, nfft, detrend)
+    cy, _, _ = _geom(y, win, nperseg, hop, nfft, detrend)
+    kern = functools.partial(_kernel_csd_accum, **g["kkw"])
+    sa, sb, sw, so, rows = _specs(g, hop, nperseg, True)
     pr, pi = pl.pallas_call(
         kern,
-        grid=(nblocks,),
-        in_specs=[spec_a, spec_b, spec_a, spec_b, win_spec],
-        out_specs=[acc_spec, acc_spec],
-        out_shape=[jax.ShapeDtypeStruct((128, mp_out), jnp.float32)] * 2,
+        grid=(g["B"], g["nblocks"]),
+        in_specs=[sa, sb, sa, sb, sw],
+        out_specs=[so, so],
+        out_shape=[jax.ShapeDtypeStruct((g["B"], rows, g["mp_out"]),
+                                        jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
-            flops=2 * (8 * nfft * (n1 + n2) + 10 * nfft) * nblocks * 128,
-            bytes_accessed=4 * (4 * rows_pad * hop + 2 * 128 * mp_out),
+            flops=2 * (8 * nfft * (g["n1"] + g["n2"]) + 10 * nfft)
+            * g["B"] * g["nblocks"] * 128,
+            bytes_accessed=4 * g["B"] * (4 * g["rows_pad"] * hop
+                                         + 2 * rows * g["mp_out"]),
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
-        ),
+        compiler_params=pltpu.CompilerParams(**_PARAMS),
         interpret=_interp(interpret),
     )(cx, cx, cy, cy, w2)
-    m = nfft // 2 + 1
-    return jnp.sum(pr, axis=0)[:m], jnp.sum(pi, axis=0)[:m], num
+    m = g["mp"]
+    shape = (*g["lead"], m)
+    return (jnp.sum(pr, axis=1)[..., :m].reshape(shape),
+            jnp.sum(pi, axis=1)[..., :m].reshape(shape), g["num"])
 
 
 def welch_accum_split(x, win, nperseg, hop, nfft, detrend, *,
                       interpret=False):
-    """Fused welch core: real 1-D x -> (power_sum [nfft//2+1], num).
+    """Fused welch core: real [..., t] x -> (power_sum [..., nfft//2+1],
+    num).
 
-    power_sum[b] = sum over all `num` segments of
+    power_sum[.., b] = sum over all `num` segments of
     |RFFT(win * detrend(frame_s))[b]|^2 — the caller applies the 1/num
     mean, density/spectrum norm and the one-sided doubling on this TINY
     vector.  One kernel pass over the signal; HBM traffic ~2 signal
-    reads + a [128, pad_bins] accumulator."""
-    acc, num = _launch(x, win, nperseg, hop, nfft, detrend,
-                       accumulate=True, interpret=interpret)
-    return jnp.sum(acc, axis=0)[: nfft // 2 + 1], num
+    reads + a [128, pad_bins] accumulator per batch row."""
+    chunks, w2, g = _geom(x, win, nperseg, hop, nfft, detrend)
+    kern = functools.partial(_kernel_welch_accum, **g["kkw"])
+    sa, sb, sw, so, rows = _specs(g, hop, nperseg, True)
+    acc = pl.pallas_call(
+        kern,
+        grid=(g["B"], g["nblocks"]),
+        in_specs=[sa, sb, sw],
+        out_specs=so,
+        out_shape=jax.ShapeDtypeStruct((g["B"], rows, g["mp_out"]),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=(8 * nfft * (g["n1"] + g["n2"]) + 10 * nfft)
+            * g["B"] * g["nblocks"] * 128,
+            bytes_accessed=4 * g["B"] * (2 * g["rows_pad"] * hop
+                                         + rows * g["mp_out"]),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(**_PARAMS),
+        interpret=_interp(interpret),
+    )(chunks, chunks, w2)
+    m = g["mp"]
+    return (jnp.sum(acc, axis=1)[..., :m].reshape(*g["lead"], m),
+            g["num"])
 
 
 def spec_psd_split(x, win, nperseg, hop, nfft, detrend, *,
                    interpret=False):
-    """Fused per-segment power spectra: real 1-D x -> [num, nfft//2+1]
-    (spectrogram mode='psd' core; caller applies scaling)."""
-    out, num = _launch(x, win, nperseg, hop, nfft, detrend,
-                       accumulate=False, interpret=interpret)
-    return out[:num, : nfft // 2 + 1]
+    """Fused per-segment power spectra: real [..., t] x ->
+    [..., num, nfft//2+1] (spectrogram mode=psd core; caller scales)."""
+    chunks, w2, g = _geom(x, win, nperseg, hop, nfft, detrend)
+    kern = functools.partial(_kernel_spec_psd, **g["kkw"])
+    sa, sb, sw, so, rows = _specs(g, hop, nperseg, False)
+    out = pl.pallas_call(
+        kern,
+        grid=(g["B"], g["nblocks"]),
+        in_specs=[sa, sb, sw],
+        out_specs=so,
+        out_shape=jax.ShapeDtypeStruct((g["B"], rows, g["mp_out"]),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=(8 * nfft * (g["n1"] + g["n2"]) + 10 * nfft)
+            * g["B"] * g["nblocks"] * 128,
+            bytes_accessed=4 * g["B"] * (2 * g["rows_pad"] * hop
+                                         + rows * g["mp_out"]),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(**_PARAMS),
+        interpret=_interp(interpret),
+    )(chunks, chunks, w2)
+    return out[:, :g["num"], :g["mp"]].reshape(
+        *g["lead"], g["num"], g["mp"])
 
 
 def spec_rfft_split(x, win, nperseg, hop, nfft, detrend, *,
                     pad_out=False, interpret=False):
-    """Fused framed R2C: real 1-D x -> split spectra [num, bins]
-    (bins = pad_bins(nfft) with pad_out else nfft//2+1) — the
-    _spec_segments_split hot path without the frame materialization."""
-    t = x.shape[-1]
-    if x.ndim != 1:
-        raise Unsupported("fused segment kernels take 1-D signals")
-    if not fused_welch_ok(t, nperseg, hop, nfft, detrend):
-        raise Unsupported("outside the fused welch envelope")
-    K = nperseg // hop
-    num = 1 + (t - nperseg) // hop
-    nblocks = -(-num // 128)
-    rows_pad = (nblocks + 1) * 128
-    need = rows_pad * hop
-    xp = jnp.pad(x, (0, need - t)) if need > t else x[:need]
-    chunks = xp.reshape(rows_pad, hop)
-    w2 = jnp.asarray(win, jnp.float32).reshape(1, nperseg)
-    n1, n2, factors = _BALANCED_R2C[nfft]
-    mp = nfft // 2 + 1
-    mp_out = pad_bins(nfft)
-    kern = functools.partial(
-        _kernel_spec_split, n=nfft, n1=n1, n2=n2, factors=factors, mp=mp,
-        mp_out=mp_out, nperseg=nperseg, hop=hop, K=K, num=num,
-        detrend_c=(detrend == "constant"))
-    spec_a = pl.BlockSpec((128, hop), lambda i: (i, 0),
-                          memory_space=pltpu.VMEM)
-    spec_b = pl.BlockSpec((128, hop), lambda i: (i + 1, 0),
-                          memory_space=pltpu.VMEM)
-    win_spec = pl.BlockSpec((1, nperseg), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((128, mp_out), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+    """Fused framed R2C: real [..., t] x -> split spectra
+    [..., num, bins] (bins = pad_bins(nfft) with pad_out else
+    nfft//2+1) — the _spec_segments_split hot path without the frame
+    materialization."""
+    chunks, w2, g = _geom(x, win, nperseg, hop, nfft, detrend)
+    kern = functools.partial(_kernel_spec_split, **g["kkw"])
+    sa, sb, sw, so, rows = _specs(g, hop, nperseg, False)
     Xr, Xi = pl.pallas_call(
         kern,
-        grid=(nblocks,),
-        in_specs=[spec_a, spec_b, win_spec],
-        out_specs=[out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((nblocks * 128, mp_out),
+        grid=(g["B"], g["nblocks"]),
+        in_specs=[sa, sb, sw],
+        out_specs=[so, so],
+        out_shape=[jax.ShapeDtypeStruct((g["B"], rows, g["mp_out"]),
                                         jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
-            flops=(8 * nfft * (n1 + n2) + 10 * nfft) * nblocks * 128,
-            bytes_accessed=4 * (2 * rows_pad * hop
-                                + 2 * nblocks * 128 * mp_out),
+            flops=(8 * nfft * (g["n1"] + g["n2"]) + 10 * nfft)
+            * g["B"] * g["nblocks"] * 128,
+            bytes_accessed=4 * g["B"] * (2 * g["rows_pad"] * hop
+                                         + 2 * rows * g["mp_out"]),
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
-        ),
+        compiler_params=pltpu.CompilerParams(**_PARAMS),
         interpret=_interp(interpret),
     )(chunks, chunks, w2)
-    bins = mp_out if pad_out else mp
-    return Xr[:num, :bins], Xi[:num, :bins]
+    bins = g["mp_out"] if pad_out else g["mp"]
+    shp = (*g["lead"], g["num"], bins)
+    return (Xr[:, :g["num"], :bins].reshape(shp),
+            Xi[:, :g["num"], :bins].reshape(shp))

@@ -308,7 +308,7 @@ def _spec_segments_split(xr, xi, win, nperseg, hop, nfft, detrend,
 
     # fused framed-R2C kernel (round 5, ops/pallas_welch.py): skips the
     # frame-matrix materialization for real 1-D signals in the envelope
-    if xi is None and jnp.ndim(xr) == 1:
+    if xi is None:
         import jax as _jax
 
         if _jax.default_backend() == "tpu":
@@ -420,9 +420,8 @@ def _csd_impl(x, y, fs, window, nperseg, noverlap, nfft, detrend,
         # segment-sum run in ONE Pallas pass (ops/pallas_welch.py) —
         # ~2 signal reads of HBM traffic instead of the ~9 passes of the
         # composed pipeline.  Everything after is on the tiny bins vector.
-        if (onesided and xi_ is None and xr_.ndim == 1
-                and (same or (yi_ is None and yr_.ndim == 1
-                              and yr_.shape == xr_.shape))
+        if (onesided and xi_ is None
+                and (same or (yi_ is None and yr_.shape == xr_.shape))
                 and average == "mean"
                 and jax.default_backend() == "tpu"):
             from . import pallas_welch as _pw
@@ -684,7 +683,7 @@ def spectrogram(x, fs: float = 1.0, window=("tukey", 0.25),
         if not onesided and v_i is None:
             v_i = jnp.zeros_like(v_r)  # two-sided needs the full C2C path
         if (mode in ("psd", "magnitude") and onesided and v_i is None
-                and v_r.ndim == 1 and jax.default_backend() == "tpu"):
+                and jax.default_backend() == "tpu"):
             # fused framing+window+R2C+|.|^2 kernel (ops/pallas_welch.py):
             # skips the frame matrix materialization and the separate
             # power pass of the composed pipeline

@@ -110,11 +110,11 @@ def stft(x, n_fft: int = 512, hop_length: int | None = None, window=None,
         x = jnp.pad(x, pad, mode="reflect")
 
     def impl(v):
-        # fused framed-R2C kernel for 1-D signals (round 5,
-        # ops/pallas_welch.py): frames built in VMEM — no [num, n_fft]
-        # frame matrix in HBM (2.79x at 2^22 x 4096, PERFORMANCE.md
-        # round-5e)
-        if v.ndim == 1 and jax.default_backend() == "tpu":
+        # fused framed-R2C kernel (round 5; leading dims flattened to
+        # a batch grid dim — ops/pallas_welch.py): frames built in
+        # VMEM, no [.., num, n_fft] frame matrix in HBM (2.79x at 2^22
+        # x 4096, PERFORMANCE.md round-5e)
+        if jax.default_backend() == "tpu":
             from . import pallas_welch as _pw
 
             if _pw.fused_welch_ok(v.shape[-1], n_fft, hop, n_fft, False):

@@ -116,8 +116,10 @@ def test_welch_rides_padded_forms(fake_tpu):
         pw.welch_accum_split = orig_fused
     assert called.get("fused"), "1-D welch did not take the fused kernel"
 
-    # (b) the composed path (batched input is outside the fused
-    # envelope) still rides the padded per-segment spectrum
+    # (b) the composed path (median averaging is outside the fused
+    # envelope — it needs per-segment spectra) still rides the padded
+    # per-segment spectrum, and the fused framed-R2C inside
+    # _spec_segments_split is bypassed by detrend="linear"
     captured = {}
     orig = se._spec_segments_split
 
@@ -129,7 +131,8 @@ def test_welch_rides_padded_forms(fake_tpu):
 
     se._spec_segments_split = spy
     try:
-        ftt.welch(np.stack([x, x]), nperseg=N)
+        ftt.welch(np.stack([x, x]), nperseg=N, average="median",
+                  detrend="linear")
     finally:
         se._spec_segments_split = orig
     assert captured["pad_out"] is True

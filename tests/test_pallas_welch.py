@@ -231,9 +231,32 @@ def test_spectrogram_magnitude_routed(fake_tpu, rng):
     assert err < 1e-4, f"spectrogram magnitude fused vs scipy: {err:.3e}"
 
 
-def test_welch_median_and_2d_stay_composed(fake_tpu, rng):
-    """Out-of-envelope configs (median average, batched input, linear
-    detrend) still work via the composed path."""
+def test_welch_batched_fused(fake_tpu, rng):
+    """Batched (2-D) welch/spectrogram now ride the fused kernels too
+    (round 5: leading dims become a batch grid dimension)."""
+    import fft_wgpu_tpu as ftt
+
+    x = rng.standard_normal((3, 4096)).astype(np.float32)
+    f1, p1 = ftt.welch(x, nperseg=512)
+    f2, p2 = sig.welch(x, nperseg=512)
+    err = np.linalg.norm(np.asarray(p1) - p2) / np.linalg.norm(p2)
+    assert err < 1e-4, f"batched welch: {err:.3e}"
+
+    f1, t1, S1 = ftt.spectrogram(x, nperseg=512)
+    f2, t2, S2 = sig.spectrogram(x, nperseg=512)
+    assert np.asarray(S1).shape == S2.shape
+    err = np.linalg.norm(np.asarray(S1) - S2) / np.linalg.norm(S2)
+    assert err < 1e-4, f"batched spectrogram: {err:.3e}"
+
+    Z = ftt.stft(x, n_fft=512, hop_length=128)
+    y = np.asarray(ftt.istft(Z, n_fft=512, hop_length=128, length=4096))
+    err = np.linalg.norm(y - x) / np.linalg.norm(x)
+    assert err < 1e-5, f"batched stft roundtrip: {err:.3e}"
+
+
+def test_welch_median_and_linear_stay_composed(fake_tpu, rng):
+    """Out-of-envelope configs (median average, linear detrend) still
+    work via the composed path."""
     import fft_wgpu_tpu as ftt
 
     x = rng.standard_normal((3, 4096)).astype(np.float32)
