@@ -29,28 +29,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_fft import (
+    _BALANCED,
     _BALANCED_R2C,
     Unsupported,
+    _cdot,
+    _cdot_realcat,
     _dot_prec,
     _gen_dft,
     _gen_twiddle,
     _interp,
     _round_up,
+    _vpu_dft_leading,
     _vpu_dft_leading_real,
     pad_bins,
 )
 
 __all__ = ["welch_accum_split", "csd_accum_split", "spec_psd_split",
-           "spec_rfft_split", "fused_welch_ok"]
+           "spec_rfft_split", "welch_accum_c2c_split", "spec_c2c_split",
+           "fused_welch_ok"]
 
 _MAX_K = 8  # frames spanning more than 8 hop-chunks: composed path
 
 
 def fused_welch_ok(t: int, nperseg: int, hop: int, nfft: int,
-                   detrend) -> bool:
-    """Envelope of the fused segment-spectrum kernels."""
+                   detrend, *, c2c: bool = False) -> bool:
+    """Envelope of the fused segment-spectrum kernels (c2c=True checks
+    the two-sided complex-input variant's table)."""
     return (
-        nfft in _BALANCED_R2C
+        nfft in (_BALANCED if c2c else _BALANCED_R2C)
         and nfft >= nperseg
         and 0 < hop <= nperseg
         and nperseg % hop == 0
@@ -102,6 +108,25 @@ def _r2c_power(frames, *, n, n1, n2, factors, mp, mp_out):
     dr, di = _r2c_bal_split(frames, n=n, n1=n1, n2=n2, factors=factors,
                             mp=mp, mp_out=mp_out)
     return (dr * dr + di * di).T  # [bt, mp_out]
+
+
+def _c2c_bal_split(fr, fi, *, n, n1, n2, factors):
+    """Balanced C2C of [128, n] complex frame pairs -> FULL split spectra
+    [n, 128] pre-transpose (the _kernel_rows_bal math without the
+    store) — the two-sided (complex-input) segment transform."""
+    bt = fr.shape[0]
+    ar = fr.T.reshape(n1, n2, bt)
+    ai = fi.T.reshape(n1, n2, bt)
+    br, bi = _vpu_dft_leading(ar, ai, n1, -1, factors)
+    twr, twi = _gen_twiddle(n1, n2, n, -1)
+    cr = br * twr[:, :, None] - bi * twi[:, :, None]
+    ci = br * twi[:, :, None] + bi * twr[:, :, None]
+    if 2 * n2 <= 128:
+        dr, di = _cdot_realcat(n2, -1, cr, ci, 1, ((1,), (1,)))
+    else:
+        w2r, w2i = _gen_dft(n2, n2, n2, -1)
+        dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
+    return dr.reshape(n, bt), di.reshape(n, bt)
 
 
 def _frames_from_chunks(a, b, w, *, nperseg, hop, K, n, num, detrend_c,
@@ -209,13 +234,52 @@ def _kernel_csd_accum(xa_ref, xb_ref, ya_ref, yb_ref, w_ref, or_ref,
         oi_ref[0] = oi_ref[0] + pi
 
 
-def _geom(x, win, nperseg, hop, nfft, detrend):
+def _kernel_welch_accum_c2c(ra_ref, rb_ref, ia_ref, ib_ref, w_ref, o_ref,
+                            *, n, n1, n2, factors, nperseg, hop, K, num,
+                            detrend_c):
+    """Two-sided |X|^2 accumulator for COMPLEX input (IQ data): both
+    planar components framed in VMEM, full-spectrum balanced C2C."""
+    i = pl.program_id(1)
+    kw = dict(nperseg=nperseg, hop=hop, K=K, n=n, num=num,
+              detrend_c=detrend_c, block_seg0=i * 128)
+    fr = _frames_from_chunks(ra_ref[0], rb_ref[0], w_ref[:], **kw)
+    fi = _frames_from_chunks(ia_ref[0], ib_ref[0], w_ref[:], **kw)
+    dr, di = _c2c_bal_split(fr, fi, n=n, n1=n1, n2=n2, factors=factors)
+    p = (dr * dr + di * di).T
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[0] = p
+
+    @pl.when(i > 0)
+    def _accum():
+        o_ref[0] = o_ref[0] + p
+
+
+def _kernel_spec_split_c2c(ra_ref, rb_ref, ia_ref, ib_ref, w_ref, or_ref,
+                           oi_ref, *, n, n1, n2, factors, nperseg, hop,
+                           K, num, detrend_c):
+    """Two-sided framed C2C with split spectra output (complex-input
+    spectrogram / segment pipelines)."""
+    i = pl.program_id(1)
+    kw = dict(nperseg=nperseg, hop=hop, K=K, n=n, num=num,
+              detrend_c=detrend_c, block_seg0=i * 128)
+    fr = _frames_from_chunks(ra_ref[0], rb_ref[0], w_ref[:], **kw)
+    fi = _frames_from_chunks(ia_ref[0], ib_ref[0], w_ref[:], **kw)
+    dr, di = _c2c_bal_split(fr, fi, n=n, n1=n1, n2=n2, factors=factors)
+    or_ref[0] = dr.T
+    oi_ref[0] = di.T
+
+
+def _geom(x, win, nperseg, hop, nfft, detrend, c2c=False):
     """Flatten leading dims and build the padded 3-D chunk view
     [B, rows_pad, hop] plus the shared grid geometry.  x real [..., t];
     the chunk view is padded one extra 128-row block so every main
-    block's B-neighbour block exists (zero pad -> masked in-kernel)."""
+    block's B-neighbour block exists (zero pad -> masked in-kernel).
+    c2c=True keys the C2C balanced table (two-sided variant: out width
+    nfft, no half-spectrum cut)."""
     t = x.shape[-1]
-    if not fused_welch_ok(t, nperseg, hop, nfft, detrend):
+    if not fused_welch_ok(t, nperseg, hop, nfft, detrend, c2c=c2c):
         raise Unsupported("outside the fused welch envelope")
     lead = x.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
@@ -231,15 +295,16 @@ def _geom(x, win, nperseg, hop, nfft, detrend):
           else x2[:, :need])
     chunks = xp.reshape(B, rows_pad, hop)
     w2 = jnp.asarray(win, jnp.float32).reshape(1, nperseg)
-    n1, n2, factors = _BALANCED_R2C[nfft]
+    n1, n2, factors = (_BALANCED if c2c else _BALANCED_R2C)[nfft]
+    kkw = dict(n=nfft, n1=n1, n2=n2, factors=factors,
+               nperseg=nperseg, hop=hop, K=K, num=num,
+               detrend_c=(detrend == "constant"))
+    if not c2c:
+        kkw.update(mp=nfft // 2 + 1, mp_out=pad_bins(nfft))
     geom = dict(
         lead=lead, B=B, K=K, num=num, nblocks=nblocks, rows_pad=rows_pad,
-        mp=nfft // 2 + 1, mp_out=pad_bins(nfft), n1=n1, n2=n2,
-        factors=factors,
-        kkw=dict(n=nfft, n1=n1, n2=n2, factors=factors,
-                 mp=nfft // 2 + 1, mp_out=pad_bins(nfft),
-                 nperseg=nperseg, hop=hop, K=K, num=num,
-                 detrend_c=(detrend == "constant")),
+        mp=nfft // 2 + 1, mp_out=nfft if c2c else pad_bins(nfft),
+        n1=n1, n2=n2, factors=factors, kkw=kkw,
     )
     return chunks, w2, geom
 
@@ -393,3 +458,64 @@ def spec_rfft_split(x, win, nperseg, hop, nfft, detrend, *,
     shp = (*g["lead"], g["num"], bins)
     return (Xr[:, :g["num"], :bins].reshape(shp),
             Xi[:, :g["num"], :bins].reshape(shp))
+
+
+def welch_accum_c2c_split(re, im, win, nperseg, hop, nfft, detrend, *,
+                          interpret=False):
+    """Fused two-sided welch core for COMPLEX input: planar (re, im)
+    [..., t] -> (power_sum [..., nfft], num) with full-spectrum bins in
+    natural (unshifted) order, scipy two-sided convention."""
+    if im.shape != re.shape:
+        raise Unsupported("re/im components must have equal shapes")
+    cr, w2, g = _geom(re, win, nperseg, hop, nfft, detrend, c2c=True)
+    ci, _, _ = _geom(im, win, nperseg, hop, nfft, detrend, c2c=True)
+    kern = functools.partial(_kernel_welch_accum_c2c, **g["kkw"])
+    sa, sb, sw, so, rows = _specs(g, hop, nperseg, True)
+    acc = pl.pallas_call(
+        kern,
+        grid=(g["B"], g["nblocks"]),
+        in_specs=[sa, sb, sa, sb, sw],
+        out_specs=so,
+        out_shape=jax.ShapeDtypeStruct((g["B"], rows, nfft), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (8 * nfft * (g["n1"] + g["n2"]) + 10 * nfft)
+            * g["B"] * g["nblocks"] * 128,
+            bytes_accessed=4 * g["B"] * (4 * g["rows_pad"] * hop
+                                         + rows * nfft),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(**_PARAMS),
+        interpret=_interp(interpret),
+    )(cr, cr, ci, ci, w2)
+    return jnp.sum(acc, axis=1).reshape(*g["lead"], nfft), g["num"]
+
+
+def spec_c2c_split(re, im, win, nperseg, hop, nfft, detrend, *,
+                   interpret=False):
+    """Fused two-sided framed C2C: planar (re, im) [..., t] -> split
+    spectra [..., num, nfft] (complex-input spectrogram core)."""
+    if im.shape != re.shape:
+        raise Unsupported("re/im components must have equal shapes")
+    cr, w2, g = _geom(re, win, nperseg, hop, nfft, detrend, c2c=True)
+    ci, _, _ = _geom(im, win, nperseg, hop, nfft, detrend, c2c=True)
+    kern = functools.partial(_kernel_spec_split_c2c, **g["kkw"])
+    sa, sb, sw, so, rows = _specs(g, hop, nperseg, False)
+    Xr, Xi = pl.pallas_call(
+        kern,
+        grid=(g["B"], g["nblocks"]),
+        in_specs=[sa, sb, sa, sb, sw],
+        out_specs=[so, so],
+        out_shape=[jax.ShapeDtypeStruct((g["B"], rows, nfft),
+                                        jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (8 * nfft * (g["n1"] + g["n2"]) + 10 * nfft)
+            * g["B"] * g["nblocks"] * 128,
+            bytes_accessed=4 * g["B"] * (4 * g["rows_pad"] * hop
+                                         + 2 * rows * nfft),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(**_PARAMS),
+        interpret=_interp(interpret),
+    )(cr, cr, ci, ci, w2)
+    shp = (*g["lead"], g["num"], nfft)
+    return (Xr[:, :g["num"]].reshape(shp), Xi[:, :g["num"]].reshape(shp))

@@ -322,6 +322,19 @@ def _spec_segments_split(xr, xi, win, nperseg, hop, nfft, detrend,
                                                pad_out=pad_out)
                 except _pw.Unsupported:
                     pass
+    else:
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            from . import pallas_welch as _pw
+
+            if _pw.fused_welch_ok(xr.shape[-1], nperseg, hop, nfft,
+                                  detrend, c2c=True):
+                try:  # complex input: fused two-sided framed C2C
+                    return _pw.spec_c2c_split(xr, xi, win, nperseg, hop,
+                                              nfft, detrend)
+                except _pw.Unsupported:
+                    pass
 
     frames_r = _detrend_seg(_frame(xr, nperseg, hop), detrend) * win
     if xi is None:
@@ -443,6 +456,22 @@ def _csd_impl(x, y, fs, window, nperseg, noverlap, nfft, detrend,
                     mult = mult * (norm / num_)
                     return (jnp.moveaxis(Pr * mult, -1, axis),
                             jnp.moveaxis(Pi * mult, -1, axis))
+                except _pw.Unsupported:
+                    pass
+        # two-sided same-signal (COMPLEX input, or real with
+        # return_onesided=False): the fused full-spectrum C2C variant
+        if (not onesided and same and average == "mean"
+                and jax.default_backend() == "tpu"):
+            from . import pallas_welch as _pw
+
+            if _pw.fused_welch_ok(xr_.shape[-1], nperseg, hop, nfft,
+                                  detrend, c2c=True):
+                try:
+                    psum, num_ = _pw.welch_accum_c2c_split(
+                        xr_, xi_, win, nperseg, hop, nfft, detrend)
+                    Pr = psum * (norm / num_)
+                    return (jnp.moveaxis(Pr, -1, axis),
+                            jnp.moveaxis(jnp.zeros_like(Pr), -1, axis))
                 except _pw.Unsupported:
                     pass
 
@@ -703,6 +732,29 @@ def spectrogram(x, fs: float = 1.0, window=("tukey", 0.25),
                     if nfft % 2 == 0:
                         mult[-1] = 1.0
                     return (jnp.swapaxes(S * mult, -1, -2),)
+                except _pw.Unsupported:
+                    pass
+        if (mode in ("psd", "magnitude", "complex") and not onesided
+                and jax.default_backend() == "tpu"):
+            # two-sided (complex-input) spectrogram: fused full-spectrum
+            # framed C2C; psd/magnitude pay one tiny elementwise pass
+            from . import pallas_welch as _pw
+
+            if _pw.fused_welch_ok(v_r.shape[-1], nperseg, hop, nfft,
+                                  detrend, c2c=True):
+                try:
+                    Xr, Xi = _pw.spec_c2c_split(v_r, v_i, win, nperseg,
+                                                hop, nfft, detrend)
+                    if mode == "psd":
+                        return (jnp.swapaxes(
+                            (Xr * Xr + Xi * Xi) * norm, -1, -2),)
+                    if mode == "magnitude":
+                        return (jnp.swapaxes(
+                            jnp.sqrt(Xr * Xr + Xi * Xi), -1, -2)
+                            * float(np.sqrt(norm)),)
+                    s = float(np.sqrt(norm))
+                    return (jnp.swapaxes(Xr, -1, -2) * s,
+                            jnp.swapaxes(Xi, -1, -2) * s)
                 except _pw.Unsupported:
                     pass
         Xr, Xi = _spec_segments_split(v_r, v_i, win, nperseg, hop, nfft,

@@ -254,6 +254,51 @@ def test_welch_batched_fused(fake_tpu, rng):
     assert err < 1e-5, f"batched stft roundtrip: {err:.3e}"
 
 
+def test_c2c_accum_kernel_parity(rng):
+    """Two-sided complex-input welch accumulator vs composed numpy."""
+    t, nperseg, hop = 4096, 512, 256
+    xr = rng.standard_normal(t).astype(np.float32)
+    xi = rng.standard_normal(t).astype(np.float32)
+    win = sig.get_window("hann", nperseg).astype(np.float32)
+    psum, num = jax.jit(
+        lambda a, b: pw.welch_accum_c2c_split(a, b, win, nperseg, hop,
+                                              nperseg, "constant",
+                                              interpret=True)
+    )(jnp.asarray(xr), jnp.asarray(xi))
+    z = (xr + 1j * xi).astype(np.complex128)
+    acc = np.zeros(nperseg)
+    for s in range(num):
+        fr = z[s * hop: s * hop + nperseg]
+        fr = fr - fr.mean()
+        acc += np.abs(np.fft.fft(fr * win)) ** 2
+    err = np.linalg.norm(np.asarray(psum) - acc) / np.linalg.norm(acc)
+    assert err < 1e-5, f"c2c welch accum: {err:.3e}"
+
+
+def test_welch_complex_routed_fused(fake_tpu, rng):
+    """Complex-input (two-sided) welch and spectrogram ride the fused
+    C2C kernels and match scipy."""
+    import fft_wgpu_tpu as ftt
+
+    z = (rng.standard_normal(8192)
+         + 1j * rng.standard_normal(8192)).astype(np.complex64)
+    f1, p1 = ftt.welch(z, nperseg=512)
+    f2, p2 = sig.welch(z, nperseg=512)
+    err = np.linalg.norm(np.asarray(p1) - p2) / np.linalg.norm(p2)
+    assert err < 1e-4, f"complex welch: {err:.3e}"
+
+    f1, t1, S1 = ftt.spectrogram(z, nperseg=512)
+    f2, t2, S2 = sig.spectrogram(z, nperseg=512)
+    err = np.linalg.norm(np.asarray(S1) - S2) / np.linalg.norm(S2)
+    assert err < 1e-4, f"complex spectrogram: {err:.3e}"
+
+    f1, t1, S1 = ftt.spectrogram(z, nperseg=512, mode="complex")
+    f2, t2, S2 = sig.spectrogram(z, nperseg=512, mode="complex")
+    got = np.asarray(jnp.real(S1)) + 1j * np.asarray(jnp.imag(S1))
+    err = np.linalg.norm(got - S2) / np.linalg.norm(S2)
+    assert err < 1e-4, f"complex spectrogram complex-mode: {err:.3e}"
+
+
 def test_welch_median_and_linear_stay_composed(fake_tpu, rng):
     """Out-of-envelope configs (median average, linear detrend) still
     work via the composed path."""
