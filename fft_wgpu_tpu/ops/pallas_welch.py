@@ -130,9 +130,10 @@ def _c2c_bal_split(fr, fi, *, n, n1, n2, factors):
 
 
 def _frames_from_chunks(a, b, w, *, nperseg, hop, K, n, num, detrend_c,
-                        block_seg0):
+                        block_seg0, roll_s=0):
     """[128, hop] x2 adjacent chunk blocks -> detrended, windowed,
-    validity-masked frames [128, n] (zero-padded to nfft=n)."""
+    validity-masked frames [128, n] (zero-padded to nfft=n, then
+    lane-rolled left by roll_s — the ShortTimeFFT phase_shift)."""
     comb = jnp.concatenate([a, b], axis=0)  # chunks s0 .. s0+255
     # frame r = chunks r..r+K-1 lane-concatenated.  The obvious
     # comb[k:k+128] slices carry a sublane-OFFSET layout that
@@ -157,6 +158,8 @@ def _frames_from_chunks(a, b, w, *, nperseg, hop, K, n, num, detrend_c,
     if n > nperseg:  # nfft zero-pad: a free in-kernel lane concat
         frames = jnp.concatenate(
             [frames, jnp.zeros((128, n - nperseg), jnp.float32)], axis=1)
+    if roll_s:  # left-roll by roll_s == forward roll by n - roll_s
+        frames = pltpu.roll(frames, n - roll_s, 1)
     return frames
 
 
@@ -193,13 +196,13 @@ def _kernel_spec_psd(a_ref, b_ref, w_ref, o_ref, *, n, n1, n2, factors,
 
 def _kernel_spec_split(a_ref, b_ref, w_ref, or_ref, oi_ref, *, n, n1, n2,
                        factors, mp, mp_out, nperseg, hop, K, num,
-                       detrend_c):
+                       detrend_c, roll_s=0):
     """Framed R2C with SPLIT spectra output (the stft/_spec_segments
     building block): frames built in VMEM, spectra written per segment."""
     i = pl.program_id(1)
     frames = _frames_from_chunks(
         a_ref[0], b_ref[0], w_ref[:], nperseg=nperseg, hop=hop, K=K, n=n,
-        num=num, detrend_c=detrend_c, block_seg0=i * 128)
+        num=num, detrend_c=detrend_c, block_seg0=i * 128, roll_s=roll_s)
     dr, di = _r2c_bal_split(frames, n=n, n1=n1, n2=n2, factors=factors,
                             mp=mp, mp_out=mp_out)
     or_ref[0] = dr.T
@@ -429,13 +432,15 @@ def spec_psd_split(x, win, nperseg, hop, nfft, detrend, *,
 
 
 def spec_rfft_split(x, win, nperseg, hop, nfft, detrend, *,
-                    pad_out=False, interpret=False):
+                    pad_out=False, roll_s=0, interpret=False):
     """Fused framed R2C: real [..., t] x -> split spectra
     [..., num, bins] (bins = pad_bins(nfft) with pad_out else
     nfft//2+1) — the _spec_segments_split hot path without the frame
-    materialization."""
+    materialization.  roll_s left-rolls each nfft-padded frame before
+    the transform (ShortTimeFFT phase_shift semantics)."""
     chunks, w2, g = _geom(x, win, nperseg, hop, nfft, detrend)
-    kern = functools.partial(_kernel_spec_split, **g["kkw"])
+    kern = functools.partial(_kernel_spec_split, roll_s=roll_s,
+                             **g["kkw"])
     sa, sb, sw, so, rows = _specs(g, hop, nperseg, False)
     Xr, Xi = pl.pallas_call(
         kern,

@@ -379,13 +379,58 @@ class ShortTimeFFT:
 
             from .stft import _frame
 
+            # fused framed-R2C path (round 5, ops/pallas_welch.py):
+            # the boundary blend stays one XLA pass over the signal; the
+            # framing, window, mfft pad, phase roll and R2C all fuse —
+            # no [.., P, m_num] frame matrix in HBM.  Static envelope:
+            # real input, even-mfft onesided modes, hop | m_num.
+            fused = False
+            if not is_c and self.onesided_fft and self.mfft % 2 == 0:
+                import jax as _jax
+
+                if _jax.default_backend() == "tpu":
+                    from . import pallas_welch as _pw
+
+                    fused = _pw.fused_welch_ok(
+                        k_end - k_start, self.m_num, self._hop,
+                        self.mfft, False)
+            p_s = 0
+            if self.phase_shift is not None:
+                p_s = (self.phase_shift + self.m_num_mid) % self.m_num
+
             @jax.jit
             def impl(vr, vi):
-                def prep(v):
+                def blend(v):
                     v = jnp.moveaxis(v, axis, -1)
-                    pad_v = v[..., i1] * c1 + v[..., i2] * c2
-                    return _frame(pad_v, self.m_num, self._hop)[..., :num, :] \
-                        * win32
+                    return v[..., i1] * c1 + v[..., i2] * c2
+
+                def prep(v):
+                    return _frame(blend(v), self.m_num,
+                                  self._hop)[..., :num, :] * win32
+
+                if fused:
+                    from . import pallas_welch as _pw
+
+                    try:
+                        Xr, Xi = _pw.spec_rfft_split(
+                            blend(vr), win32, self.m_num, self._hop,
+                            self.mfft, False, roll_s=p_s)
+                        if self.fft_mode == "onesided2X":
+                            fac = (np.sqrt(2.0)
+                                   if self._scaling == "psd" else 2.0)
+                            mult = np.full(self.mfft // 2 + 1, fac,
+                                           np.float32)
+                            mult[0] = 1.0
+                            if self.mfft % 2 == 0:
+                                mult[-1] = 1.0
+                            Xr, Xi = Xr * mult, Xi * mult
+                        Xr = jnp.swapaxes(Xr, -1, -2)
+                        Xi = jnp.swapaxes(Xi, -1, -2)
+                        ax_ = axis if axis >= 0 else Xr.ndim - 1 + axis
+                        return (jnp.moveaxis(Xr, -2, ax_),
+                                jnp.moveaxis(Xi, -2, ax_))
+                    except _pw.Unsupported:
+                        pass
 
                 Xr, Xi = self._fft_frames(
                     prep(vr), prep(vi) if vi is not None else None)

@@ -299,6 +299,30 @@ def test_welch_complex_routed_fused(fake_tpu, rng):
     assert err < 1e-4, f"complex spectrogram complex-mode: {err:.3e}"
 
 
+def test_short_time_fft_routed_fused(fake_tpu, rng):
+    """ShortTimeFFT.stft (real input, onesided, default phase_shift=0
+    which rolls every frame by m_num_mid) rides the fused framed-R2C
+    kernel incl. the in-kernel lane roll, matching scipy exactly."""
+    from scipy.signal import ShortTimeFFT as SciSTFT
+
+    import fft_wgpu_tpu as ftt
+
+    x = rng.standard_normal(4096).astype(np.float32)
+    win = sig.get_window("hann", 512).astype(np.float32)
+    ours = ftt.ShortTimeFFT(win, hop=128, fs=1.0)
+    ref = SciSTFT(win, hop=128, fs=1.0)
+    S1 = ours.stft(x)
+    S2 = ref.stft(x)
+    got = np.asarray(jnp.real(S1)) + 1j * np.asarray(jnp.imag(S1))
+    assert got.shape == S2.shape
+    err = np.linalg.norm(got - S2) / np.linalg.norm(S2)
+    assert err < 1e-4, f"ShortTimeFFT fused vs scipy: {err:.3e}"
+    # istft roundtrip through the same plan
+    y = np.asarray(ours.istft(S1, k1=len(x)))
+    err = np.linalg.norm(y - x) / np.linalg.norm(x)
+    assert err < 1e-4, f"ShortTimeFFT istft roundtrip: {err:.3e}"
+
+
 def test_welch_median_and_linear_stay_composed(fake_tpu, rng):
     """Out-of-envelope configs (median average, linear detrend) still
     work via the composed path."""
