@@ -45,6 +45,16 @@ Unsupported = pf.Unsupported
 BIG_MIN_N = 1 << 15  # below: the fused row kernel handles it in one pass
 BIG_MAX_N = 1 << 21  # above: whole-row VMEM working set exceeds v5e VMEM
 
+# Batched (rows > 1) ceiling — measured crossover vs the two-pass
+# four-step (probe_r72, v5e): the single-pass row-per-grid-step form
+# wins while rows are small enough for the pipeline to hide the thin
+# [S,128] dots — 2^15 x512 1.40x, 2^16 x256 1.65x — and loses once the
+# four-step's full-width batched passes amortize (2^17 x128 0.93x,
+# 2^18 x64 0.90x, 2^20 x8 0.92x); 2^21 multi-row OOMs VMEM outright
+# (148M > 128M with double-buffered whole-row blocks).  Single rows
+# keep the full BIG_MAX_N range (2^21 x1: 0.185 vs 0.287 four-step).
+BATCHED_MAX_N = 1 << 16
+
 
 # Sublane-chain schedule overrides for the big kernel's stage 1 (probe_r21/
 # r22 on v5e: VPU-heavier chains beat the default realcat-heavy
@@ -95,7 +105,7 @@ def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, sign, scale):
     is f32-exact directly).  The lane-stage dot's result order [k_l, k_s]
     IS the natural output order, so the final reshape is free."""
     S = n // 128
-    ar = xr_ref[0].reshape(S, 128)
+    ar = xr_ref[0].reshape(S, 128)  # block (1, 1, n): [0] is (1, n)
     ai = xi_ref[0].reshape(S, 128)
 
     # stage 1: DFT_S down the sublane axis, natural order out
@@ -110,8 +120,8 @@ def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, sign, scale):
     w2r, w2i = pf._gen_dft(128, 128, 128, sign, scale)
     dr, di = pf._cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
 
-    or_ref[0] = dr.reshape(n)
-    oi_ref[0] = di.reshape(n)
+    or_ref[0] = dr.reshape(1, n)
+    oi_ref[0] = di.reshape(1, n)
 
 
 def _supported(n: int) -> bool:
@@ -134,29 +144,35 @@ def _fft_big_core(re, im, sign, scale=None, *, interpret=False):
     rows = int(np.prod(lead)) if lead else 1
     if rows == 0:
         return re, im
-    if rows != 1 and not interpret:
-        # Pallas requires block dims divisible by 8 (sublane) or equal to the
-        # array dim; a [1, n] block over a multi-row array is neither, and
-        # [8, n] blocks exceed VMEM at these n.  Batched large-N rows take
-        # the two-pass four-step instead (probe_bigfft.py r2 findings).
-        raise Unsupported("big kernel is single-row; batched large-N uses "
-                          "the four-step path")
-    re2 = re.reshape(rows, n)
-    im2 = im.reshape(rows, n)
+    # Batched rows (round 5): the old single-row restriction came from
+    # 2-D [1, n] blocks over a multi-row array (block dim 1 is neither
+    # divisible by 8 nor equal to the array dim).  A 3-D [rows, 1, n]
+    # view sidesteps it — sublane/lane divisibility applies to the LAST
+    # TWO dims only, and (1, n) there equals the array dims — so each
+    # grid step owns one whole row.  Routed only below the measured
+    # crossover (BATCHED_MAX_N, probe_r72): above it the four-step's
+    # full-width batched passes win.
+    if rows != 1 and n > BATCHED_MAX_N and not interpret:
+        raise Unsupported(
+            f"batched rows above n={BATCHED_MAX_N} lose to the four-step"
+            " (probe_r72 crossover; 2^21 multi-row OOMs VMEM)")
+    re3 = re.reshape(rows, 1, n)
+    im3 = im.reshape(rows, 1, n)
 
     kern = functools.partial(
         _kernel, n=n, sign=sign,
         scale=float(scale) if scale is not None else 1.0,
     )
-    spec = pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     out_r, out_i = pl.pallas_call(
         kern,
         grid=(rows,),
         in_specs=[spec, spec],
         out_specs=[spec, spec],
         out_shape=[
-            jax.ShapeDtypeStruct((rows, n), jnp.float32),
-            jax.ShapeDtypeStruct((rows, n), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1, n), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=8 * n * (n // 128 // 32 + 128) * rows,
@@ -167,7 +183,7 @@ def _fft_big_core(re, im, sign, scale=None, *, interpret=False):
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(re2, im2)
+    )(re3, im3)
     return out_r.reshape(*lead, n), out_i.reshape(*lead, n)
 
 

@@ -56,6 +56,11 @@ def test_envelope_rejection():
     r = jnp.zeros((1, 3 * (1 << 14)), jnp.float32)  # non power of two
     with pytest.raises(bigfft.Unsupported):
         bigfft.fft_big_split(r, r, -1)
+    # batched rows above the measured crossover lose to the four-step
+    # (probe_r72) and 2^21 multi-row OOMs VMEM: must raise
+    r = jnp.zeros((2, 1 << 17), jnp.float32)
+    with pytest.raises(bigfft.Unsupported):
+        bigfft.fft_big_split(r, r, -1)
 
 
 def test_tw_form_parity(rng, assert_close, monkeypatch):
