@@ -435,25 +435,33 @@ def _csd_impl(x, y, fs, window, nperseg, noverlap, nfft, detrend,
         # composed pipeline.  Everything after is on the tiny bins vector.
         if (onesided and xi_ is None
                 and (same or (yi_ is None and yr_.shape == xr_.shape))
-                and average == "mean"
+                and (average == "mean" or (average == "median" and same))
                 and jax.default_backend() == "tpu"):
             from . import pallas_welch as _pw
 
             if _pw.fused_welch_ok(xr_.shape[-1], nperseg, hop, nfft,
                                   detrend):
                 try:
-                    if same:
+                    if not same:
+                        Pr, Pi, num_ = _pw.csd_accum_split(
+                            xr_, yr_, win, nperseg, hop, nfft, detrend)
+                        den = float(num_)
+                    elif average == "mean":
                         psum, num_ = _pw.welch_accum_split(
                             xr_, win, nperseg, hop, nfft, detrend)
                         Pr, Pi = psum, jnp.zeros_like(psum)
-                    else:
-                        Pr, Pi, num_ = _pw.csd_accum_split(
-                            xr_, yr_, win, nperseg, hop, nfft, detrend)
+                        den = float(num_)
+                    else:  # median: fused per-segment power, XLA median
+                        P = _pw.spec_psd_split(xr_, win, nperseg, hop,
+                                               nfft, detrend)
+                        Pr = jnp.median(P, axis=-2)
+                        Pi = jnp.zeros_like(Pr)
+                        den = _median_bias(P.shape[-2])
                     mult = np.full(nfft // 2 + 1, 2.0, np.float32)
                     mult[0] = 1.0
                     if nfft % 2 == 0:
                         mult[-1] = 1.0
-                    mult = mult * (norm / num_)
+                    mult = mult * (norm / den)
                     return (jnp.moveaxis(Pr * mult, -1, axis),
                             jnp.moveaxis(Pi * mult, -1, axis))
                 except _pw.Unsupported:

@@ -323,9 +323,10 @@ def test_short_time_fft_routed_fused(fake_tpu, rng):
     assert err < 1e-4, f"ShortTimeFFT istft roundtrip: {err:.3e}"
 
 
-def test_welch_median_and_linear_stay_composed(fake_tpu, rng):
-    """Out-of-envelope configs (median average, linear detrend) still
-    work via the composed path."""
+def test_welch_median_and_linear(fake_tpu, rng):
+    """median average now rides the fused per-segment power kernel +
+    XLA median (round 5); linear detrend stays composed.  Both must
+    match scipy."""
     import fft_wgpu_tpu as ftt
 
     x = rng.standard_normal((3, 4096)).astype(np.float32)
