@@ -164,114 +164,128 @@ def _frames_from_chunks(a, b, w, *, nperseg, hop, K, n, num, detrend_c,
 
 
 def _kernel_welch_accum(a_ref, b_ref, w_ref, o_ref, *, n, n1, n2, factors,
-                        mp, mp_out, nperseg, hop, K, num, detrend_c):
+                        mp, mp_out, nperseg, hop, K, num, detrend_c, flat=False):
     # grid (B, nblocks): batch outer, segment blocks inner (the inner
     # dim iterates fastest, so each batch row's accumulator block is
-    # revisited across its full i-sweep before b advances)
-    i = pl.program_id(1)
+    # revisited across its full i-sweep before b advances).  flat=True
+    # is the B==1 2-D layout (grid (nblocks,), 2-D blocks, ref[:]) —
+    # measurably faster than a unit leading dim (PERFORMANCE round-5h).
+    i = pl.program_id(0 if flat else 1)
+    rd = (lambda r: r[:]) if flat else (lambda r: r[0])
     frames = _frames_from_chunks(
-        a_ref[0], b_ref[0], w_ref[:], nperseg=nperseg, hop=hop, K=K, n=n,
-        num=num, detrend_c=detrend_c, block_seg0=i * 128)
+        rd(a_ref), rd(b_ref), w_ref[:], nperseg=nperseg, hop=hop, K=K,
+        n=n, num=num, detrend_c=detrend_c, block_seg0=i * 128)
     p = _r2c_power(frames, n=n, n1=n1, n2=n2, factors=factors, mp=mp,
                    mp_out=mp_out)
+    ix = slice(None) if flat else 0
 
     @pl.when(i == 0)
     def _init():
-        o_ref[0] = p
+        o_ref[ix] = p
 
     @pl.when(i > 0)
     def _accum():
-        o_ref[0] = o_ref[0] + p
+        o_ref[ix] = o_ref[ix] + p
 
 
 def _kernel_spec_psd(a_ref, b_ref, w_ref, o_ref, *, n, n1, n2, factors,
-                     mp, mp_out, nperseg, hop, K, num, detrend_c):
-    i = pl.program_id(1)
+                     mp, mp_out, nperseg, hop, K, num, detrend_c, flat=False):
+    i = pl.program_id(0 if flat else 1)
+    rd = (lambda r: r[:]) if flat else (lambda r: r[0])
     frames = _frames_from_chunks(
-        a_ref[0], b_ref[0], w_ref[:], nperseg=nperseg, hop=hop, K=K, n=n,
-        num=num, detrend_c=detrend_c, block_seg0=i * 128)
-    o_ref[0] = _r2c_power(frames, n=n, n1=n1, n2=n2, factors=factors,
-                          mp=mp, mp_out=mp_out)
+        rd(a_ref), rd(b_ref), w_ref[:], nperseg=nperseg, hop=hop, K=K,
+        n=n, num=num, detrend_c=detrend_c, block_seg0=i * 128)
+    o_ref[slice(None) if flat else 0] = _r2c_power(
+        frames, n=n, n1=n1, n2=n2, factors=factors, mp=mp, mp_out=mp_out)
 
 
 def _kernel_spec_split(a_ref, b_ref, w_ref, or_ref, oi_ref, *, n, n1, n2,
                        factors, mp, mp_out, nperseg, hop, K, num,
-                       detrend_c, roll_s=0):
+                       detrend_c, roll_s=0, flat=False):
     """Framed R2C with SPLIT spectra output (the stft/_spec_segments
     building block): frames built in VMEM, spectra written per segment."""
-    i = pl.program_id(1)
+    i = pl.program_id(0 if flat else 1)
+    rd = (lambda r: r[:]) if flat else (lambda r: r[0])
     frames = _frames_from_chunks(
-        a_ref[0], b_ref[0], w_ref[:], nperseg=nperseg, hop=hop, K=K, n=n,
-        num=num, detrend_c=detrend_c, block_seg0=i * 128, roll_s=roll_s)
+        rd(a_ref), rd(b_ref), w_ref[:], nperseg=nperseg, hop=hop, K=K,
+        n=n, num=num, detrend_c=detrend_c, block_seg0=i * 128,
+        roll_s=roll_s)
     dr, di = _r2c_bal_split(frames, n=n, n1=n1, n2=n2, factors=factors,
                             mp=mp, mp_out=mp_out)
-    or_ref[0] = dr.T
-    oi_ref[0] = di.T
+    ix = slice(None) if flat else 0
+    or_ref[ix] = dr.T
+    oi_ref[ix] = di.T
 
 
 def _kernel_csd_accum(xa_ref, xb_ref, ya_ref, yb_ref, w_ref, or_ref,
                       oi_ref, *, n, n1, n2, factors, mp, mp_out, nperseg,
-                      hop, K, num, detrend_c):
+                      hop, K, num, detrend_c, flat=False):
     """Cross-spectrum accumulator: sum_s conj(X_s) * Y_s (scipy csd
     convention) — both signals framed, transformed and cross-multiplied
     in one pass."""
-    i = pl.program_id(1)
+    i = pl.program_id(0 if flat else 1)
+    rd = (lambda r: r[:]) if flat else (lambda r: r[0])
     kw = dict(nperseg=nperseg, hop=hop, K=K, n=n, num=num,
               detrend_c=detrend_c, block_seg0=i * 128)
-    fx = _frames_from_chunks(xa_ref[0], xb_ref[0], w_ref[:], **kw)
-    fy = _frames_from_chunks(ya_ref[0], yb_ref[0], w_ref[:], **kw)
+    fx = _frames_from_chunks(rd(xa_ref), rd(xb_ref), w_ref[:], **kw)
+    fy = _frames_from_chunks(rd(ya_ref), rd(yb_ref), w_ref[:], **kw)
     mkw = dict(n=n, n1=n1, n2=n2, factors=factors, mp=mp, mp_out=mp_out)
     xr, xi = _r2c_bal_split(fx, **mkw)
     yr, yi = _r2c_bal_split(fy, **mkw)
     pr = (xr * yr + xi * yi).T  # Re(conj(X) Y)
     pi = (xr * yi - xi * yr).T  # Im(conj(X) Y)
+    ix = slice(None) if flat else 0
 
     @pl.when(i == 0)
     def _init():
-        or_ref[0] = pr
-        oi_ref[0] = pi
+        or_ref[ix] = pr
+        oi_ref[ix] = pi
 
     @pl.when(i > 0)
     def _accum():
-        or_ref[0] = or_ref[0] + pr
-        oi_ref[0] = oi_ref[0] + pi
+        or_ref[ix] = or_ref[ix] + pr
+        oi_ref[ix] = oi_ref[ix] + pi
 
 
 def _kernel_welch_accum_c2c(ra_ref, rb_ref, ia_ref, ib_ref, w_ref, o_ref,
                             *, n, n1, n2, factors, nperseg, hop, K, num,
-                            detrend_c):
+                            detrend_c, flat=False):
     """Two-sided |X|^2 accumulator for COMPLEX input (IQ data): both
     planar components framed in VMEM, full-spectrum balanced C2C."""
-    i = pl.program_id(1)
+    i = pl.program_id(0 if flat else 1)
+    rd = (lambda r: r[:]) if flat else (lambda r: r[0])
     kw = dict(nperseg=nperseg, hop=hop, K=K, n=n, num=num,
               detrend_c=detrend_c, block_seg0=i * 128)
-    fr = _frames_from_chunks(ra_ref[0], rb_ref[0], w_ref[:], **kw)
-    fi = _frames_from_chunks(ia_ref[0], ib_ref[0], w_ref[:], **kw)
+    fr = _frames_from_chunks(rd(ra_ref), rd(rb_ref), w_ref[:], **kw)
+    fi = _frames_from_chunks(rd(ia_ref), rd(ib_ref), w_ref[:], **kw)
     dr, di = _c2c_bal_split(fr, fi, n=n, n1=n1, n2=n2, factors=factors)
     p = (dr * dr + di * di).T
+    ix = slice(None) if flat else 0
 
     @pl.when(i == 0)
     def _init():
-        o_ref[0] = p
+        o_ref[ix] = p
 
     @pl.when(i > 0)
     def _accum():
-        o_ref[0] = o_ref[0] + p
+        o_ref[ix] = o_ref[ix] + p
 
 
 def _kernel_spec_split_c2c(ra_ref, rb_ref, ia_ref, ib_ref, w_ref, or_ref,
                            oi_ref, *, n, n1, n2, factors, nperseg, hop,
-                           K, num, detrend_c):
+                           K, num, detrend_c, flat=False):
     """Two-sided framed C2C with split spectra output (complex-input
     spectrogram / segment pipelines)."""
-    i = pl.program_id(1)
+    i = pl.program_id(0 if flat else 1)
+    rd = (lambda r: r[:]) if flat else (lambda r: r[0])
     kw = dict(nperseg=nperseg, hop=hop, K=K, n=n, num=num,
               detrend_c=detrend_c, block_seg0=i * 128)
-    fr = _frames_from_chunks(ra_ref[0], rb_ref[0], w_ref[:], **kw)
-    fi = _frames_from_chunks(ia_ref[0], ib_ref[0], w_ref[:], **kw)
+    fr = _frames_from_chunks(rd(ra_ref), rd(rb_ref), w_ref[:], **kw)
+    fi = _frames_from_chunks(rd(ia_ref), rd(ib_ref), w_ref[:], **kw)
     dr, di = _c2c_bal_split(fr, fi, n=n, n1=n1, n2=n2, factors=factors)
-    or_ref[0] = dr.T
-    oi_ref[0] = di.T
+    ix = slice(None) if flat else 0
+    or_ref[ix] = dr.T
+    oi_ref[ix] = di.T
 
 
 def _geom(x, win, nperseg, hop, nfft, detrend, c2c=False):
@@ -293,27 +307,52 @@ def _geom(x, win, nperseg, hop, nfft, detrend, c2c=False):
     nblocks = -(-num // 128)
     rows_pad = (nblocks + 1) * 128
     need = rows_pad * hop
-    x2 = x.reshape(B, t)
-    xp = (jnp.pad(x2, ((0, 0), (0, need - t))) if need > t
-          else x2[:, :need])
-    chunks = xp.reshape(B, rows_pad, hop)
+    flat = B == 1  # keep the measured-fast 2-D layout for one signal
+    x2 = x.reshape(t) if flat else x.reshape(B, t)
+    if flat:
+        xp = jnp.pad(x2, (0, need - t)) if need > t else x2[:need]
+        chunks = xp.reshape(rows_pad, hop)
+    else:
+        xp = (jnp.pad(x2, ((0, 0), (0, need - t))) if need > t
+              else x2[:, :need])
+        chunks = xp.reshape(B, rows_pad, hop)
     w2 = jnp.asarray(win, jnp.float32).reshape(1, nperseg)
     n1, n2, factors = (_BALANCED if c2c else _BALANCED_R2C)[nfft]
     kkw = dict(n=nfft, n1=n1, n2=n2, factors=factors,
                nperseg=nperseg, hop=hop, K=K, num=num,
-               detrend_c=(detrend == "constant"))
+               detrend_c=(detrend == "constant"), flat=flat)
     if not c2c:
         kkw.update(mp=nfft // 2 + 1, mp_out=pad_bins(nfft))
     geom = dict(
         lead=lead, B=B, K=K, num=num, nblocks=nblocks, rows_pad=rows_pad,
         mp=nfft // 2 + 1, mp_out=nfft if c2c else pad_bins(nfft),
-        n1=n1, n2=n2, factors=factors, kkw=kkw,
+        n1=n1, n2=n2, factors=factors, kkw=kkw, flat=flat,
+        grid=(nblocks,) if flat else (B, nblocks),
     )
     return chunks, w2, geom
 
 
 def _specs(g, hop, nperseg, accumulate):
-    """(chunk_a, chunk_b, win, out) BlockSpecs for grid (B, nblocks)."""
+    """(chunk_a, chunk_b, win, out) BlockSpecs.  flat (B==1): 2-D blocks
+    over grid (nblocks,) — measurably faster than a unit leading dim
+    (PERFORMANCE round-5h); batched: 3-D blocks over grid (B, nblocks)."""
+    mo = g["mp_out"]
+    if g["flat"]:
+        a = pl.BlockSpec((128, hop), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        bb = pl.BlockSpec((128, hop), lambda i: (i + 1, 0),
+                          memory_space=pltpu.VMEM)
+        w = pl.BlockSpec((1, nperseg), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        if accumulate:
+            o = pl.BlockSpec((128, mo), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+            rows = 128
+        else:
+            o = pl.BlockSpec((128, mo), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+            rows = g["nblocks"] * 128
+        return a, bb, w, o, rows
     a = pl.BlockSpec((1, 128, hop), lambda b, i: (b, i, 0),
                      memory_space=pltpu.VMEM)
     bb = pl.BlockSpec((1, 128, hop), lambda b, i: (b, i + 1, 0),
@@ -321,11 +360,11 @@ def _specs(g, hop, nperseg, accumulate):
     w = pl.BlockSpec((1, nperseg), lambda b, i: (0, 0),
                      memory_space=pltpu.VMEM)
     if accumulate:
-        o = pl.BlockSpec((1, 128, g["mp_out"]), lambda b, i: (b, 0, 0),
+        o = pl.BlockSpec((1, 128, mo), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM)
         rows = 128
     else:
-        o = pl.BlockSpec((1, 128, g["mp_out"]), lambda b, i: (b, i, 0),
+        o = pl.BlockSpec((1, 128, mo), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
         rows = g["nblocks"] * 128
     return a, bb, w, o, rows
@@ -345,13 +384,14 @@ def csd_accum_split(x, y, win, nperseg, hop, nfft, detrend, *,
     cy, _, _ = _geom(y, win, nperseg, hop, nfft, detrend)
     kern = functools.partial(_kernel_csd_accum, **g["kkw"])
     sa, sb, sw, so, rows = _specs(g, hop, nperseg, True)
+    oshape = ((rows, g["mp_out"]) if g["flat"]
+              else (g["B"], rows, g["mp_out"]))
     pr, pi = pl.pallas_call(
         kern,
-        grid=(g["B"], g["nblocks"]),
+        grid=g["grid"],
         in_specs=[sa, sb, sa, sb, sw],
         out_specs=[so, so],
-        out_shape=[jax.ShapeDtypeStruct((g["B"], rows, g["mp_out"]),
-                                        jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct(oshape, jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=2 * (8 * nfft * (g["n1"] + g["n2"]) + 10 * nfft)
             * g["B"] * g["nblocks"] * 128,
@@ -363,9 +403,10 @@ def csd_accum_split(x, y, win, nperseg, hop, nfft, detrend, *,
         interpret=_interp(interpret),
     )(cx, cx, cy, cy, w2)
     m = g["mp"]
+    ax = 0 if g["flat"] else 1
     shape = (*g["lead"], m)
-    return (jnp.sum(pr, axis=1)[..., :m].reshape(shape),
-            jnp.sum(pi, axis=1)[..., :m].reshape(shape), g["num"])
+    return (jnp.sum(pr, axis=ax)[..., :m].reshape(shape),
+            jnp.sum(pi, axis=ax)[..., :m].reshape(shape), g["num"])
 
 
 def welch_accum_split(x, win, nperseg, hop, nfft, detrend, *,
@@ -381,13 +422,14 @@ def welch_accum_split(x, win, nperseg, hop, nfft, detrend, *,
     chunks, w2, g = _geom(x, win, nperseg, hop, nfft, detrend)
     kern = functools.partial(_kernel_welch_accum, **g["kkw"])
     sa, sb, sw, so, rows = _specs(g, hop, nperseg, True)
+    oshape = ((rows, g["mp_out"]) if g["flat"]
+              else (g["B"], rows, g["mp_out"]))
     acc = pl.pallas_call(
         kern,
-        grid=(g["B"], g["nblocks"]),
+        grid=g["grid"],
         in_specs=[sa, sb, sw],
         out_specs=so,
-        out_shape=jax.ShapeDtypeStruct((g["B"], rows, g["mp_out"]),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(oshape, jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=(8 * nfft * (g["n1"] + g["n2"]) + 10 * nfft)
             * g["B"] * g["nblocks"] * 128,
@@ -399,7 +441,8 @@ def welch_accum_split(x, win, nperseg, hop, nfft, detrend, *,
         interpret=_interp(interpret),
     )(chunks, chunks, w2)
     m = g["mp"]
-    return (jnp.sum(acc, axis=1)[..., :m].reshape(*g["lead"], m),
+    ax = 0 if g["flat"] else 1
+    return (jnp.sum(acc, axis=ax)[..., :m].reshape(*g["lead"], m),
             g["num"])
 
 
@@ -410,13 +453,14 @@ def spec_psd_split(x, win, nperseg, hop, nfft, detrend, *,
     chunks, w2, g = _geom(x, win, nperseg, hop, nfft, detrend)
     kern = functools.partial(_kernel_spec_psd, **g["kkw"])
     sa, sb, sw, so, rows = _specs(g, hop, nperseg, False)
+    oshape = ((rows, g["mp_out"]) if g["flat"]
+              else (g["B"], rows, g["mp_out"]))
     out = pl.pallas_call(
         kern,
-        grid=(g["B"], g["nblocks"]),
+        grid=g["grid"],
         in_specs=[sa, sb, sw],
         out_specs=so,
-        out_shape=jax.ShapeDtypeStruct((g["B"], rows, g["mp_out"]),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(oshape, jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=(8 * nfft * (g["n1"] + g["n2"]) + 10 * nfft)
             * g["B"] * g["nblocks"] * 128,
@@ -427,8 +471,9 @@ def spec_psd_split(x, win, nperseg, hop, nfft, detrend, *,
         compiler_params=pltpu.CompilerParams(**_PARAMS),
         interpret=_interp(interpret),
     )(chunks, chunks, w2)
-    return out[:, :g["num"], :g["mp"]].reshape(
-        *g["lead"], g["num"], g["mp"])
+    cut = (out[:g["num"], :g["mp"]] if g["flat"]
+           else out[:, :g["num"], :g["mp"]])
+    return cut.reshape(*g["lead"], g["num"], g["mp"])
 
 
 def spec_rfft_split(x, win, nperseg, hop, nfft, detrend, *,
@@ -442,13 +487,14 @@ def spec_rfft_split(x, win, nperseg, hop, nfft, detrend, *,
     kern = functools.partial(_kernel_spec_split, roll_s=roll_s,
                              **g["kkw"])
     sa, sb, sw, so, rows = _specs(g, hop, nperseg, False)
+    oshape = ((rows, g["mp_out"]) if g["flat"]
+              else (g["B"], rows, g["mp_out"]))
     Xr, Xi = pl.pallas_call(
         kern,
-        grid=(g["B"], g["nblocks"]),
+        grid=g["grid"],
         in_specs=[sa, sb, sw],
         out_specs=[so, so],
-        out_shape=[jax.ShapeDtypeStruct((g["B"], rows, g["mp_out"]),
-                                        jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct(oshape, jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=(8 * nfft * (g["n1"] + g["n2"]) + 10 * nfft)
             * g["B"] * g["nblocks"] * 128,
@@ -461,6 +507,9 @@ def spec_rfft_split(x, win, nperseg, hop, nfft, detrend, *,
     )(chunks, chunks, w2)
     bins = g["mp_out"] if pad_out else g["mp"]
     shp = (*g["lead"], g["num"], bins)
+    if g["flat"]:
+        return (Xr[:g["num"], :bins].reshape(shp),
+                Xi[:g["num"], :bins].reshape(shp))
     return (Xr[:, :g["num"], :bins].reshape(shp),
             Xi[:, :g["num"], :bins].reshape(shp))
 
@@ -476,12 +525,13 @@ def welch_accum_c2c_split(re, im, win, nperseg, hop, nfft, detrend, *,
     ci, _, _ = _geom(im, win, nperseg, hop, nfft, detrend, c2c=True)
     kern = functools.partial(_kernel_welch_accum_c2c, **g["kkw"])
     sa, sb, sw, so, rows = _specs(g, hop, nperseg, True)
+    oshape = (rows, nfft) if g["flat"] else (g["B"], rows, nfft)
     acc = pl.pallas_call(
         kern,
-        grid=(g["B"], g["nblocks"]),
+        grid=g["grid"],
         in_specs=[sa, sb, sa, sb, sw],
         out_specs=so,
-        out_shape=jax.ShapeDtypeStruct((g["B"], rows, nfft), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(oshape, jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * (8 * nfft * (g["n1"] + g["n2"]) + 10 * nfft)
             * g["B"] * g["nblocks"] * 128,
@@ -492,7 +542,8 @@ def welch_accum_c2c_split(re, im, win, nperseg, hop, nfft, detrend, *,
         compiler_params=pltpu.CompilerParams(**_PARAMS),
         interpret=_interp(interpret),
     )(cr, cr, ci, ci, w2)
-    return jnp.sum(acc, axis=1).reshape(*g["lead"], nfft), g["num"]
+    ax = 0 if g["flat"] else 1
+    return jnp.sum(acc, axis=ax).reshape(*g["lead"], nfft), g["num"]
 
 
 def spec_c2c_split(re, im, win, nperseg, hop, nfft, detrend, *,
@@ -505,13 +556,13 @@ def spec_c2c_split(re, im, win, nperseg, hop, nfft, detrend, *,
     ci, _, _ = _geom(im, win, nperseg, hop, nfft, detrend, c2c=True)
     kern = functools.partial(_kernel_spec_split_c2c, **g["kkw"])
     sa, sb, sw, so, rows = _specs(g, hop, nperseg, False)
+    oshape = (rows, nfft) if g["flat"] else (g["B"], rows, nfft)
     Xr, Xi = pl.pallas_call(
         kern,
-        grid=(g["B"], g["nblocks"]),
+        grid=g["grid"],
         in_specs=[sa, sb, sa, sb, sw],
         out_specs=[so, so],
-        out_shape=[jax.ShapeDtypeStruct((g["B"], rows, nfft),
-                                        jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct(oshape, jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=2 * (8 * nfft * (g["n1"] + g["n2"]) + 10 * nfft)
             * g["B"] * g["nblocks"] * 128,
@@ -523,4 +574,6 @@ def spec_c2c_split(re, im, win, nperseg, hop, nfft, detrend, *,
         interpret=_interp(interpret),
     )(cr, cr, ci, ci, w2)
     shp = (*g["lead"], g["num"], nfft)
+    if g["flat"]:
+        return (Xr[:g["num"]].reshape(shp), Xi[:g["num"]].reshape(shp))
     return (Xr[:, :g["num"]].reshape(shp), Xi[:, :g["num"]].reshape(shp))
