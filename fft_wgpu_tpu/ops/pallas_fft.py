@@ -834,8 +834,11 @@ def _kernel_rows_bal_filt_narrow(xr_ref, xi_ref, hr_ref, hi_ref, gr_ref,
     oi_ref[:] = tr * gi + ti * gr
 
 
-def _rows_bal_math(xr2, xi2, or_ref, oi_ref, *, n, n1, n2, sign, scale,
-                   factors):
+def _rows_bal_vals(xr2, xi2, *, n, n1, n2, sign, scale, factors):
+    """Balanced-split rows math returning the PRE-transpose full
+    spectrum [n, bt] — the single source of truth shared by the
+    store-writing kernels here and the fused segment-spectrum kernels
+    (ops/pallas_welch.py), so schedule/twiddle fixes cannot diverge."""
     bt = xr2.shape[0]
     ar = xr2.T.reshape(n1, n2, bt)
     ai = xi2.T.reshape(n1, n2, bt)
@@ -852,8 +855,15 @@ def _rows_bal_math(xr2, xi2, or_ref, oi_ref, *, n, n1, n2, sign, scale,
     else:
         w2r, w2i = _gen_dft(n2, n2, n2, sign, scale)
         dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
-    or_ref[:] = dr.reshape(n, bt).T
-    oi_ref[:] = di.reshape(n, bt).T
+    return dr.reshape(n, bt), di.reshape(n, bt)
+
+
+def _rows_bal_math(xr2, xi2, or_ref, oi_ref, *, n, n1, n2, sign, scale,
+                   factors):
+    dr, di = _rows_bal_vals(xr2, xi2, n=n, n1=n1, n2=n2, sign=sign,
+                            scale=scale, factors=factors)
+    or_ref[:] = dr.T
+    oi_ref[:] = di.T
 
 
 def _kernel(xr_ref, xi_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale):
@@ -1705,13 +1715,14 @@ def _kernel_r2c(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp,
                di.reshape(k2_rows * n1, bt), mp, mp_out, bt)
 
 
-def _kernel_r2c_bal(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp,
-                    mp_out, factors):
-    """Balanced-split R2C rows kernel: transpose-in, REAL-specialized VPU
-    chain stage 1 (no MXU, half the butterfly adds), stage 2 as one
-    realcat dot cut to the half-spectrum output rows k2 <= mp//n1."""
-    bt = xr_ref.shape[0]
-    ar = xr_ref[:].T.reshape(n1, n2, bt)
+def _r2c_bal_vals(frames, *, n, n1, n2, sign, scale, mp, factors):
+    """Balanced-split R2C math: real [bt, n] -> PRE-transpose half
+    spectrum pair [k2_rows*n1, bt] (rows >= mp; caller cuts/stores).
+    REAL-specialized VPU chain stage 1 (no MXU, half the butterfly
+    adds), stage 2 as one realcat dot cut to the half-spectrum output
+    rows k2 <= mp//n1.  Shared with ops/pallas_welch.py."""
+    bt = frames.shape[0]
+    ar = frames.T.reshape(n1, n2, bt)
 
     br, bi = _vpu_dft_leading_real(ar, n1, sign, factors)
 
@@ -1725,13 +1736,17 @@ def _kernel_r2c_bal(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp,
         [jnp.concatenate([w2r, -w2i], axis=1),
          jnp.concatenate([w2i, w2r], axis=1)], axis=0)
     xcat = jnp.concatenate([cr, ci], axis=1)
-    res = jax.lax.dot_general(
-        wbig, xcat, ((((1,), (1,))), ((), ())), precision=_MM_PREC,
-        preferred_element_type=jnp.float32)
-    dr, di = res[:k2_rows], res[k2_rows:]
+    res = _dot_prec(wbig, xcat, ((1,), (1,)))
+    return (res[:k2_rows].reshape(k2_rows * n1, bt),
+            res[k2_rows:].reshape(k2_rows * n1, bt))
 
-    _r2c_store(or_ref, oi_ref, dr.reshape(k2_rows * n1, bt),
-               di.reshape(k2_rows * n1, bt), mp, mp_out, bt)
+
+def _kernel_r2c_bal(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale, mp,
+                    mp_out, factors):
+    """Balanced-split R2C rows kernel: _r2c_bal_vals + store."""
+    dr, di = _r2c_bal_vals(xr_ref[:], n=n, n1=n1, n2=n2, sign=sign,
+                           scale=scale, mp=mp, factors=factors)
+    _r2c_store(or_ref, oi_ref, dr, di, mp, mp_out, xr_ref.shape[0])
 
 
 # Sizes where the two-half pipelined R2C form (256-row block as two
@@ -1747,29 +1762,17 @@ def _kernel_r2c_pipe(xr_ref, or_ref, oi_ref, *, n, n1, n2, sign, scale,
                      mp, mp_out, factors):
     """Two 128-row halves per grid step: half B's real VPU chain overlaps
     half A's half-spectrum realcat dot in the Mosaic schedule (the
-    _kernel_rows_bal_pipe structure applied to _kernel_r2c_bal)."""
+    _kernel_rows_bal_pipe structure applied to _kernel_r2c_bal).  Each
+    half is one _r2c_bal_vals call (the constant tables CSE across
+    halves)."""
     bt = xr_ref.shape[0]
     h = bt // 2
-    twr, twi = _gen_twiddle(n1, n2, n, sign)
-    k2_rows = _round_up(mp // n1 + 1, 8)
-    w2r, w2i = _gen_dft(k2_rows, n2, n2, sign, scale)
-    wbig = jnp.concatenate(
-        [jnp.concatenate([w2r, -w2i], axis=1),
-         jnp.concatenate([w2i, w2r], axis=1)], axis=0)
     for p in range(2):
         sl = slice(p * h, (p + 1) * h)
-        ar = xr_ref[sl, :].T.reshape(n1, n2, h)
-        br, bi = _vpu_dft_leading_real(ar, n1, sign, factors)
-        cr = br * twr[:, :, None] - bi * twi[:, :, None]
-        ci = br * twi[:, :, None] + bi * twr[:, :, None]
-        xcat = jnp.concatenate([cr, ci], axis=1)
-        res = jax.lax.dot_general(
-            wbig, xcat, ((((1,), (1,))), ((), ())), precision=_MM_PREC,
-            preferred_element_type=jnp.float32)
-        _r2c_store(or_ref, oi_ref,
-                   res[:k2_rows].reshape(k2_rows * n1, h),
-                   res[k2_rows:].reshape(k2_rows * n1, h),
-                   mp, mp_out, h, sl)
+        dr, di = _r2c_bal_vals(xr_ref[sl, :], n=n, n1=n1, n2=n2,
+                               sign=sign, scale=scale, mp=mp,
+                               factors=factors)
+        _r2c_store(or_ref, oi_ref, dr, di, mp, mp_out, h, sl)
 
 
 # R2C balanced-split routing: n -> (n1, n2, stage-1 VPU factors).  Only
@@ -2891,7 +2894,8 @@ def _rfft_gen_core(xr, scale=None, *, interpret=False):
     """Single-pass general-n R2C over the last axis: real [..., n] ->
     split [..., round_up(n//2+1, 128)] (always the PADDED serving form;
     callers slice at the public boundary).  Envelope: composite n in
-    [512, 16384] with both factors <= 128, n not pow2."""
+    [512, 16384] with both factors <= 256 (the round-5 bound —
+    _choose_general_split), n not pow2."""
     n = xr.shape[-1]
     if n < 512 or n > FUSED_MAX_N or (n & (n - 1)) == 0:
         raise Unsupported(f"n={n} outside general-kernel envelope")

@@ -32,15 +32,9 @@ from .pallas_fft import (
     _BALANCED,
     _BALANCED_R2C,
     Unsupported,
-    _cdot,
-    _cdot_realcat,
-    _dot_prec,
-    _gen_dft,
-    _gen_twiddle,
     _interp,
-    _round_up,
-    _vpu_dft_leading,
-    _vpu_dft_leading_real,
+    _r2c_bal_vals,
+    _rows_bal_vals,
     pad_bins,
 )
 
@@ -62,7 +56,10 @@ def fused_welch_ok(t: int, nperseg: int, hop: int, nfft: int,
         and nperseg % hop == 0
         and nperseg // hop <= _MAX_K
         and t >= nperseg
-        and detrend in (False, None, "constant")
+        # identity checks: `0 in (False, ...)` is True via __eq__, but
+        # the composed path's _detrend_seg REJECTS detrend=0 — accepting
+        # it here would make behavior backend-dependent (review r5)
+        and (detrend is False or detrend is None or detrend == "constant")
     )
 
 
@@ -83,24 +80,13 @@ def _cut_mask(a, mp, mp_out, bt):
 
 def _r2c_bal_split(frames, *, n, n1, n2, factors, mp, mp_out):
     """Balanced R2C of [128, n] real frames -> split spectra pair
-    [mp_out, 128] PRE-transpose (bins > n/2 zeroed) — the
-    _kernel_r2c_bal math without the store."""
+    [mp_out, 128] PRE-transpose (bins > n/2 zeroed) — the SHARED
+    pallas_fft._r2c_bal_vals math (single source of truth) plus the
+    cut/zero-mask."""
     bt = frames.shape[0]
-    ar = frames.T.reshape(n1, n2, bt)
-    br, bi = _vpu_dft_leading_real(ar, n1, -1, factors)
-    twr, twi = _gen_twiddle(n1, n2, n, -1)
-    cr = br * twr[:, :, None] - bi * twi[:, :, None]
-    ci = br * twi[:, :, None] + bi * twr[:, :, None]
-    k2_rows = _round_up(mp // n1 + 1, 8)
-    w2r, w2i = _gen_dft(k2_rows, n2, n2, -1, 1.0)
-    wbig = jnp.concatenate(
-        [jnp.concatenate([w2r, -w2i], axis=1),
-         jnp.concatenate([w2i, w2r], axis=1)], axis=0)
-    xcat = jnp.concatenate([cr, ci], axis=1)
-    res = _dot_prec(wbig, xcat, ((1,), (1,)))
-    dr = _cut_mask(res[:k2_rows].reshape(k2_rows * n1, bt), mp, mp_out, bt)
-    di = _cut_mask(res[k2_rows:].reshape(k2_rows * n1, bt), mp, mp_out, bt)
-    return dr, di
+    dr, di = _r2c_bal_vals(frames, n=n, n1=n1, n2=n2, sign=-1, scale=1.0,
+                           mp=mp, factors=factors)
+    return (_cut_mask(dr, mp, mp_out, bt), _cut_mask(di, mp, mp_out, bt))
 
 
 def _r2c_power(frames, *, n, n1, n2, factors, mp, mp_out):
@@ -112,21 +98,10 @@ def _r2c_power(frames, *, n, n1, n2, factors, mp, mp_out):
 
 def _c2c_bal_split(fr, fi, *, n, n1, n2, factors):
     """Balanced C2C of [128, n] complex frame pairs -> FULL split spectra
-    [n, 128] pre-transpose (the _kernel_rows_bal math without the
-    store) — the two-sided (complex-input) segment transform."""
-    bt = fr.shape[0]
-    ar = fr.T.reshape(n1, n2, bt)
-    ai = fi.T.reshape(n1, n2, bt)
-    br, bi = _vpu_dft_leading(ar, ai, n1, -1, factors)
-    twr, twi = _gen_twiddle(n1, n2, n, -1)
-    cr = br * twr[:, :, None] - bi * twi[:, :, None]
-    ci = br * twi[:, :, None] + bi * twr[:, :, None]
-    if 2 * n2 <= 128:
-        dr, di = _cdot_realcat(n2, -1, cr, ci, 1, ((1,), (1,)))
-    else:
-        w2r, w2i = _gen_dft(n2, n2, n2, -1)
-        dr, di = _cdot(w2r, w2r + w2i, w2i - w2r, cr, ci, ((1,), (1,)))
-    return dr.reshape(n, bt), di.reshape(n, bt)
+    [n, 128] pre-transpose — the SHARED pallas_fft._rows_bal_vals math
+    (single source of truth), the two-sided segment transform."""
+    return _rows_bal_vals(fr, fi, n=n, n1=n1, n2=n2, sign=-1, scale=1.0,
+                          factors=factors)
 
 
 def _frames_from_chunks(a, b, w, *, nperseg, hop, K, n, num, detrend_c,
@@ -332,6 +307,21 @@ def _geom(x, win, nperseg, hop, nfft, detrend, c2c=False):
     return chunks, w2, geom
 
 
+def _chunks_like(v, g, hop):
+    """Second-signal chunk view with geometry already computed by _geom
+    (same shape contract as the first signal)."""
+    t = v.shape[-1]
+    need = g["rows_pad"] * hop
+    if g["flat"]:
+        v2 = v.reshape(t)
+        vp = jnp.pad(v2, (0, need - t)) if need > t else v2[:need]
+        return vp.reshape(g["rows_pad"], hop)
+    v2 = v.reshape(g["B"], t)
+    vp = (jnp.pad(v2, ((0, 0), (0, need - t))) if need > t
+          else v2[:, :need])
+    return vp.reshape(g["B"], g["rows_pad"], hop)
+
+
 def _specs(g, hop, nperseg, accumulate):
     """(chunk_a, chunk_b, win, out) BlockSpecs.  flat (B==1): 2-D blocks
     over grid (nblocks,) — measurably faster than a unit leading dim
@@ -381,7 +371,7 @@ def csd_accum_split(x, y, win, nperseg, hop, nfft, detrend, *,
     if y.shape != x.shape:
         raise Unsupported("fused csd takes equal-shape signals")
     cx, w2, g = _geom(x, win, nperseg, hop, nfft, detrend)
-    cy, _, _ = _geom(y, win, nperseg, hop, nfft, detrend)
+    cy = _chunks_like(y, g, hop)
     kern = functools.partial(_kernel_csd_accum, **g["kkw"])
     sa, sb, sw, so, rows = _specs(g, hop, nperseg, True)
     oshape = ((rows, g["mp_out"]) if g["flat"]
@@ -522,7 +512,7 @@ def welch_accum_c2c_split(re, im, win, nperseg, hop, nfft, detrend, *,
     if im.shape != re.shape:
         raise Unsupported("re/im components must have equal shapes")
     cr, w2, g = _geom(re, win, nperseg, hop, nfft, detrend, c2c=True)
-    ci, _, _ = _geom(im, win, nperseg, hop, nfft, detrend, c2c=True)
+    ci = _chunks_like(im, g, hop)
     kern = functools.partial(_kernel_welch_accum_c2c, **g["kkw"])
     sa, sb, sw, so, rows = _specs(g, hop, nperseg, True)
     oshape = (rows, nfft) if g["flat"] else (g["B"], rows, nfft)
@@ -553,7 +543,7 @@ def spec_c2c_split(re, im, win, nperseg, hop, nfft, detrend, *,
     if im.shape != re.shape:
         raise Unsupported("re/im components must have equal shapes")
     cr, w2, g = _geom(re, win, nperseg, hop, nfft, detrend, c2c=True)
-    ci, _, _ = _geom(im, win, nperseg, hop, nfft, detrend, c2c=True)
+    ci = _chunks_like(im, g, hop)
     kern = functools.partial(_kernel_spec_split_c2c, **g["kkw"])
     sa, sb, sw, so, rows = _specs(g, hop, nperseg, False)
     oshape = (rows, nfft) if g["flat"] else (g["B"], rows, nfft)

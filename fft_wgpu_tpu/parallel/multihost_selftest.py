@@ -74,6 +74,8 @@ def launch_cluster(num_processes: int = 2, devices_per_proc: int = 4,
     Raises MultihostUnavailable when the jax build refuses CPU clusters,
     AssertionError/RuntimeError on genuine failures.
     """
+    import threading
+
     port = _free_port()
     env = _child_env(devices_per_proc)
     procs = [
@@ -86,18 +88,34 @@ def launch_cluster(num_processes: int = 2, devices_per_proc: int = 4,
         )
         for i in range(num_processes)
     ]
-    outs = []
-    try:
-        for p in procs:
+    # Drain every child CONCURRENTLY: a sequential communicate() loop
+    # can deadlock the cluster — a child whose traceback/log output
+    # fills its pipe blocks on write while its peers block in a
+    # collective waiting for it, and the genuine failure would then be
+    # misreported as a timeout (review r5).
+    results = [None] * num_processes
+
+    def _drain(idx, p):
+        try:
             out, err = p.communicate(timeout=timeout)
-            outs.append((p.returncode, out, err))
-    except subprocess.TimeoutExpired:
+            results[idx] = (p.returncode, out, err)
+        except subprocess.TimeoutExpired:
+            results[idx] = None
+
+    threads = [threading.Thread(target=_drain, args=(i, p), daemon=True)
+               for i, p in enumerate(procs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout + 30)
+    if any(r is None for r in results):
         for p in procs:
             p.kill()
         raise MultihostUnavailable(
             f"CPU cluster timed out after {timeout}s (children hung in "
             "distributed init — cross-process CPU collectives likely "
             "missing from this jax build)")
+    outs = results
     for rc, out, err in outs:
         if rc != 0:
             low = (out + err).lower()

@@ -113,5 +113,5 @@ def test_csd_fuzz(fake_tpu, rng, t, nperseg, hop, nfft, detrend, average,
         return  # scipy csd median differs only in bias handling; skip
     f1, c1 = ftt.csd(x, y, **kw)
     f2, c2 = sig.csd(x, y, **kw)
-    err = _rel(np.asarray(jax.device_get(c1)), c2)
+    err = _rel(dget(c1), c2)  # planar transfer (CLAUDE.md invariant)
     assert err < 1e-4, f"csd {err:.3e}"
