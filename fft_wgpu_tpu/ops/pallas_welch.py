@@ -38,7 +38,8 @@ from .pallas_fft import (
     pad_bins,
 )
 
-__all__ = ["welch_accum_split", "csd_accum_split", "spec_psd_split",
+__all__ = ["welch_accum_split", "csd_accum_split",
+           "coherence_accum_split", "spec_psd_split",
            "spec_rfft_split", "welch_accum_c2c_split", "spec_c2c_split",
            "fused_welch_ok"]
 
@@ -222,6 +223,43 @@ def _kernel_csd_accum(xa_ref, xb_ref, ya_ref, yb_ref, w_ref, or_ref,
         oi_ref[ix] = oi_ref[ix] + pi
 
 
+def _kernel_coh_accum(xa_ref, xb_ref, ya_ref, yb_ref, w_ref, or_ref,
+                      oi_ref, xx_ref, yy_ref, *, n, n1, n2, factors, mp,
+                      mp_out, nperseg, hop, K, num, detrend_c,
+                      flat=False):
+    """Coherence accumulator: ONE pass produces conj(X)Y, |X|^2 and
+    |Y|^2 sums — coherence() used to pay three full estimator passes
+    (csd + welch(x) + welch(y))."""
+    i = pl.program_id(0 if flat else 1)
+    rd = (lambda r: r[:]) if flat else (lambda r: r[0])
+    kw = dict(nperseg=nperseg, hop=hop, K=K, n=n, num=num,
+              detrend_c=detrend_c, block_seg0=i * 128)
+    fx = _frames_from_chunks(rd(xa_ref), rd(xb_ref), w_ref[:], **kw)
+    fy = _frames_from_chunks(rd(ya_ref), rd(yb_ref), w_ref[:], **kw)
+    mkw = dict(n=n, n1=n1, n2=n2, factors=factors, mp=mp, mp_out=mp_out)
+    xr, xi = _r2c_bal_split(fx, **mkw)
+    yr, yi = _r2c_bal_split(fy, **mkw)
+    pr = (xr * yr + xi * yi).T
+    pi = (xr * yi - xi * yr).T
+    sxx = (xr * xr + xi * xi).T
+    syy = (yr * yr + yi * yi).T
+    ix = slice(None) if flat else 0
+
+    @pl.when(i == 0)
+    def _init():
+        or_ref[ix] = pr
+        oi_ref[ix] = pi
+        xx_ref[ix] = sxx
+        yy_ref[ix] = syy
+
+    @pl.when(i > 0)
+    def _accum():
+        or_ref[ix] = or_ref[ix] + pr
+        oi_ref[ix] = oi_ref[ix] + pi
+        xx_ref[ix] = xx_ref[ix] + sxx
+        yy_ref[ix] = yy_ref[ix] + syy
+
+
 def _kernel_welch_accum_c2c(ra_ref, rb_ref, ia_ref, ib_ref, w_ref, o_ref,
                             *, n, n1, n2, factors, nperseg, hop, K, num,
                             detrend_c, flat=False):
@@ -397,6 +435,43 @@ def csd_accum_split(x, y, win, nperseg, hop, nfft, detrend, *,
     shape = (*g["lead"], m)
     return (jnp.sum(pr, axis=ax)[..., :m].reshape(shape),
             jnp.sum(pi, axis=ax)[..., :m].reshape(shape), g["num"])
+
+
+def coherence_accum_split(x, y, win, nperseg, hop, nfft, detrend, *,
+                          interpret=False):
+    """Fused coherence core: real [..., t] x, y -> (Pr, Pi, Sxx, Syy
+    [..., nfft//2+1], num) in ONE kernel pass (conj(X)Y, |X|^2, |Y|^2
+    accumulated together); coherence = |P|^2 / (Sxx Syy) needs no
+    normalization constants at all (they cancel)."""
+    if y.shape != x.shape:
+        raise Unsupported("fused coherence takes equal-shape signals")
+    cx, w2, g = _geom(x, win, nperseg, hop, nfft, detrend)
+    cy = _chunks_like(y, g, hop)
+    kern = functools.partial(_kernel_coh_accum, **g["kkw"])
+    sa, sb, sw, so, rows = _specs(g, hop, nperseg, True)
+    oshape = ((rows, g["mp_out"]) if g["flat"]
+              else (g["B"], rows, g["mp_out"]))
+    outs = pl.pallas_call(
+        kern,
+        grid=g["grid"],
+        in_specs=[sa, sb, sa, sb, sw],
+        out_specs=[so, so, so, so],
+        out_shape=[jax.ShapeDtypeStruct(oshape, jnp.float32)] * 4,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (8 * nfft * (g["n1"] + g["n2"]) + 14 * nfft)
+            * g["B"] * g["nblocks"] * 128,
+            bytes_accessed=4 * g["B"] * (4 * g["rows_pad"] * hop
+                                         + 4 * rows * g["mp_out"]),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(**_PARAMS),
+        interpret=_interp(interpret),
+    )(cx, cx, cy, cy, w2)
+    m = g["mp"]
+    ax = 0 if g["flat"] else 1
+    shape = (*g["lead"], m)
+    res = [jnp.sum(o, axis=ax)[..., :m].reshape(shape) for o in outs]
+    return (*res, g["num"])
 
 
 def welch_accum_split(x, win, nperseg, hop, nfft, detrend, *,
