@@ -522,6 +522,22 @@ def hilbert(x, n: int = None, axis: int = -1, *, N: int = None):
             v = _resize_axis(v, length, -1)
         re, im = p._execute_split(v, jnp.zeros_like(v), -1, None)
         hh = jnp.asarray(h)
+        if jax.default_backend() == "tpu":
+            # fused filtered inverse (the SpectralFilter/cuFFT-callback
+            # pattern): the h-multiply rides the inverse kernel's load
+            # stage instead of a separate HBM pass — 2 passes total
+            try:
+                from .pallas_fft import Unsupported, fft_filtered_split
+            except ImportError:
+                Unsupported = fft_filtered_split = None
+            if fft_filtered_split is not None:
+                try:
+                    re2, im2 = fft_filtered_split(
+                        re, im, hh, jnp.zeros_like(hh), +1, 1.0 / length)
+                    return merge(jnp.moveaxis(re2, -1, axis),
+                                 jnp.moveaxis(im2, -1, axis))
+                except Unsupported:
+                    pass
         re, im = p._execute_split(re * hh, im * hh, +1, 1.0 / length)
         return merge(jnp.moveaxis(re, -1, axis), jnp.moveaxis(im, -1, axis))
 
