@@ -197,7 +197,7 @@ def oaconvolve(a, b, mode: str = "full", axes=None, axis: int = None):
             # item 5): the ragged nfft//2+1 minor halves the R2C/C2R
             # kernels' DMA rate; the spectra here are internal, so they
             # stay lane-aligned from rfft through the multiply to irfft
-            from .rfft import irfft_last_split, rfft_last_split
+            from .rfft import irfft_prod_last_split, rfft_last_split
 
             bseg = jnp.moveaxis(bv, axis, -1)
             bpad = jnp.pad(
@@ -207,21 +207,30 @@ def oaconvolve(a, b, mode: str = "full", axes=None, axis: int = None):
                 Br = Br[..., None, :]
                 Bi = Bi[..., None, :]
             Sr, Si = rfft_last_split(segs, None, pad_out=True)
-            Pr = Sr * Br - Si * Bi
-            Pi = Sr * Bi + Si * Br
-            Y = irfft_last_split(Pr, Pi, nfft, 1.0 / nfft, padded_in=True)
+            # fused product-C2R (kernel spectrum broadcast across the
+            # segment rows on the VMEM tile — no HBM multiply pass);
+            # batched leads fall back to the composed product inside
+            Y = irfft_prod_last_split(Sr, Si, Br, Bi, nfft, 1.0 / nfft,
+                                      padded_in=True)
         else:
             B = Ff(jnp.moveaxis(bv, axis, -1), n=nfft, axis=-1)
             if B.ndim > 1:
                 B = B[..., None, :]  # broadcast over the segment axis
             S = Ff(segs, axis=-1)
             Y = Fi(S * B, nfft, -1)  # [.., nseg, nfft]
-        # overlap-add into [.., nseg*step + nfft - step]
+        # overlap-add into [.., nseg*step + nfft - step] — SCATTER-FREE:
+        # pad each frame to K*step and accumulate K contiguous shifted
+        # slabs (the istft trick generalized to step !| nfft).  The old
+        # flat-index .at[idx].add scatter ran ~40x slower on TPU
+        # (2^20 signal x 129-tap kernel: 9.913 -> 0.155 ms total, 64x).
         t = nseg * step + (nfft - step)
-        idx = (np.arange(nseg)[:, None] * step + np.arange(nfft)[None, :]).ravel()
-        out = jnp.zeros((*lead, t), Y.dtype).at[..., idx].add(
-            Y.reshape(*lead, nseg * nfft)
-        )
+        K = -(-nfft // step)
+        Yp = jnp.pad(Y, [(0, 0)] * (Y.ndim - 1) + [(0, K * step - nfft)])
+        ch = Yp.reshape(*lead, nseg, K, step)
+        out = jnp.zeros((*lead, nseg + K - 1, step), Y.dtype)
+        for k in range(K):
+            out = out.at[..., k : k + nseg, :].add(ch[..., :, k, :])
+        out = out.reshape(*lead, (nseg + K - 1) * step)[..., :t]
         return jnp.moveaxis(out[..., :lfull], -1, axis)
 
     if cplx:
@@ -442,14 +451,28 @@ def fftconvolve(a, b, mode: str = "full", axes=None):
     def impl(av, bv):
         far, fai = _rfwd(_pad_to(av))
         fbr, fbi = _rfwd(_pad_to(bv))
+        moved = last != nd - 1
+        if not rest:
+            # 1-D spectrum product: the fused product-C2R kernel folds
+            # the complex multiply into the inverse kernel's load stage
+            # (one HBM spectrum round trip saved — rfft.py wrapper
+            # keeps gradients via a composed backward)
+            from .rfft import irfft_prod_last_split
+
+            if moved:
+                far, fai = (jnp.moveaxis(v, last, -1) for v in (far, fai))
+                fbr, fbi = (jnp.moveaxis(v, last, -1) for v in (fbr, fbi))
+            out = irfft_prod_last_split(far, fai, fbr, fbi, n_last,
+                                        1.0 / n_last, padded_in=True)
+            if moved:
+                out = jnp.moveaxis(out, -1, last)
+            return out[sl]
         pr = far * fbr - fai * fbi
         pi = far * fbi + fai * fbr
-        if rest:
-            inv_scale = 1.0
-            for ax in rest:
-                inv_scale /= shape[axes.index(ax)]
-            pr, pi = fftn_split(pr, pi, rest, INVERSE, inv_scale)
-        moved = last != nd - 1
+        inv_scale = 1.0
+        for ax in rest:
+            inv_scale /= shape[axes.index(ax)]
+        pr, pi = fftn_split(pr, pi, rest, INVERSE, inv_scale)
         if moved:
             pr = jnp.moveaxis(pr, last, -1)
             pi = jnp.moveaxis(pi, last, -1)

@@ -1955,11 +1955,18 @@ def _kernel_c2r_bal(xr_ref, xi_ref, o_ref, *, n, n1, n2, scale,
 
     Output digit order [m2, m1] flattens to natural j; one transpose out.
     Replaces _kernel_c2r where measured faster (see _BALANCED_C2R)."""
-    bt = xr_ref.shape[0]
+    dr = _c2r_bal_vals(xr_ref[:].T, xi_ref[:].T, n=n, n1=n1, n2=n2,
+                       scale=scale, factors=factors)
+    o_ref[:] = dr.T
+
+
+def _c2r_bal_vals(ar, ai, *, n, n1, n2, scale, factors):
+    """Balanced-split C2R math on TRANSPOSED [mp, bt] spectra -> real
+    [n, bt] pre-transpose.  Single source of truth for the plain,
+    pipelined and fused-product C2R kernels."""
+    bt = ar.shape[1]
     h = n // 2
     rows_in = (n1 // 2 + 1) * n2  # stored k1 rows cover k = 0..h (+pad)
-    ar = xr_ref[:].T  # [mp, bt], mp = padded bins >= rows_in
-    ai = xi_ref[:].T
 
     # input-side mask: halve DC/Nyquist real parts (makes 2*Re exact),
     # discard their imaginary parts (C2R semantics), and ZERO any rows
@@ -1990,9 +1997,7 @@ def _kernel_c2r_bal(xr_ref, xi_ref, o_ref, *, n, n1, n2, scale,
             [jnp.concatenate([war, -wai], axis=1),
              jnp.concatenate([wai, war], axis=1)], axis=0)  # [2n1, n1+2]
         xcat = jnp.concatenate([xr, xi], axis=0)
-        res = jax.lax.dot_general(
-            wbig, xcat, ((((1,), (0,))), ((), ())), precision=_MM_PREC,
-            preferred_element_type=jnp.float32)  # [2n1, k2, bt]
+        res = _dot_prec(wbig, xcat, ((1,), (0,)))  # [2n1, k2, bt]
         yr, yi = res[:n1], res[n1:]
 
     twr, twi = _gen_twiddle(n1, n2, n, +1)
@@ -2003,11 +2008,27 @@ def _kernel_c2r_bal(xr_ref, xi_ref, o_ref, *, n, n1, n2, scale,
     wbr, wbi = _gen_dft(n2, n2, n2, +1, 2.0 * scale)
     wcat = jnp.concatenate([wbr, -wbi], axis=1)  # [n2, 2*n2]
     zcat = jnp.concatenate([zr, zi], axis=1)  # [n1, 2*n2, bt]
-    out = jax.lax.dot_general(
-        wcat, zcat, ((((1,), (1,))), ((), ())), precision=_MM_PREC,
-        preferred_element_type=jnp.float32)  # [m2, m1, bt]
+    out = _dot_prec(wcat, zcat, ((1,), (1,)))  # [m2, m1, bt]
+    return out.reshape(n, bt)
 
-    o_ref[:] = out.reshape(n, bt).T
+
+def _kernel_c2r_bal_prod(ar_ref, ai_ref, br_ref, bi_ref, o_ref, *, n, n1,
+                         n2, scale, factors=None, broadcast_b=False):
+    """Fused product-C2R: real(irfft(A .* B)) with the complex spectrum
+    product computed on the VMEM tiles at load — the spectrum-domain
+    convolution epilogue (fftconvolve/oaconvolve) without the separate
+    HBM multiply pass.  broadcast_b: B is one spectrum row shared by
+    every A row (oaconvolve's kernel spectrum)."""
+    ar, ai = ar_ref[:], ai_ref[:]
+    if broadcast_b:
+        br, bi = br_ref[0], bi_ref[0]
+    else:
+        br, bi = br_ref[:], bi_ref[:]
+    pr = ar * br - ai * bi
+    pi = ar * bi + ai * br
+    dr = _c2r_bal_vals(pr.T, pi.T, n=n, n1=n1, n2=n2, scale=scale,
+                       factors=factors)
+    o_ref[:] = dr.T
 
 
 # Sizes where the two-half pipelined C2R form beats the plain 128-row
@@ -2021,36 +2042,15 @@ _PIPE_C2R = {512, 1024, 2048, 4096}
 def _kernel_c2r_pipe(xr_ref, xi_ref, o_ref, *, n, n1, n2, scale, factors):
     """Two 128-row halves per grid step: half B's zero-extended VPU chain
     (stage A) overlaps half A's real-output stacked dot (stage B) — the
-    _kernel_rows_bal_pipe structure applied to _kernel_c2r_bal."""
+    _kernel_rows_bal_pipe structure applied to _kernel_c2r_bal.  Each
+    half is one _c2r_bal_vals call (constant tables CSE across halves)."""
     bt = xr_ref.shape[0]
     hh = bt // 2
-    h = n // 2
-    rows_in = (n1 // 2 + 1) * n2
-    twr, twi = _gen_twiddle(n1, n2, n, +1)
-    wbr, wbi = _gen_dft(n2, n2, n2, +1, 2.0 * scale)
-    wcat = jnp.concatenate([wbr, -wbi], axis=1)
     for p in range(2):
         sl = slice(p * hh, (p + 1) * hh)
-        ar = xr_ref[sl, :].T
-        ai = xi_ref[sl, :].T
-        ri = jax.lax.broadcasted_iota(jnp.int32, ar.shape, 0)
-        ends = (ri == 0) | (ri == h)
-        ar = ar * jnp.where(ri > h, 0.0,
-                            jnp.where(ends, 0.5, 1.0)).astype(jnp.float32)
-        ai = ai * ((ri > 0) & (ri < h)).astype(jnp.float32)
-        xr = ar[:rows_in].reshape(n1 // 2 + 1, n2, hh)
-        xi = ai[:rows_in].reshape(n1 // 2 + 1, n2, hh)
-        z = jnp.zeros((n1 - (n1 // 2 + 1), n2, hh), jnp.float32)
-        yr, yi = _vpu_dft_leading(
-            jnp.concatenate([xr, z], axis=0),
-            jnp.concatenate([xi, z], axis=0), n1, +1, factors)
-        zr = yr * twr[:, :, None] - yi * twi[:, :, None]
-        zi = yr * twi[:, :, None] + yi * twr[:, :, None]
-        zcat = jnp.concatenate([zr, zi], axis=1)
-        out = jax.lax.dot_general(
-            wcat, zcat, ((((1,), (1,))), ((), ())), precision=_MM_PREC,
-            preferred_element_type=jnp.float32)
-        o_ref[sl, :] = out.reshape(n, hh).T
+        dr = _c2r_bal_vals(xr_ref[sl, :].T, xi_ref[sl, :].T, n=n, n1=n1,
+                           n2=n2, scale=scale, factors=factors)
+        o_ref[sl, :] = dr.T
 
 
 # C2R balanced-split routing: n -> (n1, n2) with n1 the contracted input
@@ -2157,6 +2157,83 @@ def _irfft_rows_core(Xr, Xi, n, scale=None, *, interpret=False,
         )(*ins),)
 
     (out,) = _edge_tiled(_launch, (Xr2, Xi2), rows, bt)
+    return out.reshape(*lead, n)
+
+
+def irfft_prod_rows_split(Ar, Ai, Br, Bi, n, scale=None, *,
+                          interpret=False, padded_in=False):
+    """Fused spectrum-product C2R: real(IRFFT(A .* B)) over the last
+    axis with the complex multiply computed at load on the VMEM tiles —
+    the fftconvolve/oaconvolve epilogue without the separate HBM
+    multiply pass (one spectrum write + read saved per call).
+    Balanced-C2R envelope only; NOT differentiable here — callers wrap
+    it with a composed-backward custom_vjp (ops/rfft.py).
+    Reference anchor: the fused-epilogue idea, fft_wgpu
+    src/kernel/ifft.wgsl:65-74, applied to the convolution product."""
+    if not _supported(n) or (n // 128) % 2 or n not in _BALANCED_C2R:
+        raise Unsupported(f"n={n} outside fused product-C2R envelope")
+    m = n // 2
+    bins = pad_bins(n) if padded_in else m + 1
+    if Ar.shape[-1] != bins or Br.shape[-1] != bins:
+        raise Unsupported(f"expected {bins} bins")
+    broadcast_b = Br.ndim == 1
+    if not broadcast_b and Br.shape != Ar.shape:
+        raise Unsupported("spectrum operands must have equal shapes "
+                          "(or a 1-D broadcast B)")
+    mp_in = _round_up(bins, 128)
+
+    lead = Ar.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    if rows == 0:
+        return jnp.zeros((*lead, n), jnp.float32)
+
+    def _prep(v, flat=False):
+        if mp_in != bins:
+            pad = [(0, 0)] * (v.ndim - 1) + [(0, mp_in - bins)]
+            v = jnp.pad(v, pad)
+        return v.reshape(1, mp_in) if flat else v.reshape(rows, mp_in)
+
+    a_ins = (_prep(Ar), _prep(Ai))
+    b_ins = (_prep(Br, broadcast_b), _prep(Bi, broadcast_b))
+    bt = min(128, _round_up(rows, 128))
+    sc = float(scale) if scale is not None else 1.0
+    ent = _BALANCED_C2R[n]
+    n1, n2 = ent[0], ent[1]
+    factors = ent[2] if len(ent) > 2 else None
+
+    def _launch(ins_, out_rows, nblocks, bt_, start=0):
+        in_spec = pl.BlockSpec((bt_, mp_in), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        b_spec = (pl.BlockSpec((1, mp_in), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+                  if broadcast_b else in_spec)
+        out_spec = pl.BlockSpec((bt_, n), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        # broadcast B rides OUTSIDE the edge-tiled inputs: _edge_tiled
+        # tail-slices every tiled array along the row axis, which would
+        # empty a 1-row broadcast spectrum
+        args = (*ins_, *b_ins) if broadcast_b else ins_
+        return (pl.pallas_call(
+            functools.partial(_kernel_c2r_bal_prod, n=n, n1=n1, n2=n2,
+                              scale=sc, factors=factors,
+                              broadcast_b=broadcast_b),
+            grid=(nblocks,),
+            in_specs=[in_spec, in_spec, b_spec, b_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((out_rows, n), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=(4 * n * 128 + 12 * mp_in) * nblocks * bt_,
+                bytes_accessed=4 * nblocks * bt_ * (4 * mp_in + n),
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=_interp(interpret),
+        )(*args),)
+
+    tiled = a_ins if broadcast_b else (*a_ins, *b_ins)
+    (out,) = _edge_tiled(_launch, tiled, rows, bt)
     return out.reshape(*lead, n)
 
 

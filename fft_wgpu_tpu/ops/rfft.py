@@ -209,6 +209,51 @@ def _irfft_even_split(Xr, Xi, n, scale):
     return x
 
 
+def irfft_prod_last_split(Ar, Ai, Br, Bi, n, total_scale, *,
+                          padded_in=False):
+    """real(IRFFT(A .* B)) over the last axis — the spectrum-domain
+    convolution epilogue.  On TPU the product rides the fused
+    product-C2R kernel (one HBM multiply pass saved); elsewhere, and
+    for gradients, the composed product + irfft_last_split runs (the
+    custom_vjp backward differentiates the composed form, which is
+    numerically equivalent)."""
+
+    def composed(ar, ai, br, bi):
+        pr = ar * br - ai * bi
+        pi = ar * bi + ai * br
+        return irfft_last_split(pr, pi, n, total_scale,
+                                padded_in=padded_in)
+
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return composed(Ar, Ai, Br, Bi)
+    try:
+        from . import pallas_fft
+    except ImportError:
+        return composed(Ar, Ai, Br, Bi)
+
+    T = 1.0 if total_scale is None else float(total_scale)
+
+    @_jax.custom_vjp
+    def fused(ar, ai, br, bi):
+        return pallas_fft.irfft_prod_rows_split(ar, ai, br, bi, n, T,
+                                                padded_in=padded_in)
+
+    def fwd(ar, ai, br, bi):
+        return fused(ar, ai, br, bi), (ar, ai, br, bi)
+
+    def bwd(res, g):
+        _, vjp = _jax.vjp(composed, *res)
+        return vjp(g)
+
+    fused.defvjp(fwd, bwd)
+    try:
+        return fused(Ar, Ai, Br, Bi)
+    except pallas_fft.Unsupported:
+        return composed(Ar, Ai, Br, Bi)
+
+
 def rfft(x, n=None, axis: int = -1, norm=None):
     """1-D R2C FFT: real input -> n//2+1 complex bins (numpy.fft.rfft)."""
     xr = jnp.asarray(x)

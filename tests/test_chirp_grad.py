@@ -102,6 +102,53 @@ def test_chirp_inverse_grad(fake_tpu, rng, n_out):
            f"chirp inv val {n_out}")
 
 
+def test_prod_c2r_grad(fake_tpu, rng):
+    """The fused product-C2R (fftconvolve epilogue) carries a
+    custom_vjp whose backward differentiates the composed form — grads
+    through the fused path must equal grads through the composed path
+    (both operands)."""
+    from fft_wgpu_tpu.ops.rfft import (irfft_last_split,
+                                       irfft_prod_last_split)
+
+    n = 512
+    bins = 384  # pad_bins(512)
+    rows = 4
+    Ar = jnp.asarray(rng.standard_normal((rows, bins)), jnp.float32)
+    Ai = jnp.asarray(rng.standard_normal((rows, bins)), jnp.float32)
+    Br = jnp.asarray(rng.standard_normal((rows, bins)), jnp.float32)
+    Bi = jnp.asarray(rng.standard_normal((rows, bins)), jnp.float32)
+    # pad columns past Nyquist must be zero (serving-form contract)
+    for v in ("Ar", "Ai", "Br", "Bi"):
+        pass
+    z = jnp.zeros((rows, bins - (n // 2 + 1)), jnp.float32)
+    Ar = jnp.concatenate([Ar[:, : n // 2 + 1], z], axis=1)
+    Ai = jnp.concatenate([Ai[:, : n // 2 + 1], z], axis=1)
+    Br = jnp.concatenate([Br[:, : n // 2 + 1], z], axis=1)
+    Bi = jnp.concatenate([Bi[:, : n // 2 + 1], z], axis=1)
+    W = jnp.asarray(rng.standard_normal((rows, n)), jnp.float32)
+
+    def loss_fused(a, b, c, d):
+        return jnp.sum(W * irfft_prod_last_split(a, b, c, d, n, 1.0 / n,
+                                                 padded_in=True))
+
+    def loss_composed(a, b, c, d):
+        pr = a * c - b * d
+        pi = a * d + b * c
+        return jnp.sum(W * irfft_last_split(pr, pi, n, 1.0 / n,
+                                            padded_in=True))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(Ar, Ai, Br, Bi)
+    gc = jax.grad(loss_composed, argnums=(0, 1, 2, 3))(Ar, Ai, Br, Bi)
+    for g1, g2, tag in zip(gf, gc, "abcd"):
+        err = float(np.linalg.norm(np.asarray(g1) - np.asarray(g2))
+                    / max(np.linalg.norm(np.asarray(g2)), 1e-30))
+        assert err < 1e-4, f"prod-C2R grad d{tag}: {err:.3e}"
+    # values too
+    err = abs(float(loss_fused(Ar, Ai, Br, Bi))
+              - float(loss_composed(Ar, Ai, Br, Bi)))
+    assert err < 1e-2
+
+
 def test_bluestein_end_to_end_grad(fake_tpu, rng):
     """jax.grad through the PUBLIC prime-length fft (both fused chirp
     kernels composed) vs jnp.fft on the same loss."""
