@@ -112,9 +112,8 @@ def imdct(X, window=None):
         if w is not False:
             y = y * jnp.asarray(w, jnp.float32)
         t = (nf + 1) * n
-        idx = (np.arange(nf)[:, None] * n + np.arange(2 * n)[None, :]).ravel()
-        lead = C.shape[:-2]
-        out = jnp.zeros((*lead, t), jnp.float32)
-        return out.at[..., idx].add(y.reshape(*lead, nf * 2 * n))
+        from .stft import _ola_slabs
+
+        return _ola_slabs(y, n, t)  # scatter-free (flat scatters ~50x slower)
 
     return impl(X)

