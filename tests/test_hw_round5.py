@@ -82,6 +82,44 @@ def test_rfft_general_even_nonpow2(ftt, rng):
     assert _rel(got, np.fft.rfft(x, axis=-1)) < TOL
 
 
+def test_batched_big_kernel(ftt, rng):
+    """Batched rows through the single-pass big kernel (probe_r72
+    crossover: n <= 2^16 batched rides it via the auto routing)."""
+    z = (rng.standard_normal((16, 1 << 16))
+         + 1j * rng.standard_normal((16, 1 << 16))).astype(np.complex64)
+    got = ftt.device_get_complex(ftt.fft(z))
+    assert _rel(got, np.fft.fft(z, axis=-1)) < TOL
+
+
+def test_conv_fused_epilogues(ftt, rng):
+    """fftconvolve/oaconvolve through the fused product-C2R and the
+    scatter-free overlap-add."""
+    import scipy.signal as sig
+
+    a = rng.standard_normal((8, 3000)).astype(np.float32)
+    b = rng.standard_normal(257).astype(np.float32)
+    got = np.asarray(ftt.fftconvolve(a, b[None, :], mode="full"))
+    assert _rel(got, sig.fftconvolve(a, b[None, :], mode="full")) < TOL
+
+    x = rng.standard_normal(1 << 17).astype(np.float32)
+    h = rng.standard_normal(129).astype(np.float32)
+    got = np.asarray(ftt.oaconvolve(x, h, mode="same"))
+    assert _rel(got, sig.oaconvolve(x, h, mode="same")) < TOL
+
+    z = ftt.device_get_complex(ftt.hilbert(x[:4096]))
+    assert _rel(z, sig.hilbert(x[:4096].astype(np.float64))) < TOL
+
+
+def test_coherence_fused(ftt, rng):
+    import scipy.signal as sig
+
+    x = rng.standard_normal(1 << 15).astype(np.float32)
+    y = (0.5 * x + 0.5 * rng.standard_normal(1 << 15)).astype(np.float32)
+    f1, c1 = ftt.coherence(x, y, nperseg=512)
+    f2, c2 = sig.coherence(x, y, nperseg=512)
+    assert _rel(np.asarray(c1), c2) < TOL
+
+
 def test_fast_dot_precision(ftt, rng):
     """fast mode: correct to ~3e-3 and restores cleanly."""
     z = (rng.standard_normal((64, 2048))
