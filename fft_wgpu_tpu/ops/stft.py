@@ -56,9 +56,11 @@ def bartlett_window(n: int, *, periodic: bool = True):
 def _frame(x, frame_len: int, hop: int):
     """[..., t] -> [..., num_frames, frame_len] by strided windowing.
 
-    When hop divides frame_len (the common case) framing is K = frame_len
-    / hop shifted slices of a hop-chunked view — no gather at all (TPU
-    gathers of this shape compile for minutes).  Otherwise a gather."""
+    GATHER-FREE for ANY hop: framing is K = ceil(frame_len/hop) shifted
+    slices of a hop-chunked view, lane-concatenated and sliced to
+    frame_len (flat-index gathers — the old hop !| frame_len fallback —
+    are the same ~50x TPU hazard class as the OLA scatters,
+    PERFORMANCE.md round-5i; and these shapes compiled for minutes)."""
     t = x.shape[-1]
     if t < frame_len:
         raise ValueError(
@@ -66,16 +68,17 @@ def _frame(x, frame_len: int, hop: int):
             "pad the input or pass center=True"
         )
     num = 1 + (t - frame_len) // hop
-    if frame_len % hop == 0:
-        K = frame_len // hop
-        chunks = (num + K - 1) * hop  # samples consumed by the frames
-        v = x[..., :chunks].reshape(*x.shape[:-1], num + K - 1, hop)
-        parts = [v[..., k : k + num, :] for k in range(K)]
-        return jnp.concatenate(
-            [p[..., None, :] for p in parts], axis=-2
-        ).reshape(*x.shape[:-1], num, frame_len)
-    idx = (np.arange(num)[:, None] * hop + np.arange(frame_len)[None, :])
-    return x[..., idx]
+    K = -(-frame_len // hop)
+    chunks = (num + K - 1) * hop  # samples the chunk view must cover
+    if chunks > t:  # hop !| frame_len: zero-pad the tail chunks; the
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, chunks - t)]  # pad only
+        x = jnp.pad(x, pad)  # lands in columns >= frame_len (sliced off)
+    v = x[..., :chunks].reshape(*x.shape[:-1], num + K - 1, hop)
+    parts = [v[..., k : k + num, :] for k in range(K)]
+    out = jnp.concatenate(
+        [p[..., None, :] for p in parts], axis=-2
+    ).reshape(*x.shape[:-1], num, K * hop)
+    return out[..., :frame_len]
 
 
 def _ola_slabs(frames, hop: int, t: int):
