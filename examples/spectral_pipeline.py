@@ -45,7 +45,7 @@ def main():
     assert c440 > 0.9
 
     # ---- spectrogram (per-segment fused power spectra) ----
-    f, tt, S = ftt.spectrogram(x, fs=fs, nperseg=1024)
+    f, tt, S = ftt.spectrogram(x, fs=fs, nperseg=1024, noverlap=512)
     print(f"spectrogram: {np.asarray(S).shape} (bins x segments)")
 
     # ---- STFT round trip (fused framed-R2C; scatter-free OLA back) ----

@@ -65,16 +65,13 @@ def _cmd_selftest(args) -> int:
           np.fft.rfft(xr, axis=-1))
     check("dct-II", np.asarray(ftt.dct(xr)),
           __import__("scipy.fft", fromlist=["dct"]).dct(xr), tol=1e-4)
-    try:
-        import scipy.signal as sig
+    import scipy.signal as sig  # scipy is already required above
 
-        sperseg = min(512, n)
-        sx = rng.standard_normal(16 * sperseg).astype(np.float32)
-        f1, p1 = ftt.welch(sx, nperseg=sperseg)
-        f2, p2 = sig.welch(sx, nperseg=sperseg)
-        check("welch (fused on TPU)", np.asarray(p1), p2, tol=1e-4)
-    except ImportError:
-        pass
+    sperseg = min(512, n)
+    sx = rng.standard_normal(16 * sperseg).astype(np.float32)
+    f1, p1 = ftt.welch(sx, nperseg=sperseg)
+    f2, p2 = sig.welch(sx, nperseg=sperseg)
+    check("welch (fused on TPU)", np.asarray(p1), p2, tol=1e-4)
     print("selftest:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -580,28 +580,33 @@ def coherence(x, y, fs: float = 1.0, window="hann",
     """Magnitude-squared coherence Cxy = |Pxy|^2 / (Pxx Pyy) (scipy parity)."""
     # fused single-pass path (round 5): conj(X)Y, |X|^2 and |Y|^2
     # accumulate in ONE kernel sweep instead of three estimator passes;
-    # all normalization constants cancel in the ratio
+    # all normalization constants cancel in the ratio.  The whole
+    # pipeline traces into ONE jitted program (CLAUDE.md invariant —
+    # eager chains are pathological on remote runtimes).
     if jax.default_backend() == "tpu" and not _is_complex(x) \
             and not _is_complex(y):
-        xr, _ = promote_to_split(x)
-        yr, _ = promote_to_split(y)
-        if xr.shape == yr.shape:
-            np_, no_, nf_, win, _c = _resolve_args(
-                x, None, nperseg, noverlap, nfft, window, axis)[4:]
-            hop = np_ - no_
-            from . import pallas_welch as _pw
+        (xr, _xi, yr, _yi, np_, no_, nf_, win,
+         _c) = _resolve_args(x, y, nperseg, noverlap, nfft, window, axis)
+        hop = np_ - no_
+        from . import pallas_welch as _pw
 
-            vr = jnp.moveaxis(xr, axis, -1)
-            wr = jnp.moveaxis(yr, axis, -1)
-            if _pw.fused_welch_ok(vr.shape[-1], np_, hop, nf_, detrend):
-                try:
+        if (yr is not None and xr.shape == yr.shape
+                and _pw.fused_welch_ok(xr.shape[axis], np_, hop, nf_,
+                                       detrend)):
+            try:
+                @jax.jit
+                def _coh(vr, wr):
+                    vr = jnp.moveaxis(vr, axis, -1)
+                    wr = jnp.moveaxis(wr, axis, -1)
                     Pr, Pi, Sxx, Syy, _num = _pw.coherence_accum_split(
                         vr, wr, win, np_, hop, nf_, detrend)
                     C = (Pr * Pr + Pi * Pi) / (Sxx * Syy)
-                    f = rfftfreq(nf_, 1.0 / fs)
-                    return f, jnp.moveaxis(C, -1, axis)
-                except _pw.Unsupported:
-                    pass
+                    return jnp.moveaxis(C, -1, axis)
+
+                C = _coh(xr, yr)
+                return rfftfreq(nf_, 1.0 / fs), C
+            except _pw.Unsupported:
+                pass
     f, Pxyr, Pxyi, _ = _csd_impl(x, y, fs, window, nperseg, noverlap, nfft,
                                  detrend, True, "density", axis, "mean")
     _, Pxx, _, _ = _csd_impl(x, None, fs, window, nperseg, noverlap, nfft,

@@ -101,6 +101,9 @@ def launch_cluster(num_processes: int = 2, devices_per_proc: int = 4,
             results[idx] = (p.returncode, out, err)
         except subprocess.TimeoutExpired:
             results[idx] = None
+        except Exception as e:  # pipe/OS errors must surface as
+            results[idx] = (-1, "", f"drain error: {e!r}")  # failures,
+            # not masquerade as an environment timeout/skip (review r5b)
 
     threads = [threading.Thread(target=_drain, args=(i, p), daemon=True)
                for i, p in enumerate(procs)]

@@ -118,8 +118,6 @@ def test_prod_c2r_grad(fake_tpu, rng):
     Br = jnp.asarray(rng.standard_normal((rows, bins)), jnp.float32)
     Bi = jnp.asarray(rng.standard_normal((rows, bins)), jnp.float32)
     # pad columns past Nyquist must be zero (serving-form contract)
-    for v in ("Ar", "Ai", "Br", "Bi"):
-        pass
     z = jnp.zeros((rows, bins - (n // 2 + 1)), jnp.float32)
     Ar = jnp.concatenate([Ar[:, : n // 2 + 1], z], axis=1)
     Ai = jnp.concatenate([Ai[:, : n // 2 + 1], z], axis=1)
