@@ -400,6 +400,45 @@ def _resolve_args(x, y, nperseg, noverlap, nfft, window, axis):
     return xr, xi, yr, yi, nperseg, int(noverlap), nfft, win, complex_input
 
 
+# --------------------------------------------------------------------- #
+# Config-keyed jit cache (round 5): each estimator call used to build a
+# fresh closure and jax.jit it, re-tracing on EVERY call (~0.4-0.6 s of
+# host time even with the persistent compile cache).  Hashable configs
+# reuse the traced executable like the plan layer does; array/callable
+# windows (or any unhashable key part) skip the cache safely.
+_IMPL_CACHE: dict = {}
+
+
+def _cached_jit(key, impl):
+    try:
+        hash(key)
+    except TypeError:
+        key = None
+    if key is None:
+        return jax.jit(impl)
+    fn = _IMPL_CACHE.get(key)
+    if fn is None:
+        if len(_IMPL_CACHE) > 256:  # unbounded-growth guard
+            _IMPL_CACHE.clear()
+        fn = jax.jit(impl)
+        _IMPL_CACHE[key] = fn
+    return fn
+
+
+def _window_key(window):
+    """Hashable identity of a window spec, or None (array/callable)."""
+    if isinstance(window, str):
+        return window
+    if isinstance(window, tuple) and all(
+            isinstance(v, (str, int, float)) for v in window):
+        return window
+    return None
+
+
+def _shape_key(a):
+    return None if a is None else (a.shape, str(a.dtype))
+
+
 def _csd_impl(x, y, fs, window, nperseg, noverlap, nfft, detrend,
               return_onesided, scaling, axis, average):
     (xr, xi, yr, yi, nperseg, noverlap, nfft, win,
@@ -523,7 +562,12 @@ def _csd_impl(x, y, fs, window, nperseg, noverlap, nfft, detrend,
             Pi = Pi * mult
         return jnp.moveaxis(Pr, -1, axis), jnp.moveaxis(Pi, -1, axis)
 
-    Pr, Pi = jax.jit(impl)(xr, xi, yr, yi)
+    wkey = _window_key(window)
+    key = None if wkey is None else (
+        "csd", jax.default_backend(), _shape_key(xr), _shape_key(xi),
+        _shape_key(yr), _shape_key(yi), float(fs), wkey, nperseg,
+        noverlap, nfft, detrend, return_onesided, scaling, axis, average)
+    Pr, Pi = _cached_jit(key, impl)(xr, xi, yr, yi)
     if onesided:
         f = rfftfreq(nfft, 1.0 / fs)
     else:
@@ -594,7 +638,6 @@ def coherence(x, y, fs: float = 1.0, window="hann",
                 and _pw.fused_welch_ok(xr.shape[axis], np_, hop, nf_,
                                        detrend)):
             try:
-                @jax.jit
                 def _coh(vr, wr):
                     vr = jnp.moveaxis(vr, axis, -1)
                     wr = jnp.moveaxis(wr, axis, -1)
@@ -603,7 +646,11 @@ def coherence(x, y, fs: float = 1.0, window="hann",
                     C = (Pr * Pr + Pi * Pi) / (Sxx * Syy)
                     return jnp.moveaxis(C, -1, axis)
 
-                C = _coh(xr, yr)
+                wkey = _window_key(window)
+                key = None if wkey is None else (
+                    "coh", jax.default_backend(), _shape_key(xr),
+                    _shape_key(yr), wkey, np_, hop, nf_, detrend, axis)
+                C = _cached_jit(key, _coh)(xr, yr)
                 return rfftfreq(nf_, 1.0 / fs), C
             except _pw.Unsupported:
                 pass
@@ -711,7 +758,10 @@ def multitaper(x, fs: float = 1.0, NW: float = 4.0, K: int | None = None,
             S = S * mult
         return jnp.moveaxis(S, -1, axis)
 
-    S = jax.jit(impl)(xr, xi)
+    key = ("mt", jax.default_backend(), _shape_key(xr), _shape_key(xi),
+           float(fs), float(NW), K, nfft, detrend, onesided, weights,
+           axis)
+    S = _cached_jit(key, impl)(xr, xi)
     f = rfftfreq(nfft, 1.0 / fs) if onesided else fftfreq(nfft, 1.0 / fs)
     return f, S
 
@@ -819,7 +869,12 @@ def spectrogram(x, fs: float = 1.0, window=("tukey", 0.25),
             return (ang,)
         raise ValueError(f"invalid mode {mode!r}")
 
-    out = jax.jit(impl)(xr, xi)
+    wkey = _window_key(window)
+    key = None if wkey is None else (
+        "spec", jax.default_backend(), _shape_key(xr), _shape_key(xi),
+        float(fs), wkey, nperseg, hop, nfft, detrend, return_onesided,
+        scaling, axis, mode)
+    out = _cached_jit(key, impl)(xr, xi)
     n = xr.shape[axis]
     num = 1 + (n - nperseg) // hop
     t = (np.arange(num) * hop + nperseg / 2.0) / fs
