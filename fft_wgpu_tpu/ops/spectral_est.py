@@ -406,37 +406,9 @@ def _resolve_args(x, y, nperseg, noverlap, nfft, window, axis):
 # host time even with the persistent compile cache).  Hashable configs
 # reuse the traced executable like the plan layer does; array/callable
 # windows (or any unhashable key part) skip the cache safely.
-_IMPL_CACHE: dict = {}
-
-
-def _cached_jit(key, impl):
-    try:
-        hash(key)
-    except TypeError:
-        key = None
-    if key is None:
-        return jax.jit(impl)
-    fn = _IMPL_CACHE.get(key)
-    if fn is None:
-        if len(_IMPL_CACHE) > 256:  # unbounded-growth guard
-            _IMPL_CACHE.clear()
-        fn = jax.jit(impl)
-        _IMPL_CACHE[key] = fn
-    return fn
-
-
-def _window_key(window):
-    """Hashable identity of a window spec, or None (array/callable)."""
-    if isinstance(window, str):
-        return window
-    if isinstance(window, tuple) and all(
-            isinstance(v, (str, int, float)) for v in window):
-        return window
-    return None
-
-
-def _shape_key(a):
-    return None if a is None else (a.shape, str(a.dtype))
+from ..utils.jit_cache import cached_jit as _cached_jit
+from ..utils.jit_cache import shape_key as _shape_key
+from ..utils.jit_cache import window_key as _window_key
 
 
 def _csd_impl(x, y, fs, window, nperseg, noverlap, nfft, detrend,

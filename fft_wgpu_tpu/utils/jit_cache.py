@@ -1,0 +1,52 @@
+"""Config-keyed jit cache for convenience-API entry points.
+
+The scipy-parity functions (welch/stft/fftconvolve/...) build a closure
+per call and jit it; without caching every call re-traces (~0.4-0.6 s
+of host time on the remote runtime even when the persistent XLA compile
+cache hits).  `cached_jit(key, impl)` reuses the traced executable for
+hashable configs — the plan layer's executable cache generalized to the
+functional surface.  Unhashable key parts (array windows, callables)
+fall back to a fresh jit safely.
+
+Measured on the remote TPU (round 5): welch repeat calls 430 -> 79 ms,
+coherence 570 -> 77 ms — the tunnel's ~2-RTT dispatch floor.
+"""
+
+from __future__ import annotations
+
+import jax
+
+__all__ = ["cached_jit", "window_key", "shape_key"]
+
+_CACHE: dict = {}
+
+
+def cached_jit(key, impl):
+    """jit(impl) memoized on `key` (None or unhashable key: no cache)."""
+    try:
+        hash(key)
+    except TypeError:
+        key = None
+    if key is None:
+        return jax.jit(impl)
+    fn = _CACHE.get(key)
+    if fn is None:
+        if len(_CACHE) > 256:  # unbounded-growth guard
+            _CACHE.clear()
+        fn = jax.jit(impl)
+        _CACHE[key] = fn
+    return fn
+
+
+def window_key(window):
+    """Hashable identity of a window spec, or None (array/callable)."""
+    if window is None or isinstance(window, str):
+        return window
+    if isinstance(window, tuple) and all(
+            isinstance(v, (str, int, float)) for v in window):
+        return window
+    return None
+
+
+def shape_key(a):
+    return None if a is None else (tuple(a.shape), str(a.dtype))
