@@ -22,8 +22,13 @@ from fft_wgpu_tpu.ops import pallas_fft as pf
 def fake_tpu(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(pf, "_FORCE_INTERPRET", True)
+    from fft_wgpu_tpu.utils.jit_cache import _CACHE
+
+    _CACHE.clear()  # cached executables skip re-tracing (spies/backend)
     yield
+    # traces made under the faked backend must not leak into other tests
     jax.clear_caches()
+    _CACHE.clear()
     from fft_wgpu_tpu.plan.plan import get_plan
 
     get_plan.cache_clear()

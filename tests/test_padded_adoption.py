@@ -42,9 +42,13 @@ def fake_tpu(monkeypatch):
     to IO callbacks whose effects linear_call rejects)."""
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(pf, "_FORCE_INTERPRET", True)
+    from fft_wgpu_tpu.utils.jit_cache import _CACHE
+
+    _CACHE.clear()  # cached executables skip re-tracing (spies/backend)
     yield
     # traces made under the faked backend must not leak into other tests
     jax.clear_caches()
+    _CACHE.clear()
     from fft_wgpu_tpu.plan.plan import get_plan
 
     get_plan.cache_clear()
@@ -101,7 +105,12 @@ def test_welch_rides_padded_forms(fake_tpu):
     from fft_wgpu_tpu.ops import pallas_welch as pw
     from fft_wgpu_tpu.ops import spectral_est as se
 
-    # (a) the 1-D path takes the fused kernel
+    # (a) the 1-D path takes the fused kernel.  The parity call above
+    # cached the traced executable, and spies only fire at TRACE time —
+    # drop the cache entry so the spied call re-traces.
+    from fft_wgpu_tpu.utils.jit_cache import _CACHE
+
+    _CACHE.clear()
     called = {}
     orig_fused = pw.welch_accum_split
 
