@@ -126,8 +126,14 @@ def _run_nd(x, s, axes, sign, norm, executor):
     else:
         raise ValueError(f"invalid norm {norm!r}")
 
-    fn = jax.jit(
-        lambda r, i: merge(*fftn_split(r, i, tuple(axes), sign, scale, executor))
+    from ..utils.jit_cache import cached_jit, shape_key
+
+    key = ("nd", jax.default_backend(), shape_key(re), tuple(axes),
+           sign, scale, executor)
+    fn = cached_jit(
+        key,
+        lambda r, i: merge(*fftn_split(r, i, tuple(axes), sign, scale,
+                                       executor)),
     )
     return fn(re, im)
 
