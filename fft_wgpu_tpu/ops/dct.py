@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import functools
 
+from ..utils.jit_cache import cached_call as _cc
+from ..utils.jit_cache import shape_key as _sk
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -136,7 +138,8 @@ def _dct1(x, axis, norm):
             X = X * jnp.asarray(s)
         return jnp.moveaxis(X, -1, axis)
 
-    return jax.jit(impl)(xr)
+    key = ("dct1", jax.default_backend(), _sk(xr), axis, norm)
+    return _cc(key, impl, xr)
 
 
 def _dct4(x, axis, norm):
@@ -169,7 +172,8 @@ def _dct4(x, axis, norm):
             X = X * jnp.float32(1.0 / np.sqrt(2.0 * n))
         return jnp.moveaxis(X, -1, axis)
 
-    return jax.jit(impl)(xr)
+    key = ("dct4", jax.default_backend(), _sk(xr), axis, norm)
+    return _cc(key, impl, xr)
 
 
 def _dct2(x, axis, norm):
@@ -194,7 +198,8 @@ def _dct2(x, axis, norm):
             X = X * jnp.asarray(sc)
         return jnp.moveaxis(X, -1, axis)
 
-    return jax.jit(impl)(xr)
+    key = ("dct2", jax.default_backend(), _sk(xr), axis, norm)
+    return _cc(key, impl, xr)
 
 
 def _idct2_core(x, axis):
@@ -223,7 +228,8 @@ def _idct2_core(x, axis):
         out = jnp.take(vr, inv_perm, axis=-1)
         return jnp.moveaxis(out, -1, axis)
 
-    return jax.jit(impl)(Yr)
+    key = ("idct2", jax.default_backend(), _sk(Yr), axis)
+    return _cc(key, impl, Yr)
 
 
 def _dct3(x, axis, norm):
@@ -291,7 +297,8 @@ def _dst1(xr, axis, norm):
             X = X * jnp.float32(1.0 / np.sqrt(2.0 * (n + 1)))
         return jnp.moveaxis(X, -1, axis)
 
-    return jax.jit(impl)(xr)
+    key = ("dst1", jax.default_backend(), _sk(xr), axis, norm)
+    return _cc(key, impl, xr)
 
 
 def idst(x, type: int = 2, axis: int = -1, norm=None):
@@ -353,7 +360,10 @@ def _apply_nd(fn1d, x, type, s, axes, norm):
             v = fn1d(v, type=type, axis=ax, norm=norm)
         return v
 
-    return jax.jit(impl)(jnp.asarray(x))
+    key = ("ndsep", jax.default_backend(), getattr(fn1d, "__name__", str(fn1d)),
+           _sk(jnp.asarray(x)), type, None if s is None else tuple(s),
+           None if axes is None else tuple(axes), norm)
+    return _cc(key, impl, jnp.asarray(x))
 
 
 def dctn(x, type: int = 2, s=None, axes=None, norm=None):

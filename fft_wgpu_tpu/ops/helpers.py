@@ -233,7 +233,7 @@ def oaconvolve(a, b, mode: str = "full", axes=None, axis: int = None):
         out = out.reshape(*lead, (nseg + K - 1) * step)[..., :t]
         return jnp.moveaxis(out[..., :lfull], -1, axis)
 
-    from ..utils.jit_cache import cached_jit, shape_key
+    from ..utils.jit_cache import cached_call, shape_key
 
     key = ("oaconv", jax.default_backend(), shape_key(a), shape_key(b),
            str(getattr(a, "dtype", "f32")), str(getattr(b, "dtype", "f32")),
@@ -241,10 +241,10 @@ def oaconvolve(a, b, mode: str = "full", axes=None, axis: int = None):
     if cplx:
         ar, ai = promote_to_split(a)
         br, bi = promote_to_split(b)
-        full = cached_jit(key, impl)(ar, ai, br, bi)
+        full = cached_call(key, impl, ar, ai, br, bi)
     else:
-        full = cached_jit(key, impl)(jnp.asarray(a, jnp.float32),
-                                     jnp.asarray(b, jnp.float32))
+        full = cached_call(key, impl, jnp.asarray(a, jnp.float32),
+                           jnp.asarray(b, jnp.float32))
 
     sl = [slice(None)] * full.ndim
     if mode == "full":
@@ -419,11 +419,11 @@ def fftconvolve(a, b, mode: str = "full", axes=None):
             fb = fftn(merge(br_, bi_), s=shape, axes=axes)
             return ifftn(fa * fb, axes=axes)[sl]
 
-        from ..utils.jit_cache import cached_jit, shape_key
+        from ..utils.jit_cache import cached_call, shape_key
 
         key = ("fftconv_c", jax.default_backend(), shape_key(ar),
                shape_key(br_), tuple(shape), tuple(axes), str(sl))
-        return cached_jit(key, impl)(ar, ai, br_, bi_)
+        return cached_call(key, impl, ar, ai, br_, bi_)
 
     # Real path: split padded-spectrum pipeline (probe_r45) — the R2C
     # writes the lane-aligned serving form [.., pad_bins(L)], the
@@ -491,12 +491,12 @@ def fftconvolve(a, b, mode: str = "full", axes=None):
             out = jnp.moveaxis(out, -1, last)
         return out[sl]
 
-    from ..utils.jit_cache import cached_jit, shape_key
+    from ..utils.jit_cache import cached_call, shape_key
 
     key = ("fftconv_r", jax.default_backend(), shape_key(a), shape_key(b),
            tuple(shape), tuple(axes), str(sl))
-    return cached_jit(key, impl)(jnp.asarray(a, jnp.float32),
-                                 jnp.asarray(b, jnp.float32))
+    return cached_call(key, impl, jnp.asarray(a, jnp.float32),
+                       jnp.asarray(b, jnp.float32))
 
 
 def fftcorrelate(a, b, mode: str = "full", axes=None):
@@ -577,10 +577,10 @@ def hilbert(x, n: int = None, axis: int = -1, *, N: int = None):
         re, im = p._execute_split(re * hh, im * hh, +1, 1.0 / length)
         return merge(jnp.moveaxis(re, -1, axis), jnp.moveaxis(im, -1, axis))
 
-    from ..utils.jit_cache import cached_jit, shape_key
+    from ..utils.jit_cache import cached_call, shape_key
 
     key = ("hilbert", jax.default_backend(), shape_key(x0), length, axis)
-    return cached_jit(key, impl)(jnp.asarray(x0, jnp.float32))
+    return cached_call(key, impl, jnp.asarray(x0, jnp.float32))
 
 
 def _resample_window(window, n):

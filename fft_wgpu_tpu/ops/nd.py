@@ -126,16 +126,15 @@ def _run_nd(x, s, axes, sign, norm, executor):
     else:
         raise ValueError(f"invalid norm {norm!r}")
 
-    from ..utils.jit_cache import cached_jit, shape_key
+    from ..utils.jit_cache import cached_call, shape_key
 
     key = ("nd", jax.default_backend(), shape_key(re), tuple(axes),
            sign, scale, executor)
-    fn = cached_jit(
+    return cached_call(
         key,
         lambda r, i: merge(*fftn_split(r, i, tuple(axes), sign, scale,
                                        executor)),
-    )
-    return fn(re, im)
+        re, im)
 
 
 def fftn(x, s=None, axes=None, norm=None, *, executor: str = "auto"):

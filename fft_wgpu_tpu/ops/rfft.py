@@ -303,11 +303,11 @@ def rfft(x, n=None, axis: int = -1, norm=None):
             Xi = jnp.moveaxis(Xi, -1, axis)
         return merge(Xr, Xi)
 
-    from ..utils.jit_cache import cached_jit, shape_key
+    from ..utils.jit_cache import cached_call, shape_key
 
     key = ("rfft", jax.default_backend(), shape_key(xr), length, axis,
            scale)
-    return cached_jit(key, impl)(xr)
+    return cached_call(key, impl, xr)
 
 
 def irfft(x, n=None, axis: int = -1, norm=None):
@@ -335,11 +335,11 @@ def irfft(x, n=None, axis: int = -1, norm=None):
             out = jnp.moveaxis(out, -1, axis)
         return out
 
-    from ..utils.jit_cache import cached_jit, shape_key
+    from ..utils.jit_cache import cached_call, shape_key
 
     key = ("irfft", jax.default_backend(), shape_key(Xr), length, axis,
            norm_scale)
-    return cached_jit(key, impl)(Xr, Xi)
+    return cached_call(key, impl, Xr, Xi)
 
 
 def _hermitian_extend(Xr, Xi, n):

@@ -406,7 +406,7 @@ def _resolve_args(x, y, nperseg, noverlap, nfft, window, axis):
 # host time even with the persistent compile cache).  Hashable configs
 # reuse the traced executable like the plan layer does; array/callable
 # windows (or any unhashable key part) skip the cache safely.
-from ..utils.jit_cache import cached_jit as _cached_jit
+from ..utils.jit_cache import cached_call as _cached_call
 from ..utils.jit_cache import shape_key as _shape_key
 from ..utils.jit_cache import window_key as _window_key
 
@@ -539,7 +539,7 @@ def _csd_impl(x, y, fs, window, nperseg, noverlap, nfft, detrend,
         "csd", jax.default_backend(), _shape_key(xr), _shape_key(xi),
         _shape_key(yr), _shape_key(yi), float(fs), wkey, nperseg,
         noverlap, nfft, detrend, return_onesided, scaling, axis, average)
-    Pr, Pi = _cached_jit(key, impl)(xr, xi, yr, yi)
+    Pr, Pi = _cached_call(key, impl, xr, xi, yr, yi)
     if onesided:
         f = rfftfreq(nfft, 1.0 / fs)
     else:
@@ -622,7 +622,7 @@ def coherence(x, y, fs: float = 1.0, window="hann",
                 key = None if wkey is None else (
                     "coh", jax.default_backend(), _shape_key(xr),
                     _shape_key(yr), wkey, np_, hop, nf_, detrend, axis)
-                C = _cached_jit(key, _coh)(xr, yr)
+                C = _cached_call(key, _coh, xr, yr)
                 return rfftfreq(nf_, 1.0 / fs), C
             except _pw.Unsupported:
                 pass
@@ -733,7 +733,7 @@ def multitaper(x, fs: float = 1.0, NW: float = 4.0, K: int | None = None,
     key = ("mt", jax.default_backend(), _shape_key(xr), _shape_key(xi),
            float(fs), float(NW), K, nfft, detrend, onesided, weights,
            axis)
-    S = _cached_jit(key, impl)(xr, xi)
+    S = _cached_call(key, impl, xr, xi)
     f = rfftfreq(nfft, 1.0 / fs) if onesided else fftfreq(nfft, 1.0 / fs)
     return f, S
 
@@ -846,7 +846,7 @@ def spectrogram(x, fs: float = 1.0, window=("tukey", 0.25),
         "spec", jax.default_backend(), _shape_key(xr), _shape_key(xi),
         float(fs), wkey, nperseg, hop, nfft, detrend, return_onesided,
         scaling, axis, mode)
-    out = _cached_jit(key, impl)(xr, xi)
+    out = _cached_call(key, impl, xr, xi)
     n = xr.shape[axis]
     num = 1 + (n - nperseg) // hop
     t = (np.arange(num) * hop + nperseg / 2.0) / fs

@@ -148,11 +148,11 @@ def stft(x, n_fft: int = 512, hop_length: int | None = None, window=None,
         spec = rfft(frames, axis=-1)             # [..., num, n_fft//2+1]
         return jnp.swapaxes(spec, -1, -2)
 
-    from ..utils.jit_cache import cached_jit, shape_key
+    from ..utils.jit_cache import cached_call, shape_key
 
     key = ("stft", jax.default_backend(), shape_key(x), n_fft, hop,
            center, bytes(np.asarray(window).tobytes()))
-    return cached_jit(key, impl)(x)
+    return cached_call(key, impl, x)
 
 
 def istft(Z, n_fft: int = 512, hop_length: int | None = None, window=None,
@@ -197,11 +197,11 @@ def istft(Z, n_fft: int = 512, hop_length: int | None = None, window=None,
     from ..core.complex_utils import promote_to_split
 
     zr, zi = promote_to_split(Z)  # host complex split on host (CLAUDE.md)
-    from ..utils.jit_cache import cached_jit, shape_key
+    from ..utils.jit_cache import cached_call, shape_key
 
     key = ("istft", jax.default_backend(), shape_key(zr), n_fft, hop,
            bytes(np.asarray(window).tobytes()))
-    y = cached_jit(key, impl)(zr, zi)
+    y = cached_call(key, impl, zr, zi)
     if center:
         # trim the left reflect-pad; the RIGHT trim happens via length
         # below when given — torch serves length= from the right-pad

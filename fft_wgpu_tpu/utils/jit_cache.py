@@ -16,9 +16,19 @@ from __future__ import annotations
 
 import jax
 
-__all__ = ["cached_jit", "window_key", "shape_key"]
+__all__ = ["cached_call", "cached_jit", "window_key", "shape_key"]
 
 _CACHE: dict = {}
+
+
+def cached_call(key, impl, *args):
+    """cached_jit(key, impl)(*args) — but when called INSIDE an active
+    trace (any arg is a Tracer), inline impl instead: a cached closure
+    would capture constants belonging to the enclosing (soon dead)
+    trace and leak them into later calls (UnexpectedTracerError)."""
+    if any(isinstance(a, jax.core.Tracer) for a in args):
+        return impl(*args)
+    return cached_jit(key, impl)(*args)
 
 
 def cached_jit(key, impl):

@@ -115,6 +115,11 @@ def test_r2c_balanced_kernel_interpret(rng, assert_close):
     got = np.asarray(Xr) + 1j * np.asarray(Xi)
     assert_close(got, np.fft.rfft(x, axis=-1), what="balanced r2c n=2048")
 
+    # NOTE: 512 IS a production _BALANCED_R2C entry — the old
+    # inject-then-del here REMOVED it for the rest of the session,
+    # breaking any later nfft=512 fused-kernel test that ran after this
+    # file (masked for months by alphabetical collection order).
+    saved = pf._BALANCED_R2C.get(512)
     pf._BALANCED_R2C[512] = (16, 32, (4, 4))
     try:
         x = rng.standard_normal((130, 512)).astype(np.float32)
@@ -124,7 +129,10 @@ def test_r2c_balanced_kernel_interpret(rng, assert_close):
         assert_close(got, np.fft.rfft(x, axis=-1, norm="ortho"),
                      what="balanced r2c n=512 ortho")
     finally:
-        del pf._BALANCED_R2C[512]
+        if saved is None:
+            pf._BALANCED_R2C.pop(512, None)
+        else:
+            pf._BALANCED_R2C[512] = saved
 
 
 def test_c2r_balanced_kernel_interpret(rng, assert_close):
@@ -132,7 +140,8 @@ def test_c2r_balanced_kernel_interpret(rng, assert_close):
     from fft_wgpu_tpu.ops import pallas_fft as pf
 
     for n, spec, rows in [(512, (16, 32), 130), (1024, (32, 32), 4)]:
-        pf._BALANCED_C2R[n] = spec
+        saved = pf._BALANCED_C2R.get(n)  # 512/1024 ARE production
+        pf._BALANCED_C2R[n] = spec       # entries: restore, never del
         try:
             X = (rng.standard_normal((rows, n // 2 + 1))
                  + 1j * rng.standard_normal((rows, n // 2 + 1))
@@ -143,7 +152,10 @@ def test_c2r_balanced_kernel_interpret(rng, assert_close):
             assert_close(np.asarray(out), np.fft.irfft(X, n=n, axis=-1),
                          what=f"balanced c2r n={n}")
         finally:
-            del pf._BALANCED_C2R[n]
+            if saved is None:
+                pf._BALANCED_C2R.pop(n, None)
+            else:
+                pf._BALANCED_C2R[n] = saved
 
 
 @pytest.mark.parametrize("norm", [None, "ortho", "forward"])
