@@ -43,3 +43,33 @@ def test_context_manager_restores():
     assert ftt.get_dot_precision() == "accurate"
     with pytest.raises(ValueError):
         ftt.set_dot_precision("wat")
+
+
+def test_jit_cache_retraces_after_mode_switch():
+    """The convenience-API jit cache (utils/jit_cache) stores jitted
+    wrappers across calls; set_dot_precision relies on jax.clear_caches()
+    reaching INTO those stored wrappers so a cached welch/dct/fft entry
+    retraces under the new _MM_PREC.  Pin that: if a jax upgrade ever
+    stops clear_caches from flushing live pjit wrappers, "fast" mode
+    would silently not apply to cached entry points."""
+    from fft_wgpu_tpu.utils.jit_cache import cached_call
+
+    traces = []
+
+    def impl(x):
+        traces.append(1)
+        return x * 2
+
+    key = ("precision-retrace-pin",)
+    x = jnp.ones((4,), jnp.float32)
+    cached_call(key, impl, x)
+    cached_call(key, impl, x)
+    assert len(traces) == 1, "cache failed: second call retraced"
+    try:
+        ftt.set_dot_precision("fast")  # calls jax.clear_caches()
+        cached_call(key, impl, x)
+        assert len(traces) == 2, (
+            "set_dot_precision did not flush the stored jit wrapper — "
+            "fast mode would not reach cached convenience functions")
+    finally:
+        ftt.set_dot_precision("accurate")
