@@ -31,7 +31,13 @@ def _r2c_general_off() -> bool:
     class); the 2026-08-21 toolchain update re-probe cleared it
     (probe_r70: both compile in minutes and run ~2x the composed path),
     so routing is now open with this env escape hatch should a future
-    toolchain regress."""
+    toolchain regress.
+
+    Read at TRACE time: set it before the process (or at least before
+    the first transform) — already-compiled executables (plan layer and
+    the convenience jit cache alike) keep the routing they were traced
+    with.  The public `rfft` key includes the flag so the top entry
+    point honors a mid-process toggle."""
     import os
 
     return os.environ.get("FFT_WGPU_TPU_R2C_GENERAL_OFF") == "1"
@@ -306,7 +312,7 @@ def rfft(x, n=None, axis: int = -1, norm=None):
     from ..utils.jit_cache import cached_call, shape_key
 
     key = ("rfft", jax.default_backend(), shape_key(xr), length, axis,
-           scale)
+           scale, _r2c_general_off())
     return cached_call(key, impl, xr)
 
 
